@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on local Spark.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": <sf>}
+
+Headline set = the queries that exercise the engine's heavy paths
+(scan-agg, multi-join, window top-k, dedup hash/LSH, vector search,
+text scoring). Each query is timed end-to-end: plan build + execution
+to a driver-side count via ``df.foreach`` substitute — we use
+``df.write.format("noop")`` semantics via count() to force full
+materialization without collecting rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from data_engineering_project_spotify_app_spark.operators import registry
+from data_engineering_project_spotify_app_spark.session import get_spark
+
+HEADLINE = [
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_topk_per_group",
+    "q_running_total",
+    "q_sessionize",
+    "q_tumbling_window",
+    "q_dedup_exact",
+    "q_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_cosine_topk",
+    "q_ann_lsh",
+    "q_token_count",
+    "q_quality_score",
+    "q_lang_id",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry.load_all_modules()
+    spark = get_spark(app_name="bench")
+
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not session startup
+    registry.QUERIES["q_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        # (aggregations/joins/windows can't short-circuit a count)
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

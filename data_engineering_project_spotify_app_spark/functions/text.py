@@ -1,0 +1,56 @@
+"""Text expression helpers — tokenization, normalization, shingling.
+
+All pure built-in ``pyspark.sql.functions`` (no UDFs): these run inside
+WholeStageCodegen and keep the 100 TB text path JVM-side. Each helper has
+a DuckDB-SQL twin (the *_SQL template strings) used by the oracle
+queries, so Spark and oracle tokenize identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens with empties dropped → array<string>."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+# DuckDB twin of tokens() — substitute {col}.
+TOKENS_SQL = r"list_filter(string_split_regex({col}, '\s+'), x -> x <> '')"
+
+
+def normalize(col: Column) -> Column:
+    """Canonical text: lowercase, non-alnum → space, collapse runs, trim."""
+    lowered = F.lower(col)
+    alnum = F.regexp_replace(lowered, "[^a-z0-9]+", " ")
+    return F.trim(alnum)
+
+
+# DuckDB twin of normalize() — note the 'g' flag (DuckDB replaces only the
+# first match by default; Spark replaces all).
+NORMALIZE_SQL = "trim(regexp_replace(lower({col}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def word_bigrams(tok: Column) -> Column:
+    """Distinct word-bigram shingles from a token array → array<string>.
+
+    Empty when the doc has fewer than 2 tokens.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(tok, i + 1), F.element_at(tok, i + 2)),
+    )
+    return F.when(F.size(tok) >= 2, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# DuckDB twin of word_bigrams() — substitute {tok} (a list expression).
+BIGRAMS_SQL = (
+    "CASE WHEN len({tok}) >= 2 THEN "
+    "list_distinct([{tok}[i] || ' ' || {tok}[i+1] "
+    "for i in generate_series(1, len({tok}) - 1)]) "
+    "ELSE [] END"
+)

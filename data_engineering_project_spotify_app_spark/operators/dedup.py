@@ -1,0 +1,307 @@
+"""Deduplication operators over the ``documents`` table.
+
+The reference's only dedup is `set()` on ids (app.py:164 → q_distinct);
+a training-data pipeline needs content dedup at 100 TB. Four tiers, from
+exact to sketch-based, all expressed so the shuffle-heavy parts are
+bounded:
+
+- exact:       hash-groupBy on md5(text) — one shuffle on a 16-byte key.
+- n-gram Jaccard: exact set similarity, candidate pairs restricted to a
+  partition key (lang, source) so the self-join never goes quadratic in
+  the corpus — at scale the partition key is your shard/domain.
+- MinHash+LSH: K=16 signatures → 4 bands → candidates share a band key.
+  Signature build is one aggregate over exploded shingles (map-side
+  combine on min()); the band self-join touches only same-bucket pairs.
+- SimHash:     64-bit fingerprint via per-bit voting — one aggregate,
+  no pairwise work at all; near-dups collide on the fingerprint.
+
+Every hash is md5 (identical in Spark and DuckDB), and MinHash minima are
+taken over fixed-length hex strings (lexicographic min == numeric min),
+so even the sketch operators are *exactly* oracle-checkable — no
+rows-only escape hatch needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.functions.text import (
+    BIGRAMS_SQL,
+    TOKENS_SQL,
+    tokens,
+    word_bigrams,
+)
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table
+
+_TOK = TOKENS_SQL.format(col="text")
+_BIGRAMS = BIGRAMS_SQL.format(tok=_TOK)
+
+JACCARD_THRESHOLD = 0.15
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: group by content hash, keep the min doc_id.
+
+    Scale: the only shuffle key is the 16-byte digest — uniform by
+    construction (no skew), partial-aggregated map-side. 100 TB of text
+    shuffles only (hash, min_id, count) triples.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, source, {_BIGRAMS} AS bg
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, source, unnest(bg) AS shingle FROM grams
+    ),
+    cnt AS (
+      SELECT doc_id, CAST(len(bg) AS BIGINT) AS n FROM grams
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a
+      JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_common / (ca.n + cb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.doc_a
+    JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE i.n_common / (ca.n + cb.n - i.n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact bigram-set Jaccard within (lang, source).
+
+    Candidate generation is the shingle self-join *inside a partition
+    key* — the standard trick that keeps exact-Jaccard dedup from going
+    O(N²) over the corpus: pairs only form within a shard. The join key
+    (lang, source, shingle) is the shuffle key; per-doc shingles are
+    distinct so each common shingle contributes exactly 1 to |A∩B|.
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", "lang", "source", word_bigrams(tokens(F.col("text"))).alias("bg")
+    )
+    sh = grams.select(
+        "doc_id", "lang", "source", F.explode("bg").alias("shingle")
+    )
+    cnt = grams.select("doc_id", F.size("bg").cast("bigint").alias("n"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca, cb = cnt.alias("ca"), cnt.alias("cb")
+    jac = F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
+    return (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+def _minhash_sig_cols() -> list[F.Column]:
+    """K min-hash aggregate expressions over an exploded shingle column."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+
+
+def _minhash_sig_sql() -> str:
+    return ",\n             ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_MINHASH)
+    )
+
+
+def _band_key_sql(b: int) -> str:
+    cols = " || '|' || ".join(
+        f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+    )
+    return f"md5({cols})"
+
+
+_MINHASH_ORACLE = f"""
+    WITH grams AS (
+      SELECT doc_id, {_BIGRAMS} AS bg FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(bg) AS shingle FROM grams WHERE len(bg) > 0
+    ),
+    sig AS (
+      SELECT doc_id,
+             {_minhash_sig_sql()}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
+        for b in range(N_BANDS)
+      )}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_bands_matched
+    FROM bands a
+    JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("q_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: near-dup candidate pairs, fully deterministic.
+
+    K=16 hash functions h_i(s) = md5('i|' || s); the signature minimum is
+    taken lexicographically over fixed-length hex digests (== numeric min
+    on the first 128 bits), so Spark and the SQL oracle agree bit-for-bit.
+    Bands of 4 rows are hashed to a band key; docs sharing any band key
+    are candidates (the classic s-curve: J≈0.5 pairs ~23%, J≈0.9 ~94%).
+
+    Scale: signature build is ONE aggregation over exploded shingles with
+    map-side combine (min is algebraic); the candidate join shuffles only
+    (band_key → doc_id) pairs. No quadratic stage anywhere; bucket skew
+    (a degenerate band key) is handled by AQE skew-join at runtime.
+    """
+    d = table(spark, sf_dir, "documents")
+    grams = d.select("doc_id", word_bigrams(tokens(F.col("text"))).alias("bg"))
+    sh = grams.filter(F.size("bg") > 0).select(
+        "doc_id", F.explode("bg").alias("shingle")
+    )
+    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+
+    band_frames = []
+    for band in range(N_BANDS):
+        cols = [f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_frames.append(
+            sig.select(
+                "doc_id",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+            )
+        )
+    bands = band_frames[0]
+    for bf in band_frames[1:]:
+        bands = bands.unionByName(bf)
+
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def _simhash_vote_sql(bit: int) -> str:
+    digit_pos = bit // 4 + 1
+    shift = 3 - bit % 4
+    d = f"(instr('{_HEX}', substr(md5(tok), {digit_pos}, 1)) - 1)"
+    return f"sum(2 * (({d} >> {shift}) & 1) - 1)"
+
+
+_SIMHASH_ORACLE = f"""
+    WITH tok_table AS (
+      SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents
+    ),
+    votes AS (
+      SELECT doc_id,
+             {",".join(
+                 f"CASE WHEN {_simhash_vote_sql(b)} >= 0 THEN '1' ELSE '0' END AS b{b}"
+                 for b in range(64)
+             )}
+      FROM tok_table GROUP BY doc_id
+    )
+    SELECT doc_id, {" || ".join(f"b{b}" for b in range(64))} AS simhash
+    FROM votes
+    """
+
+
+@query("q_simhash", oracle=_SIMHASH_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprint per document (Charikar sketch).
+
+    Per distinct token, the md5 digest's first 64 bits vote ±1 per bit
+    position; the fingerprint takes the sign of each vote sum. Emitted as
+    a 64-char bitstring (portable across engines — no int64 sign issues).
+    Near-dup docs differ in a few bits → group by fingerprint (or band
+    substrings of it) to cluster.
+
+    Scale: ONE aggregation — 64 algebraic sums with map-side combine over
+    exploded tokens; zero pairwise computation. The standard choice when
+    even LSH candidate joins are too hot.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    def vote(b: int) -> F.Column:
+        # identical arithmetic to _simhash_vote_sql(b), Spark-SQL spelled
+        digit = f"(instr('{_HEX}', substring(md5(tok), {b // 4 + 1}, 1)) - 1)"
+        return F.expr(
+            f"sum(2 * (shiftright({digit}, {3 - b % 4}) & 1) - 1)"
+        )
+
+    votes = [
+        F.when(vote(b) >= 0, "1").otherwise("0").alias(f"b{b}")
+        for b in range(64)
+    ]
+    return (
+        toks.groupBy("doc_id")
+        .agg(*votes)
+        .select(
+            "doc_id",
+            F.concat(*[F.col(f"b{b}") for b in range(64)]).alias("simhash"),
+        )
+    )

@@ -1,0 +1,243 @@
+"""Embedding similarity search over the ``embeddings`` table.
+
+ANN building blocks for a training-data pipeline (near-dup by embedding,
+semantic retrieval):
+
+- q_cosine_topk:  brute-force exact top-k — the correctness baseline.
+  Query set broadcast against the corpus; the corpus is scanned once.
+- q_ann_lsh:      sign-random-projection LSH (Charikar hyperplanes) —
+  the scale path. Vectors land in 2^P buckets; candidate pairs only form
+  inside a bucket, so the pairwise stage is corpus²/2^P in expectation.
+
+Both are exactly oracle-checkable: the "random" hyperplanes are derived
+from md5 (identical in both engines), and all arithmetic is double with
+a final round(4).
+
+All vector math is built-in higher-order functions (zip_with/aggregate)
+— JVM-side, no Python in the loop. A pandas_udf/numpy variant of the
+dot product is provided in tests for cross-checking the HOF math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table
+
+TOPK = 5
+N_QUERIES = 5  # query set: vec_id < 5
+
+N_PLANES = 8
+DIM = 64
+_HEX = "0123456789abcdef"
+
+
+def _as_double(col: str = "embedding") -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns via zip_with + aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "q_cosine_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rnk
+      FROM pairs
+    )
+    WHERE rnk <= {TOPK}
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: exact ANN baseline.
+
+    Scale: the query side (small) is broadcast; the corpus is scanned
+    once with the dot product fused into the scan projection. Top-k per
+    query is a windowed rank over (queries × corpus) — at 100 TB you cap
+    the query batch, not the corpus. Ranking uses the *rounded* sim with
+    a vec_id tie-break so ordering is reproducible across engines.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    n = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(n, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
+def _weight_sql() -> str:
+    """DuckDB expr: deterministic ±1 hyperplane weight for (p, d)."""
+    md5_arg = "concat(CAST(p AS VARCHAR), '_', CAST(d AS VARCHAR))"
+    return (
+        f"CASE WHEN instr('{_HEX}', substr(md5({md5_arg}), 1, 1)) - 1 >= 8 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+
+
+_ANN_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    wts AS (
+      SELECT p, d, {_weight_sql()} AS w
+      FROM (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p),
+           (SELECT unnest(generate_series(1, {DIM})) AS d)
+    ),
+    proj AS (
+      SELECT e.vec_id, wts.p, sum(wts.w * e.v[wts.d]) AS s
+      FROM e CROSS JOIN wts
+      GROUP BY e.vec_id, wts.p
+    ),
+    sig AS (
+      SELECT vec_id,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+      FROM proj GROUP BY vec_id
+    ),
+    n AS (
+      SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, sig.bucket
+      FROM e JOIN sig ON e.vec_id = sig.vec_id
+    )
+    SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """
+
+
+@query("q_ann_lsh", oracle=_ANN_ORACLE)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN candidates: sign-random-projection (SimHash for
+    vectors) with md5-derived deterministic hyperplanes.
+
+    Each vector gets a P-bit bucket id (sign of v·w_p for P pseudo-random
+    ±1 hyperplanes); exact cosine is computed only for same-bucket pairs.
+
+    Scale: bucket assignment is one aggregation over (vector × plane)
+    partial products — map-side combined, no shuffle of raw vectors; the
+    candidate join shuffles on the bucket key (2^P buckets; raise P to
+    cut bucket size; multiple hash tables = union of P-sets for recall).
+    Expected pairwise work drops from N²/2 to N²/2^(P+1) per table.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+
+    # plane weights: explode (plane, dim) → ±1 from md5, built as a tiny
+    # broadcast-able frame (N_PLANES × DIM rows), computed JVM-side.
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("d"))
+    md5_arg = F.concat(
+        F.col("p").cast("string"), F.lit("_"), F.col("d").cast("string")
+    )
+    wts = planes.crossJoin(dims).select(
+        "p",
+        "d",
+        F.when(
+            F.expr(f"instr('{_HEX}', substr(md5(concat(CAST(p AS STRING), '_', "
+                   f"CAST(d AS STRING))), 1, 1)) - 1 >= 8"),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("w"),
+    )
+
+    proj = (
+        e.crossJoin(F.broadcast(wts))
+        .select(
+            "vec_id", "p", (F.col("w") * F.element_at("v", F.col("d"))).alias("wx")
+        )
+        .groupBy("vec_id", "p")
+        .agg(F.sum("wx").alias("s"))
+    )
+    sig = (
+        proj.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("p"),
+                            F.when(F.col("s") >= 0, "1").otherwise("0").alias("bit"),
+                        )
+                    )
+                ).getField("bit"),
+            ).alias("bucket")
+        )
+    )
+    n = (
+        e.join(sig, "vec_id")
+        .select(
+            "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"), "bucket"
+        )
+    )
+    a = n.select(
+        F.col("bucket"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "bucket",
+            "vec_a",
+            "vec_b",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("sim"),
+        )
+    )

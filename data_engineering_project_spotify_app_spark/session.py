@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+The reference hand-rolls its execution policy (30-thread pools, a global
+admission semaphore, retry budgets — app.py:35–45, 102–127). In Spark all
+of that is engine configuration, set once here:
+
+- AQE on (runtime re-plan = the reference's "read total, then size the
+  fan-out" trick at app.py:155–158, generalized to every shuffle);
+- shuffle partitions sized to cores for local runs — on a real cluster
+  AQE coalesces, so over-provisioning is safe;
+- UTC session timezone (oracle comparisons and any cross-engine exchange);
+- Arrow enabled so the pandas_udf slow-path is vectorized, never row-by-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data_engineering_project_spotify_app_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard confs.
+
+    ``master`` defaults to ``local[N]`` with N from ``SPARK_GRAFT_CPUS``
+    (driver contract) or all cores. On a real cluster pass ``master=None``
+    and submit with ``spark-submit``; the confs below are cluster-safe.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else (os.cpu_count() or 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        # fixture events.parquet stores TIMESTAMP(NANOS); read as long and
+        # convert in tables.py (Spark has no ns timestamp type)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,62 @@
+"""Parquet table access for the driver fixtures (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under an sf dir.
+
+Scans are plain declarative ``spark.read.parquet`` so Catalyst gets
+predicate pushdown + column pruning for free; callers select/filter and
+the parquet reader prunes (verify with ``.explain`` → PushedFilters /
+ReadSchema). ``broadcast_dims`` marks the tables that are small at every
+scale factor (region=5 rows, nation=25 — fixed-size dimensions in TPC-H);
+joins against them should always broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Fixed-cardinality dimensions: safe to broadcast at ANY scale factor.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One fixture table as a DataFrame (lazy parquet scan).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as a
+    nanosecond long (``nanosAsLong`` conf in session.py); it is converted
+    to a microsecond timestamp here (truncating, matching DuckDB's
+    ``CAST(ts AS TIMESTAMP)`` on the same file — the oracles do exactly
+    that, so both engines compute on identical µs values).
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All fixture tables, keyed by name."""
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
