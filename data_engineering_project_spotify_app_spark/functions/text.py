@@ -37,12 +37,18 @@ def word_bigrams(tok: Column) -> Column:
     """Distinct word-bigram shingles from a token array → array<string>.
 
     Empty when the doc has fewer than 2 tokens.
+
+    Implementation note: built with zip_with over two slices — a constant
+    number of references to ``tok``. A transform(sequence(...)) with
+    element_at(tok, i) per index re-evaluates the *whole* tok expression
+    per element once ProjectCollapsing inlines it (tokenizer regex × ~2N
+    per row — measured 10× slowdown on the dedup path).
     """
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(tok) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(tok, i + 1), F.element_at(tok, i + 2)),
-    )
-    return F.when(F.size(tok) >= 2, F.array_distinct(grams)).otherwise(
+    n = F.size(tok)
+    heads = F.slice(tok, 1, F.greatest(n - 1, F.lit(0)))
+    tails = F.slice(tok, 2, F.greatest(n - 1, F.lit(0)))
+    grams = F.zip_with(heads, tails, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(n >= 2, F.array_distinct(grams)).otherwise(
         F.array().cast("array<string>")
     )
 

@@ -109,13 +109,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct so each common shingle contributes exactly 1 to |A∩B|.
     """
     d = table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", "lang", "source", word_bigrams(tokens(F.col("text"))).alias("bg")
+    # materialize the token array BEFORE shingling: expression trees that
+    # reference tokens() inline would re-run the regex split per
+    # element_at call inside the transform lambda (measured 10x slowdown)
+    toks = d.select(
+        "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
     )
+    grams = toks.select(
+        "doc_id", "lang", "source", word_bigrams(F.col("tok")).alias("bg")
+    )
+    # carry |shingles(doc)| on every exploded row (size() before explode is
+    # free) so no join-back-to-counts is needed after the pair aggregation
     sh = grams.select(
-        "doc_id", "lang", "source", F.explode("bg").alias("shingle")
+        "doc_id",
+        "lang",
+        "source",
+        F.size("bg").cast("bigint").alias("n"),
+        F.explode("bg").alias("shingle"),
     )
-    cnt = grams.select("doc_id", F.size("bg").cast("bigint").alias("n"))
 
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -129,15 +140,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("n_common"))
+        .agg(
+            F.count("*").alias("n_common"),
+            F.first("a.n").alias("na"),
+            F.first("b.n").alias("nb"),
+        )
     )
-    ca, cb = cnt.alias("ca"), cnt.alias("cb")
-    jac = F.col("n_common") / (F.col("ca.n") + F.col("cb.n") - F.col("n_common"))
-    return (
-        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
-        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return inter.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 
@@ -206,25 +217,28 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a degenerate band key) is handled by AQE skew-join at runtime.
     """
     d = table(spark, sf_dir, "documents")
-    grams = d.select("doc_id", word_bigrams(tokens(F.col("text"))).alias("bg"))
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tok"))
+    grams = toks.select("doc_id", word_bigrams(F.col("tok")).alias("bg"))
     sh = grams.filter(F.size("bg") > 0).select(
         "doc_id", F.explode("bg").alias("shingle")
     )
     sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
 
-    band_frames = []
+    # bands via ONE explode — a per-band union would recompute the whole
+    # signature aggregation once per band (Spark does not share subplans
+    # across union branches)
+    band_structs = []
     for band in range(N_BANDS):
         cols = [f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band_frames.append(
-            sig.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(band).alias("band"),
                 F.md5(F.concat_ws("|", *cols)).alias("band_key"),
             )
         )
-    bands = band_frames[0]
-    for bf in band_frames[1:]:
-        bands = bands.unionByName(bf)
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
 
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -283,8 +297,8 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     even LSH candidate joins are too hot.
     """
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tok_arr")).select(
+        "doc_id", F.explode(F.array_distinct(F.col("tok_arr"))).alias("tok")
     )
     def vote(b: int) -> F.Column:
         # identical arithmetic to _simhash_vote_sql(b), Spark-SQL spelled
