@@ -1,0 +1,100 @@
+"""Ingest/load parity with the reference's staging + load path.
+
+Reference flow (SURVEY.md §2.1 S6/S7):
+- S6  sink: one JSON object per entity row under ``{entity}/{id}.json``
+  in the staging bucket (app.py:84–92, 204–208);
+- S7  load: ``bq load --source_format=NEWLINE_DELIMITED_JSON --replace``
+  into schema-declared tables (README.md:185–204).
+
+Spark mapping:
+- ``stage_entity``     → ``df.write.json(dir)`` — NDJSON part-files per
+  entity folder. The semantic contract (every row lands exactly once
+  under its entity folder, readable back with the declared schema) is
+  what round-trip tests pin down; one-FILE-per-row parity is an
+  anti-pattern at scale (100 TB = billions of tiny objects) and is
+  provided separately as ``stage_entity_keyed`` for small dimension
+  snapshots only.
+- ``load_entity``      → schema'd NDJSON read → ``mode("overwrite")``
+  parquet table. Spark's file-commit protocol makes the overwrite
+  job-atomic — an intentional upgrade over the reference's non-atomic
+  partial-upload failure mode (app.py:203–211, SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.schemas import (
+    ENTITY_SCHEMAS,
+    coalesce_repeated,
+)
+
+
+def stage_entity(df: DataFrame, staging_dir: str, entity: str) -> str:
+    """S6: write rows as NDJSON under ``{staging_dir}/{entity}/``.
+
+    Directory-per-entity mirrors the reference's folder routing
+    (``albums/`` vs ``tracks`` — app.py:207). Nulls are dropped on the
+    primary key first (P2/P3 semantics, app.py:188, 205–206).
+    """
+    out = f"{staging_dir}/{entity}"
+    df.filter(F.col("id").isNotNull()).write.mode("overwrite").json(out)
+    return out
+
+
+def stage_entity_keyed(df: DataFrame, staging_dir: str, entity: str) -> str:
+    """S6 exact-layout variant: one ``{id}.json`` object per row.
+
+    Byte-level parity with app.py:204–208 (single JSON object per file,
+    keyed filename). Streams rows through the driver (toLocalIterator —
+    one partition in memory at a time, and the target is a shared path,
+    not executor-local disk); use for small dimension snapshots ONLY —
+    at 100 TB this layout is the small-files anti-pattern, which is why
+    ``stage_entity`` (part-file NDJSON) is the default.
+    """
+    import json
+    import os
+
+    out = f"{staging_dir}/{entity}"
+    os.makedirs(out, exist_ok=True)
+    for row in df.toLocalIterator():
+        d = row.asDict(recursive=True)
+        if d.get("id") is None:
+            continue
+        path = os.path.join(out, f"{d['id']}.json")
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump(d, fh, default=str)
+    return out
+
+
+def load_entity(
+    spark: SparkSession,
+    staging_dir: str,
+    entity: str,
+    warehouse_dir: str,
+) -> DataFrame:
+    """S7: schema'd NDJSON read → overwrite-replace parquet table.
+
+    The declared-schema read is the engine's equivalent of BigQuery's
+    load-time schema check (a row that can't cast fails the job, not
+    silently corrupts). REPEATED fields are coalesced to empty arrays
+    (BQ semantics, SURVEY.md §1.3). ``--replace`` maps to
+    ``mode("overwrite")``.
+    """
+    schema = ENTITY_SCHEMAS[entity]
+    df = spark.read.schema(schema).json(f"{staging_dir}/{entity}")
+    df = coalesce_repeated(df, schema)
+    target = f"{warehouse_dir}/{entity}"
+    df.write.mode("overwrite").parquet(target)
+    return spark.read.parquet(target)
+
+
+def load_all_entities(
+    spark: SparkSession, staging_dir: str, warehouse_dir: str
+) -> dict[str, DataFrame]:
+    """The reference's three-table load loop (README.md:185–204)."""
+    return {
+        entity: load_entity(spark, staging_dir, entity, warehouse_dir)
+        for entity in ENTITY_SCHEMAS
+    }

@@ -1,0 +1,136 @@
+"""Structured Streaming surface — the streaming twins of the batch ops.
+
+The reference is batch/HTTP-triggered; its staging file-drop pattern
+(app.py:201–211: objects appearing under ``{entity}/`` folders) is
+exactly Spark's file-source streaming contract, so the engine's ingest
+lifts to streaming unchanged (SURVEY.md §2.9). Every transformation here
+reuses the *same* logic as its batch twin:
+
+- ``stream_events``        — file source over an events directory
+- ``tumbling_counts``      — q_tumbling_window's transformation + watermark
+- ``sessionized``          — q_sessionize via session_window
+- ``dedup_stream``         — A1's streaming twin (dropDuplicates + watermark)
+- ``stage_watch``          — streaming load of a staged entity folder
+
+Scale notes: watermarks bound state (late data beyond the horizon is
+dropped — the reference had no late-data story at all); windowed aggs
+shuffle on (window, key); ``maxFilesPerTrigger`` is the streaming
+equivalent of the reference's admission semaphore (app.py:36–45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_engineering_project_spotify_app_spark.schemas import ENTITY_SCHEMAS
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(
+    spark: SparkSession, events_dir: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source event stream (the staging file-drop contract)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(events_dir)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of q_tumbling_window: watermarked tumbling agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sessionized(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of q_sessionize via the native session_window."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of A1 (q_distinct): bounded-state exact dedup.
+
+    dropDuplicates keyed by event_id with a watermark so state for keys
+    older than the horizon is evicted — unbounded dedup state is the #1
+    streaming OOM at scale.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stage_watch(
+    spark: SparkSession, staging_dir: str, entity: str
+) -> DataFrame:
+    """Streaming S7: watch a staged entity folder, schema-enforced.
+
+    The exact streaming lift of load_entity — the reference's `bq load`
+    cron becomes a continuously-running ingest.
+    """
+    return (
+        spark.readStream.schema(ENTITY_SCHEMAS[entity])
+        .json(f"{staging_dir}/{entity}")
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming DF to completion against a memory sink (tests).
+
+    processAllAvailable drains every pending file synchronously — the
+    local-mode smoke pattern for file-source streams. Use
+    ``output_mode="complete"`` for aggregations (append only emits
+    windows the watermark has closed, which a single drained batch never
+    reaches).
+    """
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

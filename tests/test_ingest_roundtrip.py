@@ -1,0 +1,155 @@
+"""Golden round-trip tests for the ingest layer (SURVEY.md §5.2).
+
+NDJSON staging → schema'd load → overwrite table → re-read == input;
+plus the BQ-semantics edge cases: missing REPEATED → empty array, extra
+unknown fields dropped by the declared schema, null-id rows filtered by
+the sink, keyed one-object-per-row layout parity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.schemas import (
+    ALBUMS_SCHEMA,
+    ARTISTS_SCHEMA,
+    release_date_as_date,
+)
+from data_engineering_project_spotify_app_spark.sources.ingest import (
+    load_all_entities,
+    stage_entity,
+    stage_entity_keyed,
+    load_entity,
+)
+from tests.spotify_fixtures import artist, build_catalog, write_staging
+
+
+def test_roundtrip_all_entities(spark, tmp_path):
+    artists, albums_, tracks_ = build_catalog()
+    staging = str(tmp_path / "staging")
+    warehouse = str(tmp_path / "warehouse")
+    write_staging(staging, artists, albums_, tracks_)
+
+    loaded = load_all_entities(spark, staging, warehouse)
+    assert loaded["artists"].count() == len(artists)
+    assert loaded["albums"].count() == len(albums_)
+    assert loaded["tracks"].count() == len(tracks_)
+
+    # 3-level nesting survived: albums.tracks.items[].artists[].id
+    n_nested_artists = (
+        loaded["albums"]
+        .select(F.explode("tracks.items").alias("it"))
+        .select(F.explode("it.artists").alias("a"))
+        .filter(F.col("a.id").isNotNull())
+        .count()
+    )
+    assert n_nested_artists > 0
+
+    # re-stage the loaded frame and re-load: fixpoint (schema'd round-trip)
+    staging2 = str(tmp_path / "staging2")
+    stage_entity(loaded["albums"], staging2, "albums")
+    reloaded = load_entity(spark, staging2, "albums", str(tmp_path / "wh2"))
+    assert reloaded.count() == len(albums_)
+    a = sorted(loaded["albums"].select("id", "total_tracks").collect())
+    b = sorted(reloaded.select("id", "total_tracks").collect())
+    assert a == b
+
+
+def test_missing_repeated_is_empty_array_not_null(spark, tmp_path):
+    """BQ REPEATED semantics (SURVEY.md §1.3 item 2)."""
+    row = artist(1)
+    del row["genres"]  # missing repeated field in the staged JSON
+    d = tmp_path / "staging" / "artists"
+    d.mkdir(parents=True)
+    (d / "p.json").write_text(json.dumps(row) + "\n")
+
+    loaded = load_entity(
+        spark, str(tmp_path / "staging"), "artists", str(tmp_path / "wh")
+    )
+    got = loaded.select("genres").first()[0]
+    assert got == []  # empty array, NOT None
+
+
+def test_unknown_fields_dropped_by_declared_schema(spark, tmp_path):
+    """Lenient extraction, strict landing (SURVEY.md §1.2)."""
+    row = artist(2)
+    row["totally_new_api_field"] = {"x": 1}
+    d = tmp_path / "staging" / "artists"
+    d.mkdir(parents=True)
+    (d / "p.json").write_text(json.dumps(row) + "\n")
+
+    loaded = load_entity(
+        spark, str(tmp_path / "staging"), "artists", str(tmp_path / "wh")
+    )
+    assert loaded.columns == [f.name for f in ARTISTS_SCHEMA.fields]
+
+
+def test_null_id_rows_filtered_at_sink(spark, tmp_path):
+    """P2/P3: the sink drops null-key rows (app.py:188, 205-206).
+
+    In-flight rows are lenient (nullable id — the reference's dicts);
+    strictness applies at landing, which is exactly why the sink filters.
+    """
+    import pyspark.sql.types as T
+
+    lenient = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in ARTISTS_SCHEMA.fields]
+    )
+    rows = [artist(1), artist(2, id=None)]
+    df = spark.createDataFrame(rows, schema=lenient)
+    out = stage_entity(df, str(tmp_path / "stage"), "artists")
+    back = spark.read.schema(ARTISTS_SCHEMA).json(out)
+    assert back.count() == 1
+
+
+def test_keyed_sink_one_object_per_row(spark, tmp_path):
+    """S6 exact layout: {entity}/{id}.json, one JSON object per file
+    (app.py:204-208)."""
+    rows = [artist(i) for i in range(5)]
+    df = spark.createDataFrame(rows, schema=ARTISTS_SCHEMA)
+    out = stage_entity_keyed(df, str(tmp_path / "stage"), "artists")
+    files = sorted(os.listdir(out))
+    assert files == [f"ar{i:03d}.json" for i in range(5)]
+    payload = json.loads(open(os.path.join(out, "ar001.json")).read())
+    assert payload["id"] == "ar001"
+
+
+def test_release_date_precision_matrix(spark):
+    """§1.3 item 1: year/month/day precisions anchor correctly."""
+    rows = [
+        ("a", "1973", "year"),
+        ("b", "1994-05", "month"),
+        ("c", "2001-08-15", "day"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["id", "release_date", "release_date_precision"]
+    )
+    got = {
+        r["id"]: str(r["d"])
+        for r in df.select(
+            "id",
+            release_date_as_date(
+                F.col("release_date"), F.col("release_date_precision")
+            ).alias("d"),
+        ).collect()
+    }
+    assert got == {"a": "1973-01-01", "b": "1994-05-01", "c": "2001-08-15"}
+
+
+def test_malformed_row_fails_load_like_bq(spark, tmp_path):
+    """BQ load-time schema check equivalent: a row whose type can't cast
+    surfaces as nulls under FAILFAST-less read; assert the declared-schema
+    read flags it rather than silently widening."""
+    d = tmp_path / "staging" / "albums"
+    d.mkdir(parents=True)
+    bad = {"id": "al999", "total_tracks": "not-a-number"}
+    (d / "p.json").write_text(json.dumps(bad) + "\n")
+    loaded = load_entity(
+        spark, str(tmp_path / "staging"), "albums", str(tmp_path / "wh")
+    )
+    row = loaded.filter(F.col("id") == "al999").first()
+    assert row["total_tracks"] is None  # un-castable → null, schema intact
+    assert dict(loaded.dtypes)["total_tracks"] == "bigint"
