@@ -1,0 +1,81 @@
+"""Plan-shape regression tests — the 100 TB posture, asserted.
+
+Correct results with a bad plan don't survive a 1000-executor cluster;
+these tests pin the physical-plan properties the engine's scale story
+depends on: predicate pushdown into the parquet scan, column pruning,
+broadcast joins for dimension/id sides, and top-k without a global sort.
+"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from data_engineering_project_spotify_app_spark.operators import registry
+
+registry.load_all_modules()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = registry.QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(plan: str) -> list[str]:
+    return [
+        line.strip()
+        for line in plan.splitlines()
+        if "PushedFilters" in line and ": []" not in line
+    ]
+
+
+@pytest.mark.parametrize("name", ["q_tpch_q1", "q_tpch_q6", "q_point_lookup"])
+def test_filters_reach_parquet_scan(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert pushed_filters(plan), f"{name}: no PushedFilters in scan\n{plan}"
+
+
+@pytest.mark.parametrize("name", ["q_tpch_q3", "q_tpch_q5", "q_batch_enrich"])
+def test_joins_broadcast_not_shuffle(spark, sf_dir, name):
+    """Filtered dims / distinct id-sets must broadcast; a sort-merge join
+    here would shuffle the fact table for no reason."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+    assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge\n{plan}"
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    """P1: a 2-column projection must read 2 columns, not 11."""
+    plan = plan_of(spark, sf_dir, "q_project")
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    line = read_schema[0]
+    assert "l_orderkey" in line and "l_partkey" in line
+    assert "l_extendedprice" not in line and "l_comment" not in line
+
+
+def test_keyset_page_avoids_global_sort(spark, sf_dir):
+    """The scale-path pagination must be TakeOrderedAndProject (per-
+    partition top-k + k-merge), not a global Sort + Window."""
+    plan = plan_of(spark, sf_dir, "q_keyset_page")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    # and the keyset predicate is pushed into the scan
+    assert any("o_orderkey" in f for f in pushed_filters(plan)), plan
+
+
+def test_orderby_limit_is_topk_not_full_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_orderby")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """rank<=k should be pushed below the shuffle (WindowGroupLimit,
+    Spark 3.5+) so each partition ships at most k rows per group."""
+    plan = plan_of(spark, sf_dir, "q_topk_per_group")
+    assert "WindowGroupLimit" in plan, plan

@@ -1,0 +1,129 @@
+"""Quality bounds for the approximate/sketch operators.
+
+The oracle suite proves the sketches compute exactly what they claim;
+these tests prove the claims are USEFUL — error bounds vs exact answers,
+recall of LSH candidates vs ground truth, fingerprint locality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.operators import registry
+from data_engineering_project_spotify_app_spark.operators.dedup import (
+    JACCARD_THRESHOLD,
+)
+
+registry.load_all_modules()
+
+
+def test_approx_count_distinct_error_bound(spark, sf_dir):
+    approx = registry.QUERIES["q_approx_distinct"](spark, sf_dir).first()[
+        "approx_parts"
+    ]
+    exact = registry.QUERIES["q_count_distinct"](spark, sf_dir).first()["n_parts"]
+    # rsd=0.01 → generous 5% acceptance band
+    assert abs(approx - exact) / exact < 0.05
+
+
+def _doc_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+def _near_dup_corpus(spark):
+    """10 base docs (disjoint vocabularies) + a near-dup of each (one
+    appended word → bigram Jaccard 39/40 ≈ 0.975) + disjoint noise."""
+    base = [" ".join(f"w{i}_{j}" for j in range(40)) for i in range(10)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t, "en", "src0", len(t)))
+        rows.append((100 + i, t + " extraword", "en", "src0", len(t)))
+    for i in range(10):  # unrelated noise docs
+        t = " ".join(f"n{i}_{j}" for j in range(40))
+        rows.append((200 + i, t, "en", "src0", len(t)))
+    return _doc_df(spark, rows)
+
+
+def test_minhash_lsh_recall_on_near_dups(spark, tmp_path):
+    """Every (i, 100+i) near-dup pair (bigram Jaccard ≈ 0.85) must be an
+    LSH candidate; noise docs must not flood the candidate set."""
+    df = _near_dup_corpus(spark)
+    out = str(tmp_path / "docs")
+    df.write.parquet(f"{out}/documents.parquet")
+    cands = registry.QUERIES["q_minhash_lsh"](spark, out).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in cands}
+    expected = {(i, 100 + i) for i in range(10)}
+    missed = expected - pairs
+    assert not missed, f"LSH missed true near-dups: {missed}"
+    noise_pairs = {p for p in pairs if p[0] >= 200 or p[1] >= 200}
+    assert len(noise_pairs) == 0, f"noise collided: {noise_pairs}"
+
+
+def test_exact_jaccard_finds_near_dups_and_scores_high(spark, tmp_path):
+    df = _near_dup_corpus(spark)
+    out = str(tmp_path / "docs")
+    df.write.parquet(f"{out}/documents.parquet")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry.QUERIES["q_dedup_ngram_jaccard"](spark, out).collect()
+    }
+    for i in range(10):
+        j = got.get((i, 100 + i))
+        assert j is not None and j > 0.8, f"pair ({i},{100+i}) jaccard={j}"
+    assert all(v >= JACCARD_THRESHOLD for v in got.values())
+
+
+def test_simhash_locality(spark, tmp_path):
+    """Near-dup docs differ in few fingerprint bits; unrelated docs in many."""
+    df = _near_dup_corpus(spark)
+    out = str(tmp_path / "docs")
+    df.write.parquet(f"{out}/documents.parquet")
+    fp = {
+        r["doc_id"]: r["simhash"]
+        for r in registry.QUERIES["q_simhash"](spark, out).collect()
+    }
+
+    def ham(a, b):
+        return sum(x != y for x, y in zip(a, b))
+
+    near = [ham(fp[i], fp[100 + i]) for i in range(10)]
+    far = [ham(fp[i], fp[200 + ((i + 3) % 10)]) for i in range(10)]
+    assert max(near) <= 12, f"near-dup hamming too high: {near}"
+    assert min(far) >= 15, f"unrelated hamming too low: {far}"
+
+
+def test_ann_lsh_buckets_identical_vectors_together(spark, tmp_path):
+    rows = []
+    for i in range(20):
+        v = [float((i * 13 + j * 7) % 11 - 5) for j in range(64)]
+        rows.append((i, v, i % 3))
+        rows.append((100 + i, v, i % 3))  # exact duplicate vector
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    out = str(tmp_path / "emb")
+    df.write.parquet(f"{out}/embeddings.parquet")
+    pairs = {
+        (r["vec_a"], r["vec_b"]): r["sim"]
+        for r in registry.QUERIES["q_ann_lsh"](spark, out).collect()
+    }
+    for i in range(20):
+        assert (i, 100 + i) in pairs, f"identical pair {i} not bucketed together"
+        assert abs(pairs[(i, 100 + i)] - 1.0) < 1e-6
+
+
+def test_cosine_topk_matches_numpy_bruteforce(spark, sf_dir):
+    """Cross-check the HOF vector math against numpy on the fixtures."""
+    import numpy as np
+
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in table(spark, sf_dir, "embeddings").collect()
+    }
+    got = registry.QUERIES["q_cosine_topk"](spark, sf_dir).collect()
+    for r in got:
+        a, b = emb[r["query_id"]], emb[r["neighbor_id"]]
+        sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(round(sim, 4) - r["sim"]) <= 1e-4
