@@ -1,0 +1,329 @@
+"""Extended analytics surface — operators beyond the reference's own set.
+
+The reference delegates all analytics to BigQuery; the engine declares
+them in-scope (SURVEY.md §2.4 note, north star). Everything here is
+built-in Spark with a DuckDB oracle; a few queries use ``spark.sql``
+directly to exercise the SQL entry path (the engine supports both —
+Catalyst produces the same plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube: all grouping-set combinations in one pass."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           round(avg(l_extendedprice), 4)                 AS mean
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group.
+
+    Scale note: exact percentile needs a per-group sort — use
+    percentile_approx (t-digest-style mergeable sketch) at 100 TB; the
+    exact form is the correctness baseline (both engines interpolate
+    linearly, so it is oracle-checkable; the sketch is not).
+    """
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.avg("l_extendedprice"), 4).alias("mean"),
+    )
+
+
+@query(
+    "q_ntile",
+    oracle="""
+    SELECT c_custkey, CAST(ntile(4) OVER (ORDER BY c_acctbal DESC, c_custkey)
+           AS BIGINT) AS quartile
+    FROM customer
+    """,
+)
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile quartiles by account balance (deterministic tie-break)."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    return c.select(
+        "c_custkey", F.ntile(4).over(w).cast("bigint").alias("quartile")
+    )
+
+
+@query(
+    "q_first_last",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER w AS first_order,
+           last_value(o_orderkey) OVER w  AS last_order
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last order per customer over an unbounded frame."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    ).distinct()
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name)                       AS name_upper,
+           substr(p_name, 1, 5)                AS name_prefix,
+           length(p_name)                      AS name_len,
+           replace(p_type, ' ', '_')           AS type_snake,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface (F1/F2-adjacent: the engine's scalar layer)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.size(F.split("p_name", " ", -1)).cast("bigint").alias("n_words"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT)      AS y,
+           CAST(quarter(o_orderdate) AS BIGINT)   AS q,
+           CAST(month(o_orderdate) AS BIGINT)     AS m,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY          AS due_date,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_95
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface over the order timeline."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.quarter("o_orderdate").cast("bigint").alias("q"),
+        F.month("o_orderdate").cast("bigint").alias("m"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("bigint")
+        .alias("days_since_95"),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle=r"""
+    SELECT doc_id,
+           tok[1]                                   AS first_tok,
+           tok[len(tok)]                            AS last_tok,
+           CAST(len(list_distinct(tok)) AS BIGINT)  AS n_distinct,
+           list_sort(list_distinct(tok))[1]         AS min_tok,
+           CAST(list_contains(tok, 'the') AS BOOLEAN) AS has_the,
+           array_to_string(list_sort(list_distinct(tok))[1:3], ',') AS top3_sorted
+    FROM (
+      SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS tok
+      FROM documents
+    )
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over tokenized documents (explode-free)."""
+    from data_engineering_project_spotify_app_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    distinct_sorted = F.array_sort(F.array_distinct(tok))
+    return d.select(
+        "doc_id",
+        F.element_at(tok, 1).alias("first_tok"),
+        F.element_at(tok, -1).alias("last_tok"),
+        F.size(F.array_distinct(tok)).cast("bigint").alias("n_distinct"),
+        F.element_at(distinct_sorted, 1).alias("min_tok"),
+        F.array_contains(tok, "the").alias("has_the"),
+        F.array_join(F.slice(distinct_sorted, 1, 3), ",").alias("top3_sorted"),
+    )
+
+
+@query(
+    "q_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate + post-aggregation predicate (HAVING)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@query(
+    "q_count_if",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(*) FILTER (WHERE value > 50)  AS n_high,
+           count(*) FILTER (WHERE value <= 50) AS n_low
+    FROM events GROUP BY event_type
+    """,
+)
+def q_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (FILTER clause / count_if)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("value") > 50).alias("n_high"),
+        F.count_if(F.col("value") <= 50).alias("n_low"),
+    )
+
+
+@query(
+    "q_sql_entrypoint",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_customers,
+           round(avg(c.c_acctbal), 4) AS avg_balance
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql entry path: EXISTS subquery + join + agg as raw SQL.
+
+    Same Catalyst plan as the DataFrame form — registered views make the
+    whole fixture catalog SQL-addressable (SURVEY.md §3 entry point 2).
+    """
+    for t in ("customer", "nation", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name, count(*) AS n_customers,
+               round(avg(c.c_acctbal), 4) AS avg_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY n.n_name
+        """
+    )
+
+
+@query(
+    "q_salted_join",
+    oracle="""
+    SELECT s.s_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join: identical semantics to the plain join
+    (the oracle IS the plain join) with the hot-key mitigation built in.
+
+    The supplier key is heavily skewed (few suppliers, ~600k lineitems at
+    sf0.1). Salting: fact rows get a random-ish salt from their own row
+    content (deterministic — crc32 of orderkey), the dim side is
+    replicated once per salt, and the join key becomes (key, salt) so one
+    hot key spreads over SALT_BUCKETS reducers. Two-phase aggregation
+    restores the per-key result. At 100 TB with AQE, prefer
+    spark.sql.adaptive.skewJoin (runtime split); salting is the explicit
+    form for when a single key exceeds even AQE's split ability.
+    """
+    SALT_BUCKETS = 8
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+
+    salted_fact = l.withColumn(
+        "salt", F.pmod(F.crc32(F.col("l_orderkey").cast("string")), F.lit(SALT_BUCKETS))
+    )
+    salted_dim = s.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT_BUCKETS)]))
+    )
+    # phase 1: partial agg per (key, salt) — spreads the hot key
+    partial = (
+        salted_fact.join(
+            salted_dim,
+            (salted_fact.l_suppkey == salted_dim.s_suppkey)
+            & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("s_name", salted_fact.salt)
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev_part"
+            ),
+            F.count("*").alias("n_part"),
+        )
+    )
+    # phase 2: final agg per key
+    return partial.groupBy("s_name").agg(
+        F.round(F.sum("rev_part"), 2).alias("revenue"),
+        F.sum("n_part").alias("n_items"),
+    )
