@@ -1,0 +1,217 @@
+"""Applied similarity + tokenization operators (training-data pipeline).
+
+- q_dedup_embedding: embedding-cosine near-dup pairs — the vector tier
+  of the dedup ladder (exact → Jaccard → MinHash → SimHash → embedding).
+- q_knn_classify:    majority-label kNN over exact cosine — similarity
+  search applied end-to-end (retrieve → vote → predict).
+- q_token_count_bpe: sub-word-ish token counting with a BPE-style
+  pre-tokenizer regex (letters / digits / punctuation runs) — the
+  standard cheap proxy for LLM token budgeting when the real tokenizer
+  can't run engine-side.
+
+All exactly oracle-checked (deterministic arithmetic + identical regex
+semantics in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.operators.similarity import (
+    _as_double,
+    dot,
+)
+from data_engineering_project_spotify_app_spark.tables import table
+
+# Production semantic-dedup uses ~0.95-0.99; the fixture embeddings are
+# random (within-label max cosine ≈ 0.47 at sf0.01), so the declared
+# threshold sits where the driver's check exercises real pairs.
+EMB_DEDUP_THRESHOLD = 0.35
+KNN_K = 5
+N_TEST = 20  # q_knn_classify: vec_id < N_TEST are the "unlabeled" queries
+
+# BPE-style pre-tokenizer: runs of letters, runs of digits, runs of other
+# non-space symbols (the GPT-2 pre-tokenizer's shape, ASCII-simplified).
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {EMB_DEDUP_THRESHOLD}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a shard (label).
+
+    The semantic-dedup tier: two docs whose embeddings' cosine exceed the threshold are
+    duplicates even when their text n-grams differ. Pairs form only
+    within the shard key (label here; domain/cluster id in production) —
+    same O(N²)-avoidance as the Jaccard tier; cross-shard scale path is
+    q_ann_lsh buckets.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double().alias("v")
+    )
+    n = e.select(
+        "vec_id", "label", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    a = n.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .filter(sim >= EMB_DEDUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
+    )
+
+
+@query(
+    "q_knn_classify",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    neigh AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS neighbor_label,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
+      FROM n q JOIN n c ON c.vec_id >= {N_TEST}
+      WHERE q.vec_id < {N_TEST}
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT query_id, true_label, neighbor_label, sim,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+               ) AS rnk
+        FROM neigh
+      ) WHERE rnk <= {KNN_K}
+    ),
+    votes AS (
+      SELECT query_id, true_label, neighbor_label,
+             count(*) AS n_votes, max(sim) AS best_sim
+      FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT query_id, true_label, neighbor_label AS pred_label,
+           n_votes
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY n_votes DESC, best_sim DESC, neighbor_label
+             ) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote classification over exact cosine similarity.
+
+    Retrieval (top-k cosine) → vote aggregation → argmax with a full
+    deterministic tie-break (votes, then best similarity, then label).
+    The retrieval stage is q_cosine_topk's plan shape: broadcast query
+    batch × one corpus scan.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double().alias("v")
+    )
+    n = e.select(
+        "vec_id", "label", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    q = n.filter(F.col("vec_id") < N_TEST).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    corpus = n.filter(F.col("vec_id") >= N_TEST)
+    neigh = F.broadcast(q).join(corpus, F.lit(True)).select(
+        "query_id",
+        "true_label",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4
+        ).alias("sim"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    topk = neigh.withColumn("rnk", F.row_number().over(wk)).filter(
+        F.col("rnk") <= KNN_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count("*").alias("n_votes"), F.max("sim").alias("best_sim")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("best_sim").desc(), "neighbor_label"
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
+@query(
+    "q_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(text, '{BPE_RE}'))) AS BIGINT)
+             AS n_unique_tokens,
+           round(length(text) / (len(regexp_extract_all(text, '{BPE_RE}')) + 1.0), 4)
+             AS chars_per_token
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer counts (LLM token budgeting proxy).
+
+    Splits into letter-runs / digit-runs / symbol-runs — the shape of the
+    GPT-2 pre-tokenizer — entirely with regexp_extract_all (identical
+    regex class semantics in Spark and DuckDB), so counting stays
+    JVM-side at 100 TB.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks: Column = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_unique_tokens"),
+        F.round(F.length("text") / (F.size(toks) + 1.0), 4).alias(
+            "chars_per_token"
+        ),
+    )

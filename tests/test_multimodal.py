@@ -1,0 +1,83 @@
+"""Multimodal plumbing tests: Arrow batch shapes, stub determinism,
+payload pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.operators import registry
+from data_engineering_project_spotify_app_spark.operators.multimodal import (
+    decode_stub,
+    extract_features,
+)
+
+registry.load_all_modules()
+
+
+def test_decode_stub_is_deterministic_for_fake_formats():
+    w1, h1, c1 = decode_stub("fake/img", b"hello world" * 10)
+    w2, h2, c2 = decode_stub("fake/img", b"hello world" * 10)
+    assert (w1, h1, c1) == (w2, h2, c2)
+    assert w1 >= 1 and h1 >= 1
+
+
+def test_decode_stub_rejects_real_formats():
+    with pytest.raises(NotImplementedError) as ei:
+        decode_stub("image/jpeg", b"\xff\xd8\xff")
+    assert "image/jpeg" in str(ei.value)
+
+
+def test_pipeline_features_deterministic_and_typed(spark, sf_dir):
+    df = registry.QUERIES["q_multimodal_features"](spark, sf_dir)
+    assert dict(df.dtypes) == {
+        "doc_id": "bigint",
+        "fmt": "string",
+        "byte_len": "bigint",
+        "width": "int",
+        "height": "int",
+        "checksum": "bigint",
+    }
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in df.collect())
+    assert a == b and len(a) > 0
+    # byte_len must equal the utf-8 length of the source text
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    n_chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    for row in a[:50]:
+        assert row[2] == n_chars[row[0]]  # ascii fixture: chars == bytes
+
+
+def test_binary_payload_survives_roundtrip_and_batches(spark):
+    rows = [(i, "fake/bin", bytes([i % 256]) * (i + 1)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, fmt string, payload binary")
+    out = extract_features(df.repartition(4))
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert len(got) == 300
+    for i in (0, 7, 299):
+        assert got[i]["byte_len"] == i + 1
+        w, h, c = decode_stub("fake/bin", bytes([i % 256]) * (i + 1))
+        assert (got[i]["width"], got[i]["height"], got[i]["checksum"]) == (w, h, c)
+
+
+def test_metadata_query_prunes_payload_column(spark, tmp_path):
+    """A metadata-only query over a multimodal table must not read the
+    payload column from parquet (column pruning at the scan)."""
+    rows = [(i, "fake/bin", b"x" * 1000) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id bigint, fmt string, payload binary")
+    path = str(tmp_path / "mm.parquet")
+    df.write.parquet(path)
+
+    import io, contextlib
+
+    meta_df = spark.read.parquet(path).groupBy("fmt").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        meta_df.explain("formatted")
+    plan = buf.getvalue()
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "payload" not in read_schema

@@ -1,0 +1,103 @@
+"""Custom stateful operator: state must accumulate ACROSS micro-batches."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from data_engineering_project_spotify_app_spark.streaming.stateful import (
+    user_profiles,
+)
+from data_engineering_project_spotify_app_spark.streaming.stream_ops import (
+    stream_events,
+)
+
+
+def _write_batch(d, name, rows):
+    with open(d / name, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _ev(i, user, value):
+    return {
+        "event_id": i,
+        "ts": f"2024-01-01T00:{i % 60:02d}:00.000Z",
+        "user_id": user,
+        "event_type": "click",
+        "value": value,
+        "props": "{}",
+    }
+
+
+def test_state_accumulates_across_batches(spark, tmp_path):
+    d = tmp_path / "stream"
+    d.mkdir()
+    # batch 1 present before the query starts
+    _write_batch(d, "b0.json", [_ev(1, 7, 10.0), _ev(2, 7, 20.0), _ev(3, 8, 5.0)])
+
+    stream = stream_events(spark, str(d), max_files_per_trigger=1)
+    q = (
+        user_profiles(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profiles")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+            for r in spark.sql("SELECT * FROM profiles").collect()
+        }
+        assert first[7] == (2, 30.0, 20.0)
+        assert first[8] == (1, 5.0, 5.0)
+
+        # batch 2 arrives later: state for user 7 must carry over
+        _write_batch(d, "b1.json", [_ev(4, 7, 100.0), _ev(5, 9, 1.0)])
+        time.sleep(0.1)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM profiles").collect()
+        latest = {}
+        for r in rows:  # memory sink appends updates; last write wins
+            latest[r["user_id"]] = (r["n_events"], r["total_value"], r["max_value"])
+        assert latest[7] == (3, 130.0, 100.0)  # 2 prior events + 1 new
+    finally:
+        q.stop()
+
+
+def test_profiles_match_batch_aggregate_at_end(spark, tmp_path):
+    d = tmp_path / "stream2"
+    d.mkdir()
+    rows = [_ev(i, i % 4, float(i)) for i in range(40)]
+    _write_batch(d, "all.json", rows)
+    stream = stream_events(spark, str(d), max_files_per_trigger=10)
+    q = (
+        user_profiles(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profiles2")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: (r["n_events"], r["total_value"], r["max_value"])
+            for r in spark.sql("SELECT * FROM profiles2").collect()
+        }
+    finally:
+        q.stop()
+    import collections
+
+    want = collections.defaultdict(lambda: [0, 0.0, float("-inf")])
+    for r in rows:
+        w = want[r["user_id"]]
+        w[0] += 1
+        w[1] += r["value"]
+        w[2] = max(w[2], r["value"])
+    for u, (n, t, m) in got.items():
+        assert (n, round(t, 2), m) == (
+            want[u][0],
+            round(want[u][1], 2),
+            want[u][2],
+        )
