@@ -1,0 +1,169 @@
+"""IVF-style ANN: coarse quantizer → inverted lists → probed search.
+
+The second scale path for similarity search (alongside the SRP-LSH
+buckets in similarity.py). Classic IVF shape:
+
+1. centroids: K representative vectors. Deterministically chosen here
+   (the K lowest vec_ids) so the operator is exactly oracle-checkable;
+   production would drop in k-means centroids — the query shape is
+   identical.
+2. assign: every vector joins its nearest centroid (broadcast centroids,
+   one corpus scan) → inverted lists.
+3. search: each query probes the NPROBE nearest centroid lists only —
+   candidate set shrinks from N to ≈ N·NPROBE/K.
+
+All vector math is the built-in HOF dot product (JVM-side); a vectorized
+Pandas-UDF alternative lives in functions/vectors.py with an equivalence
+test, for when batched numpy beats codegen (very high dims).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.operators.similarity import (
+    _as_double,
+    dot,
+)
+from data_engineering_project_spotify_app_spark.tables import table
+
+N_CENTROIDS = 8
+NPROBE = 2
+IVF_TOPK = 3
+IVF_QUERIES = 5  # vec_id < 5 are the query set
+
+
+def _norm_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings").select("vec_id", _as_double().alias("v"))
+    return e.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+
+
+_IVF_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    cent AS (
+      SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id < {N_CENTROIDS}
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT n.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 4) DESC,
+                          cent.cid
+               ) AS rn
+        FROM n CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid FROM (
+        SELECT n.vec_id, cent.cid,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 4) DESC,
+                          cent.cid
+               ) AS rn
+        FROM n CROSS JOIN cent
+        WHERE n.vec_id < {IVF_QUERIES}
+      ) WHERE rn <= {NPROBE}
+    ),
+    cands AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS cand_id
+      FROM probes p JOIN assign a ON p.cid = a.cid
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT c.query_id, c.cand_id AS neighbor_id,
+             round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 4) AS sim,
+             CAST(row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 4) DESC,
+                        c.cand_id
+             ) AS BIGINT) AS rnk
+      FROM cands c
+      JOIN n q ON q.vec_id = c.query_id
+      JOIN n x ON x.vec_id = c.cand_id
+    ) WHERE rnk <= {IVF_TOPK}
+    """
+
+
+@query("q_ann_ivf", oracle=_IVF_ORACLE)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probed search: top-k among the NPROBE nearest inverted lists.
+
+    Scale: centroid assignment is one broadcast-join scan (K tiny);
+    the search joins each query only to its probed lists — candidate
+    work is N·NPROBE/K instead of N. Lists are the shuffle key, so a
+    hot list is AQE-splittable. Recall vs brute force is bounded in
+    tests/test_sketches.py-style checks (see tests/test_ivf.py).
+    """
+    n = _norm_frame(spark, sf_dir)
+    cent = (
+        n.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    csim = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4
+    )
+
+    scored = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", csim.alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+    probes = (
+        ranked.filter(
+            (F.col("vec_id") < IVF_QUERIES) & (F.col("rn") <= NPROBE)
+        ).select(F.col("vec_id").alias("query_id"), "cid")
+    )
+
+    cands = (
+        probes.join(assign, "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("cand_id"))
+        .distinct()
+    )
+    qn = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    xn = n.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("v").alias("xv"),
+        F.col("nrm").alias("xnrm"),
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("xv")) / (F.col("qnrm") * F.col("xnrm")), 4
+    )
+    return (
+        cands.join(F.broadcast(qn), "query_id")
+        .join(xn, "cand_id")
+        .select("query_id", F.col("cand_id").alias("neighbor_id"), sim.alias("sim"))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), "neighbor_id"
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= IVF_TOPK)
+    )

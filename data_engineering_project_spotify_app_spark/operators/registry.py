@@ -50,6 +50,7 @@ def load_all_modules() -> None:
         core,
         dedup,
         extras,
+        ivf,
         mlops,
         similarity,
         textops,

@@ -98,3 +98,34 @@ def load_all_entities(
         entity: load_entity(spark, staging_dir, entity, warehouse_dir)
         for entity in ENTITY_SCHEMAS
     }
+
+
+def expire_staging(
+    spark: SparkSession,
+    staging_dir: str,
+    entity: str,
+    ttl_days: int = 7,
+    now=None,
+) -> DataFrame:
+    """S9: staging retention — the GCS lifecycle TTL as an engine pass.
+
+    The reference expires staged objects after ``staging_file_ttl_days``
+    = 7 via a bucket lifecycle rule (terraform/main.tf:50–57,
+    terraform.tfvars:7). File-granular deletes don't map to a columnar
+    engine; the equivalent is a retention *filter* on the staged rows'
+    ingest time. Returns the surviving rows (callers rewrite the staging
+    area, or at scale: drop whole date partitions, which is a metadata
+    operation when staging is partitioned by ingest_date — the reason
+    stage_entity at 100 TB should partitionBy ingest_date).
+    """
+    from pyspark.sql import functions as F  # local to keep module header slim
+
+    df = spark.read.json(f"{staging_dir}/{entity}")
+    now_col = F.lit(now).cast("timestamp") if now else F.current_timestamp()
+    if "ingest_ts" not in df.columns:
+        # legacy staging without the sidecar: everything survives
+        return df
+    return df.filter(
+        F.col("ingest_ts").cast("timestamp")
+        >= F.timestamp_add("DAY", F.lit(-ttl_days), now_col)
+    )

@@ -153,3 +153,25 @@ def test_malformed_row_fails_load_like_bq(spark, tmp_path):
     row = loaded.filter(F.col("id") == "al999").first()
     assert row["total_tracks"] is None  # un-castable → null, schema intact
     assert dict(loaded.dtypes)["total_tracks"] == "bigint"
+
+
+def test_staging_retention_ttl(spark, tmp_path):
+    """S9: rows older than the TTL are expired (main.tf:50-57 parity)."""
+    import json as _json
+
+    d = tmp_path / "staging" / "artists"
+    d.mkdir(parents=True)
+    rows = [
+        {**artist(1), "ingest_ts": "2026-08-01T00:00:00Z"},  # 12 days old
+        {**artist(2), "ingest_ts": "2026-08-12T00:00:00Z"},  # 1 day old
+    ]
+    with open(d / "p.json", "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+    from data_engineering_project_spotify_app_spark.sources.ingest import expire_staging
+
+    kept = expire_staging(
+        spark, str(tmp_path / "staging"), "artists", ttl_days=7,
+        now="2026-08-13T00:00:00",
+    )
+    assert [r["id"] for r in kept.select("id").collect()] == ["ar002"]

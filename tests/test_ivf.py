@@ -1,0 +1,69 @@
+"""IVF ANN: recall vs brute force + Pandas-UDF / HOF math equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.operators import registry
+from data_engineering_project_spotify_app_spark.operators.ivf import IVF_TOPK
+
+registry.load_all_modules()
+
+
+def test_ivf_returns_topk_per_query(spark, sf_dir):
+    rows = registry.QUERIES["q_ann_ivf"](spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for q, rs in per_q.items():
+        assert len(rs) == IVF_TOPK
+        sims = [r["sim"] for r in sorted(rs, key=lambda r: r["rnk"])]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """Probed search must find a decent fraction of the true top-k —
+    and every IVF hit must carry the exact brute-force similarity."""
+    brute = registry.QUERIES["q_cosine_topk"](spark, sf_dir).collect()
+    true_top = {}
+    for r in brute:
+        true_top.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["sim"]
+    ivf = registry.QUERIES["q_ann_ivf"](spark, sf_dir).collect()
+    hits = total = 0
+    for r in ivf:
+        if r["neighbor_id"] in true_top.get(r["query_id"], {}):
+            hits += 1
+            assert true_top[r["query_id"]][r["neighbor_id"]] == r["sim"]
+        total += 1
+    # NPROBE=2 of 8 lists on random data: recall won't be 1.0, but the
+    # probed lists are the *nearest* ones — demand a meaningful overlap
+    assert hits >= total * 0.2, f"IVF found only {hits}/{total} true top-k"
+
+
+def test_pandas_udf_cosine_matches_hof(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.functions.vectors import (
+        cosine_hof,
+        cosine_pandas,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("ida"), F.col("v").alias("va")
+    )
+    b = e.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40)).select(
+        F.col("vec_id").alias("idb"), F.col("v").alias("vb")
+    )
+    pairs = a.crossJoin(b)
+    both = pairs.select(
+        "ida",
+        "idb",
+        F.round(cosine_pandas(F.col("va"), F.col("vb")), 10).alias("arrow"),
+        F.round(cosine_hof(F.col("va"), F.col("vb")), 10).alias("hof"),
+    )
+    bad = both.filter(F.abs(F.col("arrow") - F.col("hof")) > 1e-9).count()
+    assert bad == 0
