@@ -39,6 +39,12 @@ HEADLINE = [
     "q_token_count",
     "q_quality_score",
     "q_lang_id",
+    "q_simhash",
+    "q_dedup_embedding",
+    "q_ann_ivf",
+    "q_knn_classify",
+    "q_salted_join",
+    "q_token_count_bpe",
 ]
 
 

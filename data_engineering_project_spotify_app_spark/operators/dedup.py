@@ -15,10 +15,11 @@ bounded:
 - SimHash:     64-bit fingerprint via per-bit voting — one aggregate,
   no pairwise work at all; near-dups collide on the fingerprint.
 
-Every hash is md5 (identical in Spark and DuckDB), and MinHash minima are
-taken over fixed-length hex strings (lexicographic min == numeric min),
-so even the sketch operators are *exactly* oracle-checkable — no
-rows-only escape hatch needed.
+Every digest is md5 (identical in Spark and DuckDB); MinHash derives its
+K hash functions from ONE md5 per shingle via double hashing
+(a_i*h1 + b_i*h2 mod 2^31-1 — portable integer arithmetic), so even the
+sketch operators are *exactly* oracle-checkable — no rows-only escape
+hatch needed.
 """
 
 from __future__ import annotations
@@ -127,6 +128,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bg").cast("bigint").alias("n"),
         F.explode("bg").alias("shingle"),
     )
+    # materialize the shingle table once for the self-join diamond: both
+    # join sides would otherwise recompute tokenize+shingle (measured
+    # 2.7x). plain persist() does NOT help here — the cache populates
+    # during the same job the join runs in. Tradeoff: checkpointed
+    # partitions are lost on executor failure (job retries from scratch);
+    # at 100 TB land the shingle table to staging parquet instead.
+    sh = sh.localCheckpoint(eager=False)
 
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -152,23 +160,60 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MERSENNE = 2147483647  # 2^31 - 1
+
+
+def _hex2int_sql(col: str, start: int) -> str:
+    """Portable hex→int for an 8-hex-digit slice of an md5 digest.
+
+    Identical text works in Spark SQL and DuckDB (instr/substr/arithmetic
+    only) — the cross-engine replacement for conv(), which DuckDB lacks.
+    """
+    terms = [
+        f"CAST(instr('0123456789abcdef', substr({col}, {start + k}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (7 - k)}"
+        for k in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _minhash_hash_sql(i: int) -> str:
+    """h_i(shingle) = (a_i*h1 + b_i*h2) mod p over ONE md5 per shingle.
+
+    Classic double hashing (Kirsch–Mitzenmacher): the md5 is computed
+    once and 16 independent-enough hash functions are derived with cheap
+    arithmetic — 16x fewer digest computations than md5 per (seed,
+    shingle). a_i odd keeps the map bijective mod 2^31-1.
+    """
+    a, b = 2 * i + 1, 7 * i + 3
+    return f"({a} * h1 + {b} * h2) % {_MERSENNE}"
+
+
 def _minhash_sig_cols() -> list[F.Column]:
-    """K min-hash aggregate expressions over an exploded shingle column."""
+    """K min-hash aggregates over (h1, h2) columns (see _minhash_hash_sql)."""
     return [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        F.expr(f"min({_minhash_hash_sql(i)})").alias(f"h{i}")
         for i in range(N_MINHASH)
     ]
 
 
 def _minhash_sig_sql() -> str:
     return ",\n             ".join(
-        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(N_MINHASH)
+        f"min({_minhash_hash_sql(i)}) AS h{i}" for i in range(N_MINHASH)
     )
+
+
+_H12_SQL = (
+    f"SELECT doc_id, {_hex2int_sql('d', 1)} AS h1, "
+    f"{_hex2int_sql('d', 9)} AS h2 "
+    "FROM (SELECT doc_id, md5(shingle) AS d FROM sh) hashed"
+)
 
 
 def _band_key_sql(b: int) -> str:
     cols = " || '|' || ".join(
-        f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)"
+        for r in range(ROWS_PER_BAND)
     )
     return f"md5({cols})"
 
@@ -180,10 +225,13 @@ _MINHASH_ORACLE = f"""
     sh AS (
       SELECT doc_id, unnest(bg) AS shingle FROM grams WHERE len(bg) > 0
     ),
+    h12 AS (
+      {_H12_SQL}
+    ),
     sig AS (
       SELECT doc_id,
              {_minhash_sig_sql()}
-      FROM sh GROUP BY doc_id
+      FROM h12 GROUP BY doc_id
     ),
     bands AS (
       {" UNION ALL ".join(
@@ -205,9 +253,9 @@ _MINHASH_ORACLE = f"""
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: near-dup candidate pairs, fully deterministic.
 
-    K=16 hash functions h_i(s) = md5('i|' || s); the signature minimum is
-    taken lexicographically over fixed-length hex digests (== numeric min
-    on the first 128 bits), so Spark and the SQL oracle agree bit-for-bit.
+    K=16 hash functions derived from one md5 per shingle by double
+    hashing (see _minhash_hash_sql) — integer minima, bit-identical in
+    Spark and the SQL oracle.
     Bands of 4 rows are hashed to a band key; docs sharing any band key
     are candidates (the classic s-curve: J≈0.5 pairs ~23%, J≈0.9 ~94%).
 
@@ -222,7 +270,13 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = grams.filter(F.size("bg") > 0).select(
         "doc_id", F.explode("bg").alias("shingle")
     )
-    sig = sh.groupBy("doc_id").agg(*_minhash_sig_cols())
+    hashed = sh.select("doc_id", F.md5("shingle").alias("d"))
+    h12 = hashed.select(
+        "doc_id",
+        F.expr(_hex2int_sql("d", 1)).alias("h1"),
+        F.expr(_hex2int_sql("d", 9)).alias("h2"),
+    )
+    sig = h12.groupBy("doc_id").agg(*_minhash_sig_cols())
 
     # bands via ONE explode — a per-band union would recompute the whole
     # signature aggregation once per band (Spark does not share subplans
@@ -233,12 +287,21 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_structs.append(
             F.struct(
                 F.lit(band).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_key"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+                ).alias("band_key"),
             )
         )
     bands = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    # same diamond as the Jaccard self-join: materialize the (tiny) band
+    # table once instead of recomputing the signature aggregation twice
+    bands = bands.localCheckpoint(eager=False)
 
     a, b = bands.alias("a"), bands.alias("b")
     return (
