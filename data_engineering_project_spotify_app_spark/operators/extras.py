@@ -327,3 +327,80 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rev_part"), 2).alias("revenue"),
         F.sum("n_part").alias("n_items"),
     )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (the general form behind rollup/cube)."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT event_type, 'value' AS metric, round(sum(value), 2) AS v
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT event_type, 'count' AS metric, CAST(count(*) AS DOUBLE) AS v
+    FROM events GROUP BY event_type
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-type metrics back to long form via stack."""
+    e = table(spark, sf_dir, "events")
+    wide = e.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("value"),
+        F.count("*").cast("double").alias("count"),
+    )
+    return wide.selectExpr(
+        "event_type",
+        "stack(2, 'value', value, 'count', count) AS (metric, v)",
+    )
+
+
+@query(
+    "q_trailing_30d",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+           ), 2) AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def q_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer trailing-30-day spend.
+
+    Value-based frame (all orders within 30 days), not row-based — both
+    engines compute it over epoch seconds so the frame bounds are
+    identical numerics.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )
