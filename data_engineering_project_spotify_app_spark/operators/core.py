@@ -275,7 +275,9 @@ def q_parent_inject(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         "l_partkey",
         "o_custkey",
-        "o_orderdate",
+        # parquet NTZ inference makes this timestamp_ntz; normalize to the
+        # session-UTC timestamp type the oracle schema declares
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
         "o_orderpriority",
     )
 

@@ -158,7 +158,9 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").cast("bigint").alias("q"),
         F.month("o_orderdate").cast("bigint").alias("m"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .cast("timestamp")
+        .alias("due_date"),
         F.datediff(
             F.col("o_orderdate").cast("date"),
             F.lit("1995-01-01").cast("date"),
@@ -403,4 +405,77 @@ def q_trailing_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("trailing_30d_spend"),
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+    WITH clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+      -- dedup same-user same-instant purchases deterministically
+      SELECT user_id, ts, max(event_id) AS purchase_id
+      FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'purchase')
+      GROUP BY user_id, ts
+    )
+    SELECT c.event_id, c.user_id, p.purchase_id AS asof_purchase_id
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — Spark has no native one; composed via the sorted-merge
+    trick (pyspark guide "common OLAP patterns"): union both sides with a
+    side tag, one partitioned window, last(ignorenulls) carries the most
+    recent right-side key forward. The oracle is DuckDB's NATIVE ASOF
+    JOIN, so the composition is checked against a first-class
+    implementation.
+
+    For each click, the most recent purchase by the same user at or
+    before the click.
+
+    Scale: ONE shuffle (by user), no range-explosion join, state is one
+    row per input row — the merge formulation is how as-of joins stay
+    linear at 100 TB (vs the quadratic naive range join).
+    """
+    e = table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_id"))
+    )
+
+    tagged = purchases.select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("purchase_id"),
+        F.lit(0).alias("side"),  # purchases sort BEFORE clicks at equal ts
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.lit(None).cast("bigint").alias("purchase_id"),
+            F.lit(1).alias("side"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "asof_purchase_id", F.last("purchase_id", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("side") == 1).select(
+        "event_id", "user_id", "asof_purchase_id"
     )

@@ -82,7 +82,7 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        "o_orderdate",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
     )
 
