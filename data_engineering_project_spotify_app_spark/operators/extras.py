@@ -479,3 +479,15 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return carried.filter(F.col("side") == 1).select(
         "event_id", "user_id", "asof_purchase_id"
     )
+
+
+@query("q_approx_quantile")  # no oracle: sketch values are engine-specific
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (KLL-style sketch) — the 100 TB path for
+    q_percentiles: one pass, mergeable, no per-group sort. Error bound vs
+    the exact form is pinned in tests/test_sketches.py."""
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
+    )

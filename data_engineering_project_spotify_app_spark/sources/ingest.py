@@ -129,3 +129,19 @@ def expire_staging(
         F.col("ingest_ts").cast("timestamp")
         >= F.timestamp_add("DAY", F.lit(-ttl_days), now_col)
     )
+
+
+def land_partitioned(
+    df: DataFrame, warehouse_dir: str, name: str, partition_col: str
+) -> str:
+    """Land a table partitioned by a derived date column (100 TB layout).
+
+    The warehouse posture for big fact tables: hive-style
+    ``{name}/{partition_col}=.../part-*.parquet`` so date-range predicates
+    become partition PRUNING (directories never opened) instead of row
+    filtering. tests/test_partition_pruning.py asserts the plan shows
+    PartitionFilters and reads only matching partitions.
+    """
+    target = f"{warehouse_dir}/{name}"
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
+    return target

@@ -14,7 +14,6 @@ import os
 from pyspark.sql import functions as F
 
 from data_engineering_project_spotify_app_spark.schemas import (
-    ALBUMS_SCHEMA,
     ARTISTS_SCHEMA,
     release_date_as_date,
 )

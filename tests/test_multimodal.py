@@ -4,7 +4,6 @@ payload pruning."""
 from __future__ import annotations
 
 import pytest
-from pyspark.sql import functions as F
 
 from data_engineering_project_spotify_app_spark.operators import registry
 from data_engineering_project_spotify_app_spark.operators.multimodal import (

@@ -7,7 +7,6 @@ recall of LSH candidates vs ground truth, fingerprint locality.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
 
 from data_engineering_project_spotify_app_spark.operators import registry
 from data_engineering_project_spotify_app_spark.operators.dedup import (
@@ -127,3 +126,18 @@ def test_cosine_topk_matches_numpy_bruteforce(spark, sf_dir):
         a, b = emb[r["query_id"]], emb[r["neighbor_id"]]
         sim = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(round(sim, 4) - r["sim"]) <= 1e-4
+
+
+def test_approx_quantile_error_bound(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: (r["p50_approx"], r["p95_approx"])
+        for r in registry.QUERIES["q_approx_quantile"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in registry.QUERIES["q_percentiles"](spark, sf_dir).collect()
+    }
+    for flag, (p50a, p95a) in approx.items():
+        p50e, p95e = exact[flag]
+        assert abs(p50a - p50e) / p50e < 0.02
+        assert abs(p95a - p95e) / p95e < 0.02

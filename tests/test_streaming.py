@@ -95,3 +95,55 @@ def test_stage_watch_streams_entity_folder(spark, tmp_path):
         stage_watch(spark, str(tmp_path / "staging"), "artists"), "t_stage"
     )
     assert spark.sql("SELECT count(*) AS n FROM t_stage").first()["n"] == 7
+
+
+def test_stream_stream_attribution_join(spark, tmp_path):
+    """Purchases join prior same-user clicks within the window — and the
+    streaming result equals the equivalent batch join."""
+    from data_engineering_project_spotify_app_spark.streaming.stream_ops import (
+        clicks_to_purchases_join,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2024-01-01T00:{i:02d}:00.000Z",
+                "user_id": i % 3,
+                "event_type": "click" if i % 2 == 0 else "purchase",
+                "value": float(i),
+                "props": "{}",
+            }
+        )
+    path = _drop_events(tmp_path, rows)
+    stream = stream_events(spark, path)
+    run_to_memory_sink(
+        clicks_to_purchases_join(stream, attribution_window="10 minutes"),
+        "t_attr",
+    )
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM t_attr").collect()
+    }
+
+    batch = spark.read.schema(stream.schema).json(path)
+    import pyspark.sql.functions as F
+
+    c = batch.filter(F.col("event_type") == "click").selectExpr(
+        "user_id AS c_user", "event_id AS click_id", "ts AS click_ts"
+    )
+    p = batch.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS p_user", "event_id AS purchase_id", "ts AS purchase_ts"
+    )
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(
+            c,
+            F.expr(
+                "p_user = c_user AND click_ts <= purchase_ts "
+                "AND click_ts >= purchase_ts - INTERVAL 10 minutes"
+            ),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
