@@ -199,3 +199,45 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH shifted AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+               - k.k * INTERVAL '5 minutes' AS window_start
+      FROM events
+      CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS k) k
+    )
+    SELECT window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM shifted
+    GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 batch twin: sliding windows (10-min length, 5-min slide).
+
+    Every event lands in exactly length/slide = 2 overlapping windows;
+    Spark's window() generates them natively, the oracle replays the
+    expansion with an explicit 2-way bucket shift. Streaming lift:
+    the same F.window(ts, "10 minutes", "5 minutes") under a watermark.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
