@@ -243,8 +243,9 @@ def q_nested_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return e.select(
         "event_id",
+        # try_cast: a non-matching row yields '' and ANSI cast('') throws
         F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1)
-        .cast("bigint")
+        .try_cast("bigint")
         .alias("k"),
     )
 
@@ -566,7 +567,9 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("activity")
         .alias("routing"),
         F.coalesce(
-            F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).cast("bigint"),
+            F.regexp_extract(F.col("props"), '"k": ([0-9]+)', 1).try_cast(
+                "bigint"
+            ),
             F.lit(0),
         ).alias("k_or_zero"),
     )

@@ -32,6 +32,24 @@ TABLE_NAMES = (
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Self-configure runtime confs the engine depends on.
+
+    The driver harness calls queries() with ITS OWN SparkSession, which
+    may lack the session.py builder confs; both of these are runtime-
+    settable SQL confs, so set them defensively on every table access:
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS) — the read
+      throws PARQUET_TYPE_ILLEGAL without it;
+    - UTC session timezone: timestamp values must collect identically to
+      the (naive-UTC) DuckDB oracle regardless of host timezone.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down (e.g. spark-connect policy): proceed
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One fixture table as a DataFrame (lazy parquet scan).
 
@@ -43,6 +61,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
