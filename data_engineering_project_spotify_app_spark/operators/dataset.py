@@ -1,0 +1,157 @@
+"""Dataset-construction operators: TF-IDF, sampling, train/test splits.
+
+The remaining staples of a training-data pipeline, all deterministic
+and exactly oracle-checked:
+
+- q_tfidf_topterms: per-document top terms by tf-idf — the classic
+  relevance weighting, computed relationally (no ml-lib state).
+- q_dataset_split: content-hash train/val/test assignment — split
+  membership must be a pure function of the key (stable across runs,
+  machines, and engine versions), never rand().
+- q_stratified_sample: per-stratum deterministic downsampling by hash
+  band — the scalable form of "sample 25% of every language".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_engineering_project_spotify_app_spark.functions.text import TOKENS_SQL, tokens
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table
+
+_TOK = TOKENS_SQL.format(col="text")
+
+TOP_TERMS = 3
+SAMPLE_BAND = 4  # keep hash digits 0-3 of 16 → 25% per stratum
+
+
+@query(
+    "q_tfidf_topterms",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest({_TOK}) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term
+             ) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= {TOP_TERMS}
+    """,
+)
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf.
+
+    Scale: tf is one explode+groupBy (map-side combined); df is a
+    second small aggregate joined back broadcast (vocabulary ≪ corpus);
+    the idf join never shuffles the corpus-side rows by value. The
+    smoothed idf ln((N+1)/(df+1)) keeps everything finite.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = d.count()  # scalar; driver-side by design (one number)
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOP_TERMS)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+# split by the FIRST hex digit of md5(doc_id): 16 bands → 12/2/2
+_SPLIT_CASE_SQL = """
+    CASE
+      WHEN band <= 11 THEN 'train'
+      WHEN band <= 13 THEN 'val'
+      ELSE 'test'
+    END
+    """
+
+
+@query(
+    "q_dataset_split",
+    oracle=f"""
+    SELECT doc_id, lang, split, band FROM (
+      SELECT doc_id, lang,
+             CAST(instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) AS band,
+             {_SPLIT_CASE_SQL.replace('band', "CAST(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)")} AS split
+      FROM documents
+    )
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (12/2/2 of 16 hash bands).
+
+    Membership is a pure function of the key's content hash — the only
+    split discipline that survives re-runs, re-partitioning, engine
+    swaps, and incremental data arrival. Never rand(): a nondeterministic
+    split leaks test data on every recompute.
+    """
+    d = table(spark, sf_dir, "documents")
+    band = F.expr(
+        "CAST(instr('0123456789abcdef', "
+        "substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1 AS BIGINT)"
+    )
+    split = (
+        F.when(F.col("band") <= 11, "train")
+        .when(F.col("band") <= 13, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("doc_id", "lang", band.alias("band"))
+        .select("doc_id", "lang", split.alias("split"), "band")
+    )
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE instr('0123456789abcdef',
+                substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 < {SAMPLE_BAND}
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~25% sample of every language stratum.
+
+    Hash-band filtering (second md5 digit < 4) — reproducible, join-safe
+    (two tables sampled the same way keep matching keys), and pushes as
+    a cheap per-row predicate with zero shuffle. The per-stratum rate is
+    uniform because the hash is independent of the stratum.
+    """
+    d = table(spark, sf_dir, "documents")
+    keep = (
+        F.expr(
+            "instr('0123456789abcdef', "
+            "substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1"
+        )
+        < SAMPLE_BAND
+    )
+    return d.filter(keep).select("doc_id", "lang")

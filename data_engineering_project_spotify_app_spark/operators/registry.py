@@ -48,6 +48,7 @@ def load_all_modules() -> None:
     """Import every operator module so registration side-effects run."""
     from data_engineering_project_spotify_app_spark.operators import (  # noqa: F401
         core,
+        dataset,
         dedup,
         extras,
         ivf,

@@ -1,0 +1,59 @@
+"""Dataset-op properties: split stability/proportions, sample uniformity."""
+
+from __future__ import annotations
+
+from data_engineering_project_spotify_app_spark.operators import registry
+
+registry.load_all_modules()
+
+
+def test_split_is_stable_and_partitioned(spark, sf_dir):
+    a = {r["doc_id"]: r["split"] for r in
+         registry.QUERIES["q_dataset_split"](spark, sf_dir).collect()}
+    b = {r["doc_id"]: r["split"] for r in
+         registry.QUERIES["q_dataset_split"](spark, sf_dir).collect()}
+    assert a == b  # pure function of the key: identical on recompute
+    from collections import Counter
+
+    c = Counter(a.values())
+    n = sum(c.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.6 < c["train"] / n < 0.9     # nominal 12/16 = 0.75
+    assert 0.05 < c["val"] / n < 0.22     # nominal 2/16
+    assert 0.05 < c["test"] / n < 0.22
+
+
+def test_stratified_sample_rate_per_stratum(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    totals = {
+        r["lang"]: r["count"]
+        for r in table(spark, sf_dir, "documents").groupBy("lang").count().collect()
+    }
+    sampled = {}
+    for r in registry.QUERIES["q_stratified_sample"](spark, sf_dir).collect():
+        sampled[r["lang"]] = sampled.get(r["lang"], 0) + 1
+    for lang, total in totals.items():
+        rate = sampled.get(lang, 0) / total
+        assert 0.10 < rate < 0.45, f"{lang}: rate {rate} (nominal 0.25)"
+
+
+def test_tfidf_ranks_rare_terms_over_common(spark):
+    rows = [
+        (1, "apple apple apple common common", "en", "s", 30),
+        (2, "banana common common common", "en", "s", 25),
+        (3, "cherry common", "en", "s", 12),
+    ]
+    import tempfile
+
+    out = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(f"{out}/documents.parquet")
+    top1 = {
+        r["doc_id"]: r["term"]
+        for r in registry.QUERIES["q_tfidf_topterms"](spark, out).collect()
+        if r["rnk"] == 1
+    }
+    # the doc-unique term must out-rank 'common' (df=3) everywhere
+    assert top1 == {1: "apple", 2: "banana", 3: "cherry"}
