@@ -34,7 +34,7 @@ from data_engineering_project_spotify_app_spark.functions.text import (
     word_bigrams,
 )
 from data_engineering_project_spotify_app_spark.operators.registry import query
-from data_engineering_project_spotify_app_spark.tables import table
+from data_engineering_project_spotify_app_spark.tables import table, table_parallel
 
 _TOK = TOKENS_SQL.format(col="text")
 _BIGRAMS = BIGRAMS_SQL.format(tok=_TOK)
@@ -109,7 +109,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, source, shingle) is the shuffle key; per-doc shingles are
     distinct so each common shingle contributes exactly 1 to |A∩B|.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table_parallel(spark, sf_dir, "documents")
     # materialize the token array BEFORE shingling: expression trees that
     # reference tokens() inline would re-run the regex split per
     # element_at call inside the transform lambda (measured 10x slowdown)
@@ -264,7 +264,7 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band_key → doc_id) pairs. No quadratic stage anywhere; bucket skew
     (a degenerate band key) is handled by AQE skew-join at runtime.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.col("text")).alias("tok"))
     grams = toks.select("doc_id", word_bigrams(F.col("tok")).alias("bg"))
     sh = grams.filter(F.size("bg") > 0).select(
@@ -359,7 +359,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded tokens; zero pairwise computation. The standard choice when
     even LSH candidate joins are too hot.
     """
-    d = table(spark, sf_dir, "documents")
+    d = table_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.col("text")).alias("tok_arr")).select(
         "doc_id", F.explode(F.array_distinct(F.col("tok_arr"))).alias("tok")
     )
