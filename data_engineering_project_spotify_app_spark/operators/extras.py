@@ -491,3 +491,65 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"),
         F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_approx"),
     )
+
+
+@query(
+    "q_rank_functions",
+    oracle="""
+    SELECT c_custkey,
+           CAST(rank() OVER w AS BIGINT)        AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT)  AS drnk,
+           round(percent_rank() OVER w, 6)      AS prnk,
+           round(cume_dist() OVER w, 6)         AS cdist
+    FROM customer
+    WINDOW w AS (ORDER BY round(c_acctbal, 2) DESC, c_custkey)
+    """,
+)
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one ordered window.
+
+    Ordering is on the ROUNDED balance so rank ties are identical in
+    both engines regardless of last-ulp double differences.
+    """
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.round("c_acctbal", 2).desc(), "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@query(
+    "q_correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey,
+           round((SELECT max(o.o_totalprice) FROM orders o
+                  WHERE o.o_custkey = c.c_custkey), 2) AS max_order,
+           CAST((SELECT count(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+    FROM customer c
+    """,
+)
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries through the SQL path.
+
+    Catalyst DECORRELATES these into a left outer aggregate-join — the
+    plan a hand-written join would produce; the per-row subquery never
+    executes per-row. The optimizer showcase for SQL users migrating
+    from the reference's BigQuery surface.
+    """
+    for t in ("customer", "orders"):
+        table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c.c_custkey,
+               round((SELECT max(o.o_totalprice) FROM orders o
+                      WHERE o.o_custkey = c.c_custkey), 2) AS max_order,
+               CAST((SELECT count(*) FROM orders o
+                     WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        FROM customer c
+        """
+    )

@@ -79,3 +79,21 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     Spark 3.5+) so each partition ships at most k rows per group."""
     plan = plan_of(spark, sf_dir, "q_topk_per_group")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_aqe_coalesces_shuffle_partitions_at_runtime(spark, sf_dir):
+    """AQE evidence: after execution, the final plan shows AQEShuffleRead
+    (runtime-coalesced partitions) — the knob that replaces the
+    reference's hand-tuned fan-out (SURVEY.md §4 O4/O8)."""
+    df = registry.QUERIES["q_group_count"](spark, sf_dir)
+    df.collect()  # trigger execution so AQE finalizes the plan
+    final_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in final_plan or "AdaptiveSparkPlan" in final_plan
+
+
+def test_correlated_subquery_is_decorrelated(spark, sf_dir):
+    """The correlated scalar subquery must lower to aggregate+join, not a
+    per-row subquery plan."""
+    plan = plan_of(spark, sf_dir, "q_correlated_subquery")
+    assert "Join" in plan, plan
+    assert "HashAggregate" in plan, plan
