@@ -598,3 +598,78 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payload"
         ),
     )
+
+
+@query(
+    "q_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, event_type, round(value, 2) AS value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-wins dedup: one surviving row per key by recency.
+
+    The ingestion staple (CDC compaction, snapshot-from-log): the
+    overwrite-replace of the reference (S7) generalized to incremental
+    feeds. WindowGroupLimit keeps per-partition state at 1 row per key.
+    """
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "event_id", "event_type", F.round("value", 2).alias("value")
+        )
+    )
+
+
+@query(
+    "q_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, round(c_acctbal * 2, 2) AS acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    target AS (
+      SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal FROM customer
+    )
+    SELECT c_custkey, c_name, acctbal, src FROM (
+      SELECT u.*, 'updated' AS src FROM updates u
+      UNION ALL
+      SELECT t.*, 'kept' AS src FROM target t
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = t.c_custkey)
+    )
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation: updates ∪ (target anti-join updates).
+
+    The reference only does full replace (S7 --replace); incremental
+    pipelines need keyed upsert. Without a transactional table format
+    this is the canonical emulation (anti-join + union); on Delta/Iceberg
+    the same logical op is MERGE INTO. The anti-join shuffles only on the
+    key; the updates side broadcasts when small.
+    """
+    c = table(spark, sf_dir, "customer")
+    target = c.select(
+        "c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal")
+    )
+    updates = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_name", F.round(F.col("c_acctbal") * 2, 2).alias("acctbal")
+    )
+    kept = target.join(updates, "c_custkey", "left_anti").withColumn(
+        "src", F.lit("kept")
+    )
+    return updates.withColumn("src", F.lit("updated")).unionByName(kept)
