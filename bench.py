@@ -54,9 +54,20 @@ def main() -> None:
     registry.load_all_modules()
     spark = get_spark(app_name="bench")
 
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not session startup
+    # Warm-up: run the headline set once at sf0.001 (tiny data) so the
+    # timed loop measures steady-state compute, not one-time JVM/codegen
+    # cost. Spark's codegen cache is keyed by generated source, which is
+    # identical across scale factors — so this warms JIT + whole-stage
+    # compilation + the Python/Arrow worker pool, all costs that are
+    # amortized to zero on a long-lived 100 TB cluster but would dominate
+    # sub-second queries here (measured: 2-6x noise on cold first runs).
+    warm_dir = "/root/testdata/sf0.001"
     registry.QUERIES["q_count"](spark, sf_dir).collect()
+    for name in HEADLINE:
+        try:
+            registry.QUERIES[name](spark, warm_dir).count()
+        except Exception:
+            pass  # never let warm-up kill the bench
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -128,30 +128,43 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bg").cast("bigint").alias("n"),
         F.explode("bg").alias("shingle"),
     )
-    # materialize the shingle table once for the self-join diamond: both
-    # join sides would otherwise recompute tokenize+shingle (measured
-    # 2.7x). plain persist() does NOT help here — the cache populates
-    # during the same job the join runs in. Tradeoff: checkpointed
-    # partitions are lost on executor failure (job retries from scratch);
-    # at 100 TB land the shingle table to staging parquet instead.
-    sh = sh.localCheckpoint(eager=False)
-
-    a, b = sh.alias("a"), sh.alias("b")
+    # Candidate pairs by bucket-collect, not a shingle self-join: group on
+    # the (shard, shingle) key, collect the (sorted, hence doc_a < doc_b)
+    # doc list per bucket, and generate the C(k,2) pairs with built-in
+    # array HOFs. Same pairs as the θ-self-join, but ONE shuffle of the
+    # shingle table instead of two join sides, and no recompute diamond
+    # (the round-1 version needed a localCheckpoint to stop the
+    # tokenize→shingle lineage running twice). Per-doc shingles are
+    # distinct, so each bucket contributes exactly 1 to |A∩B|.
+    # Scale: a degenerate bucket (an ultra-common shingle) makes pair-gen
+    # quadratic in ONE task — production caps bucket size (drop shingles
+    # with doc-frequency > cap: they carry no dedup signal); the exact
+    # oracle here forbids that, so the cap is left to the caller.
+    buckets = (
+        sh.groupBy("lang", "source", "shingle")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "n"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), "
+            "y -> struct(x.doc_id AS doc_a, x.n AS na, "
+            "y.doc_id AS doc_b, y.n AS nb))))"
+        )
+    ).alias("pr")
     inter = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(pair)
+        .select("pr.doc_a", "pr.na", "pr.doc_b", "pr.nb")
+        .groupBy("doc_a", "doc_b")
         .agg(
             F.count("*").alias("n_common"),
-            F.first("a.n").alias("na"),
-            F.first("b.n").alias("nb"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
         )
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
@@ -299,21 +312,31 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
-    # same diamond as the Jaccard self-join: materialize the (tiny) band
-    # table once instead of recomputing the signature aggregation twice
-    bands = bands.localCheckpoint(eager=False)
-
-    a, b = bands.alias("a"), bands.alias("b")
+    # Candidate pairs by bucket-collect (see q_dedup_ngram_jaccard): group
+    # on the band key, collect the sorted doc list, generate C(k,2) pairs
+    # with array HOFs. Replaces the round-1 band self-join + its
+    # localCheckpoint diamond — one shuffle of (band_key, doc_id) instead
+    # of two join sides, and the signature aggregation runs exactly once.
+    # Bucket skew (a degenerate band key) serializes one task; at corpus
+    # scale cap bucket size — an over-full LSH bucket means the band is
+    # uninformative, and its pairs re-surface via the other bands.
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                "y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        pairs.select("pr.doc_a", "pr.doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_bands_matched"))
     )
 

@@ -56,39 +56,46 @@ BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within a shard (label).
 
-    The semantic-dedup tier: two docs whose embeddings' cosine exceed the threshold are
-    duplicates even when their text n-grams differ. Pairs form only
-    within the shard key (label here; domain/cluster id in production) —
-    same O(N²)-avoidance as the Jaccard tier; cross-shard scale path is
-    q_ann_lsh buckets.
+    The semantic-dedup tier: two docs whose embeddings' cosine exceed the
+    threshold are duplicates even when their text n-grams differ. Pairs
+    form only within the shard key (label here; domain/cluster id in
+    production) — same O(N²)-avoidance as the Jaccard tier; cross-shard
+    scale path is q_ann_lsh buckets.
+
+    Execution: one Arrow-batched ``applyInPandas`` per shard doing a
+    single numpy GEMM (V·Vᵀ) — the within-shard pairwise stage is dense
+    linear algebra, which BLAS does ~50× faster than per-pair
+    zip_with/aggregate expression trees (round 1: 3.7 s at sf0.1 as an
+    HOF self-join; the exact-HOF twin survives in tests as the
+    cross-check). Shard must fit one executor's memory — that's the
+    contract of the blocking key (sub-shard it if not).
     """
+    import numpy as np
+    import pandas as pd
+
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _as_double().alias("v")
     )
-    n = e.select(
-        "vec_id", "label", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
-    )
-    a = n.select(
-        F.col("label"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = n.select(
-        F.col("label").alias("label_b"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    sim = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (
-        a.join(
-            b,
-            (F.col("label") == F.col("label_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+
+    def shard_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")  # sorted ids ⇒ vec_a < vec_b
+        ids = pdf["vec_id"].to_numpy()
+        V = np.stack(pdf["v"].to_numpy())
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        S = (V @ V.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = S[ia, ib] >= EMB_DEDUP_THRESHOLD
+        ia, ib = ia[keep], ib[keep]
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia],
+                "vec_b": ids[ib],
+                "sim": np.round(S[ia, ib], 4),
+            }
         )
-        .filter(sim >= EMB_DEDUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(sim, 4).alias("sim"))
+
+    return e.groupBy("label").applyInPandas(
+        shard_pairs, schema="vec_a bigint, vec_b bigint, sim double"
     )
 
 
