@@ -1,0 +1,207 @@
+"""Duplicate-cluster construction: connected components over candidate
+pairs, plus the keep-best-per-cluster dedup policy.
+
+Pairwise dedup (q_minhash_lsh, q_dedup_ngram_jaccard) is not enough for
+corpus dedup: near-duplication is transitive in practice (A≈B, B≈C ⇒
+drop two of {A,B,C}), so the unit of deduplication is the *cluster* —
+the connected component of the candidate-pair graph. The reference's
+only dedup is ``set()`` on ids (app.py:164); clusters are the
+100 TB-corpus generalization the north star asks for.
+
+Spark-first design: connected components is an iterative algorithm, so
+it cannot be one Catalyst plan — it is a driver-side loop of DataFrame
+jobs (each iteration fully distributed; the driver only checks an
+aggregate for convergence). The iteration is min-label propagation
+accelerated with pointer doubling: each round a node adopts the minimum
+label among itself, its graph neighbors, AND the node its current label
+points to — so label chains halve every round and convergence is
+O(log n) rounds rather than O(diameter) (the same shortcutting idea as
+the large-star/small-star MapReduce CC algorithm of Kiveris et al.,
+"Connected Components in MapReduce and Beyond"). Each round is one
+shuffle (groupBy node); labels are localCheckpoint'ed per round to keep
+the lineage flat.
+
+Both operators remain *exactly* oracle-checkable — the DuckDB twin
+computes the same components with a recursive CTE (transitive-closure
+min propagation), which terminates because UNION deduplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from data_engineering_project_spotify_app_spark.operators.dedup import (
+    MINHASH_CTES,
+    MINHASH_PAIRS_SQL,
+    minhash_candidate_pairs,
+)
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table
+
+MAX_CC_ROUNDS = 30  # 2^30 ≫ any real component: a convergence-bug guard
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = MAX_CC_ROUNDS
+) -> DataFrame:
+    """Min-label connected components: (node) × (src, dst) → (node, lbl).
+
+    ``nodes`` has one ``node`` column; ``edges`` is undirected input as
+    (src, dst) in either orientation. Returns one row per node with
+    ``lbl`` = min node id of its component.
+
+    Per round, every node takes the min label over {self} ∪ neighbors ∪
+    {current label's node} — the last term is pointer doubling: label
+    indirections collapse by half each round, so rounds = O(log n) even
+    for a path graph. Convergence is detected with sum(lbl): labels only
+    ever decrease, so any change strictly decreases the sum — one cheap
+    aggregate per round instead of an old-vs-new anti-join.
+
+    Scale: each round shuffles (node, candidate_lbl) once on node; the
+    edge table is re-read per round (at 100 TB: land it to parquet once
+    — here it is small by construction, LSH candidates not the corpus).
+    localCheckpoint truncates lineage so round N's plan does not replay
+    rounds 1..N-1; on executor loss the job restarts the round, not the
+    whole loop.
+    """
+    both = edges.select(
+        F.col("src").alias("n"), F.col("dst").alias("m")
+    ).unionByName(edges.select(F.col("dst").alias("n"), F.col("src").alias("m")))
+    labels = nodes.select(F.col("node"), F.col("node").alias("lbl"))
+    labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+
+    for _ in range(max_rounds):
+        # candidate labels flowing INTO each node n this round:
+        #  - its neighbors' current labels (graph edges)
+        #  - the label of the node it currently points to (doubling)
+        nbr = both.join(
+            labels.withColumnRenamed("node", "m"), "m"
+        ).select("n", "lbl")
+        ptr = (
+            labels.filter(F.col("node") != F.col("lbl"))
+            .select(F.col("node").alias("n"), F.col("lbl").alias("mid"))
+            .join(
+                labels.select(
+                    F.col("node").alias("mid"), F.col("lbl").alias("lbl")
+                ),
+                "mid",
+            )
+            .select("n", "lbl")
+        )
+        new_labels = (
+            labels.select(F.col("node").alias("n"), "lbl")
+            .unionByName(nbr)
+            .unionByName(ptr)
+            .groupBy("n")
+            .agg(F.min("lbl").alias("lbl"))
+            .select(F.col("n").alias("node"), "lbl")
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            return labels
+        prev_sum = new_sum
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
+
+
+# Oracle: same components via a recursive CTE — walk(node, lbl) holds
+# every label reachable from node; min per node = component id. UNION
+# (not UNION ALL) deduplicates, so the recursion reaches a fixpoint.
+_CLUSTERS_CTES = f"""{MINHASH_CTES},
+    cand AS (
+      {MINHASH_PAIRS_SQL}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    walk(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.src, w.lbl
+      FROM edges e JOIN walk w ON w.node = e.dst
+    ),
+    cc AS (
+      SELECT node AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY node
+    )"""
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTERS_CTES}
+    SELECT doc_id, cluster_id FROM cc
+    """
+
+
+@query("q_dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components of the MinHash-LSH
+    candidate graph → (doc_id, cluster_id = min doc_id in component).
+
+    Every document appears (singletons label themselves), so downstream
+    keep/drop policies are a join away.
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    pairs = minhash_candidate_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    # materialize the edge list once: the CC loop re-references it every
+    # round, and without this each round would rebuild shingles+bands
+    pairs = pairs.localCheckpoint(eager=True)
+    cc = connected_components(docs, pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+_KEEP_BEST_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTERS_CTES},
+    ranked AS (
+      SELECT cc.cluster_id,
+             d.doc_id,
+             row_number() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY length(d.text) DESC, d.doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY cc.cluster_id) AS n_members
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_id,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("q_dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best-per-cluster dedup policy: one surviving doc per
+    duplicate cluster — the longest text, ties broken by min doc_id.
+
+    Output: (cluster_id, keep_id, n_members). The deduplicated corpus is
+    then ``documents semi-join keep_id`` — one broadcast-able join at any
+    scale, since clusters (not documents) bound the keep list.
+    """
+    cc = q_dedup_clusters(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    joined = cc.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        "cluster_id",
+        "doc_id",
+        F.row_number()
+        .over(w.orderBy(F.col("len").desc(), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_id"),
+        "n_members",
+    )

@@ -231,8 +231,9 @@ def _band_key_sql(b: int) -> str:
     return f"md5({cols})"
 
 
-_MINHASH_ORACLE = f"""
-    WITH grams AS (
+# The minhash CTE chain, reusable by downstream oracles (clusters): ends
+# with `bands` (doc_id, band, band_key).
+MINHASH_CTES = f"""grams AS (
       SELECT doc_id, {_BIGRAMS} AS bg FROM documents
     ),
     sh AS (
@@ -251,20 +252,25 @@ _MINHASH_ORACLE = f"""
         f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS band_key FROM sig"
         for b in range(N_BANDS)
       )}
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    )"""
+
+MINHASH_PAIRS_SQL = """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(*) AS n_bands_matched
     FROM bands a
     JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
-    GROUP BY 1, 2
+    GROUP BY 1, 2"""
+
+_MINHASH_ORACLE = f"""
+    WITH {MINHASH_CTES}
+    {MINHASH_PAIRS_SQL}
     """
 
 
-@query("q_minhash_lsh", oracle=_MINHASH_ORACLE)
-def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding: near-dup candidate pairs, fully deterministic.
+def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs (doc_a, doc_b, n_bands_matched) — the
+    shared building block of q_minhash_lsh and the cluster operators.
 
     K=16 hash functions derived from one md5 per shingle by double
     hashing (see _minhash_hash_sql) — integer minima, bit-identical in
@@ -273,9 +279,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are candidates (the classic s-curve: J≈0.5 pairs ~23%, J≈0.9 ~94%).
 
     Scale: signature build is ONE aggregation over exploded shingles with
-    map-side combine (min is algebraic); the candidate join shuffles only
-    (band_key → doc_id) pairs. No quadratic stage anywhere; bucket skew
-    (a degenerate band key) is handled by AQE skew-join at runtime.
+    map-side combine (min is algebraic); candidates come from a
+    bucket-collect on the band key (one shuffle of (band_key, doc_id)
+    pairs — see the inline comment below). No quadratic stage anywhere
+    except within a bucket, which production caps.
     """
     d = table_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.col("text")).alias("tok"))
@@ -339,6 +346,12 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_bands_matched"))
     )
+
+
+@query("q_minhash_lsh", oracle=_MINHASH_ORACLE)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs (see minhash_candidate_pairs)."""
+    return minhash_candidate_pairs(spark, sf_dir)
 
 
 _HEX = "0123456789abcdef"
