@@ -64,3 +64,52 @@ def write_exactly_once(stream_df: DataFrame, out_dir: str, name: str):
         .foreachBatch(sink)
         .start()
     )
+
+
+class PartitionedEpochParquetSink:
+    """foreachBatch → hive-partitioned parquet warehouse landing.
+
+    Layout: ``{out}/epoch={id}/{col}={val}/part-*.parquet`` — epoch as
+    the OUTER partition level keeps the per-epoch overwrite idempotent
+    (a replayed epoch rewrites only its own directory; committed epochs
+    are skipped via the ``_COMMITTED`` marker), while the inner
+    partition columns give readers partition pruning:
+    ``spark.read.parquet(out)`` discovers both levels, and a filter on
+    the partition column prunes directories before any file is opened.
+
+    This is the format-free shape of "streaming append to a partitioned
+    transactional table": at 100 TB swap the directory-marker commit for
+    a table-format transaction, keep the same foreachBatch body. A plain
+    ``partitionBy(col).mode("append")`` inside foreachBatch would double
+    rows on epoch replay — at-least-once, the reference's semantics
+    (app.py:203-211); the epoch level is exactly what upgrades it.
+    """
+
+    def __init__(self, out_dir: str, partition_cols: list[str]) -> None:
+        self.out_dir = out_dir
+        self.partition_cols = partition_cols
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        target = os.path.join(self.out_dir, f"epoch={epoch_id}")
+        if os.path.exists(os.path.join(target, "_COMMITTED")):
+            return
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy(*self.partition_cols)
+            .parquet(target)
+        )
+        with open(os.path.join(target, "_COMMITTED"), "w") as fh:
+            fh.write("ok\n")
+
+
+def write_partitioned_exactly_once(
+    stream_df: DataFrame, out_dir: str, name: str, partition_cols: list[str]
+):
+    """Attach the partitioned epoch sink; returns the streaming query."""
+    sink = PartitionedEpochParquetSink(out_dir, partition_cols)
+    return (
+        stream_df.writeStream.outputMode("append")
+        .queryName(name)
+        .foreachBatch(sink)
+        .start()
+    )

@@ -78,3 +78,91 @@ def user_profiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# state keeps timestamps as epoch-microsecond longs: scalar, timezone-proof
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def _session_fn(gap_ms: int):
+    def close_sessions(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            # the watermark passed session_end + gap: no event can extend
+            # this session any more — emit it CLOSED and free the state
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.to_datetime(start_us, unit="us")],
+                    "session_end": [pd.to_datetime(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        start_us, end_us, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            us = pdf["ts"].astype("int64") // 1000
+            lo, hi = int(us.min()), int(us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n += len(pdf)
+        if start_us is None:
+            return
+        state.update((start_us, end_us, n))
+        # arm the event-time alarm: fire when watermark > end + gap
+        state.setTimeoutTimestamp(end_us // 1000 + gap_ms)
+
+    return close_sessions
+
+
+def closed_sessions(
+    events: DataFrame, gap_ms: int = SESSION_GAP_MS
+) -> DataFrame:
+    """Custom sessionizer emitting only CLOSED sessions, via event-time
+    timeout — the applyInPandasWithState pattern session_window can't
+    express (it emits on watermark too, but can't run arbitrary
+    per-session logic at close time; this template can score, filter, or
+    side-output the session before emitting).
+
+    A session closes when the watermark passes ``last_event + gap``; the
+    timeout callback emits exactly one row per session and removes the
+    state, so state size tracks *open* sessions only — the bounded-state
+    contract that keeps this runnable on an unbounded stream.
+
+    ``events`` must already carry ``withWatermark("ts", ...)`` —
+    EventTimeTimeout requires it.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_ms),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -178,3 +178,52 @@ def clicks_to_purchases_join(
         ),
         "inner",
     ).select("purchase_id", "click_id", "p_user", "purchase_ts", "amount")
+
+
+def clicks_to_purchases_left_outer(
+    events: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER attribution: every purchase emits, with
+    its click when one exists and NULL click columns when none does.
+
+    The outer side is where streaming joins earn their state semantics: a
+    purchase cannot be declared *unmatched* until the watermark proves no
+    qualifying click can still arrive, so null-padded rows emit only once
+    event time passes ``purchase_ts + watermark`` — and the same horizon
+    is what lets the engine EVICT buffered click/purchase state instead
+    of holding it forever (the unbounded-state OOM that kills naive
+    stream joins at scale). Both sides must be watermarked and the join
+    condition time-bounded or Spark rejects the outer join outright.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user = c_user
+            AND click_ts <= purchase_ts
+            AND click_ts >= purchase_ts - INTERVAL {attribution_window}
+            """
+        ),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "p_user", "purchase_ts", "amount")
