@@ -54,6 +54,7 @@ def load_all_modules() -> None:
         extras,
         ivf,
         mlops,
+        pq,
         similarity,
         textops,
         multimodal,

@@ -241,3 +241,170 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sim"),
         )
     )
+
+
+N_TABLES = 3  # independent hash tables for the multi-table variant
+
+
+def _mt_weight_sql() -> str:
+    """DuckDB expr: ±1 hyperplane weight for (t, p, d) — the table index
+    in the md5 seed makes every table's plane set independent."""
+    md5_arg = (
+        "concat(CAST(t AS VARCHAR), '_', CAST(p AS VARCHAR), "
+        "'_', CAST(d AS VARCHAR))"
+    )
+    return (
+        f"CASE WHEN instr('{_HEX}', substr(md5({md5_arg}), 1, 1)) - 1 >= 8 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+
+
+_MULTITABLE_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    wts AS (
+      SELECT t, p, d, {_mt_weight_sql()} AS w
+      FROM (SELECT unnest(generate_series(0, {N_TABLES - 1})) AS t),
+           (SELECT unnest(generate_series(0, {N_PLANES - 1})) AS p),
+           (SELECT unnest(generate_series(1, {DIM})) AS d)
+    ),
+    proj AS (
+      SELECT e.vec_id, wts.t, wts.p, sum(wts.w * e.v[wts.d]) AS s
+      FROM e CROSS JOIN wts
+      GROUP BY 1, 2, 3
+    ),
+    sig AS (
+      SELECT vec_id, t,
+             string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+               AS bucket
+      FROM proj GROUP BY vec_id, t
+    ),
+    cand AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             count(*) AS n_tables_matched
+      FROM sig a
+      JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT c.vec_a, c.vec_b, c.n_tables_matched,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+    FROM cand c
+    JOIN n a ON a.vec_id = c.vec_a
+    JOIN n b ON b.vec_id = c.vec_b
+    """
+
+
+@query("q_ann_multitable", oracle=_MULTITABLE_ORACLE)
+def q_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table SRP-LSH: union of N_TABLES independent plane sets.
+
+    The recall knob single-table LSH lacks: a true near pair missed by
+    one table's bucketing is caught by another (miss probability decays
+    exponentially in the table count: (1 - p^P)^T), at T× the bucket
+    work. Emits each candidate pair ONCE with how many tables proposed
+    it — n_tables_matched doubles as a cheap confidence score.
+
+    Scale: signatures for all tables are built in ONE aggregation over
+    (vector × table × plane) partial products; candidates come from one
+    bucket-collect per (table, bucket) key; the final exact-cosine pass
+    touches only the distinct candidate set (join back to vectors),
+    which is the part you'd budget at 100 TB — tune T and P so
+    candidates ≪ corpus².
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    tables_ = spark.range(N_TABLES).select(F.col("id").cast("int").alias("t"))
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("d"))
+    wts = tables_.crossJoin(planes).crossJoin(dims).select(
+        "t",
+        "p",
+        "d",
+        F.when(
+            F.expr(
+                f"instr('{_HEX}', substr(md5(concat(CAST(t AS STRING), '_', "
+                "CAST(p AS STRING), '_', CAST(d AS STRING))), 1, 1)) - 1 >= 8"
+            ),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("w"),
+    )
+    proj = (
+        e.crossJoin(F.broadcast(wts))
+        .select(
+            "vec_id",
+            "t",
+            "p",
+            (F.col("w") * F.element_at("v", F.col("d"))).alias("wx"),
+        )
+        .groupBy("vec_id", "t", "p")
+        .agg(F.sum("wx").alias("s"))
+    )
+    sig = proj.groupBy("vec_id", "t").agg(
+        F.concat_ws(
+            "",
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("p"),
+                        F.when(F.col("s") >= 0, "1").otherwise("0").alias(
+                            "bit"
+                        ),
+                    )
+                )
+            ).getField("bit"),
+        ).alias("bucket")
+    )
+    # bucket-collect pair generation per (table, bucket) — same shape as
+    # the dedup LSH path: one shuffle, no self-join diamond
+    buckets = (
+        sig.groupBy("t", "bucket")
+        .agg(F.array_sort(F.collect_list("vec_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS vec_a, y AS vec_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.vec_a", "pr.vec_b")
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count("*").alias("n_tables_matched"))
+    )
+    n = e.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    a = n.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            "n_tables_matched",
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("sim"),
+        )
+    )
