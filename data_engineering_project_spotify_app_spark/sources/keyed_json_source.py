@@ -12,6 +12,15 @@ reads that layout as a proper table:
 - ``reader()``   parses each batch with the declared schema, yielding
   tuples.
 
+All three directions of the format are implemented:
+
+- batch read   (``reader``): batched per-file parsing, see above;
+- batch write  (``writer``): one ``{key}.json`` object per row — the
+  reference's exact staging layout — with write-then-rename atomicity
+  per object, a commit manifest, and abort cleanup;
+- stream read  (``simpleStreamReader``): tail the staging directory as
+  a micro-batch source with an mtime high-water-mark offset.
+
 Registered as the ``keyed_json`` format:
 
     spark.dataSource.register(KeyedJsonDataSource)
@@ -19,6 +28,9 @@ Registered as the ``keyed_json`` format:
           .schema(ARTISTS_SCHEMA)
           .option("path", f"{staging}/artists")
           .load())
+    df.write.format("keyed_json").option("path", out).mode("append").save()
+    s = (spark.readStream.format("keyed_json")
+         .schema(ARTISTS_SCHEMA).option("path", out).load())
 
 Scale note: batch size bounds per-task memory and the partition count
 adapts to the listing — the small-files problem is absorbed at planning
@@ -34,7 +46,10 @@ try:  # Spark 4 Python Data Source API
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceWriter,
         InputPartition,
+        SimpleDataSourceStreamReader,
+        WriterCommitMessage,
     )
 
     _HAS_DATASOURCE_API = True
@@ -45,6 +60,15 @@ except ImportError:  # pragma: no cover - older Spark
         pass
 
     class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceWriter:  # type: ignore[no-redef]
+        pass
+
+    class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
+        pass
+
+    class WriterCommitMessage:  # type: ignore[no-redef]
         pass
 
     class InputPartition:  # type: ignore[no-redef]
@@ -110,6 +134,149 @@ def _conform(value, dtype):
     return str(value)
 
 
+class _WroteFiles(WriterCommitMessage):
+    """Per-task commit message: which keyed files the task wrote."""
+
+    def __init__(self, names: list[str]) -> None:
+        self.names = names
+
+
+class KeyedJsonWriter(DataSourceWriter):
+    """Batch writer producing the reference's exact staging layout: one
+    ``{key}.json`` object per row (app.py:84-92, 204-208).
+
+    The key column names the file, so the write is idempotent per row —
+    a retried task rewrites the same paths instead of duplicating
+    (upgrade over the reference's at-least-once thread pool, which could
+    leave partial alien state; here ``commit`` records the full manifest
+    and ``abort`` can reconcile). No shuffle is imposed: each partition
+    writes its own rows, so upstream partitioning (e.g. by entity or
+    date) carries straight through to file placement.
+    """
+
+    def __init__(self, schema, options, overwrite: bool) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("keyed_json requires .option('path', <dir>)")
+        self._dir = path
+        self._key = options.get("keycolumn", "id")
+        self._field_names = [f.name for f in schema.fields]
+        if self._key not in self._field_names:
+            raise ValueError(
+                f"key column {self._key!r} not in schema {self._field_names}"
+            )
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _WroteFiles:
+        os.makedirs(self._dir, exist_ok=True)
+        names = []
+        for row in iterator:
+            obj = row.asDict(recursive=True)
+            key = obj[self._key]
+            if key is None:
+                raise ValueError("keyed_json cannot write a NULL key row")
+            name = f"{key}.json"
+            # write-then-rename: readers of the directory never observe a
+            # torn object (rename is atomic within a filesystem)
+            tmp = os.path.join(self._dir, f".{name}.tmp")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                json.dump(obj, fh)
+            os.replace(tmp, os.path.join(self._dir, name))
+            names.append(name)
+        return _WroteFiles(names)
+
+    def commit(self, messages) -> None:
+        manifest = sorted(
+            name for msg in messages if msg is not None for name in msg.names
+        )
+        with open(os.path.join(self._dir, "_MANIFEST"), "w") as fh:
+            fh.write("\n".join(manifest) + ("\n" if manifest else ""))
+
+    def abort(self, messages) -> None:
+        # keyed writes are idempotent; a retry overwrites. Remove files
+        # from tasks that DID report, so a failed job leaves no orphans.
+        for msg in messages:
+            if msg is None:
+                continue
+            for name in msg.names:
+                try:
+                    os.remove(os.path.join(self._dir, name))
+                except FileNotFoundError:
+                    pass
+
+
+class KeyedJsonStreamReader(SimpleDataSourceStreamReader):
+    """Streaming reader for the keyed staging layout.
+
+    Progress is tracked with a modification-time high-water mark — the
+    offset is ``{"mtime_ns": N, "at_mark": [names]}``: a micro-batch
+    reads every file strictly newer than the mark plus same-instant
+    files not yet seen (``at_mark`` keeps the offset bounded: only files
+    sharing the max mtime are listed, not the whole history — the same
+    trick as log-structured file sources). Files must be immutable once
+    written (the staging contract: write-then-rename, see
+    KeyedJsonWriter).
+    """
+
+    def __init__(self, schema, options) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("keyed_json requires .option('path', <dir>)")
+        self._dir = path
+        self._schema = schema
+        self._field_names = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"mtime_ns": -1, "at_mark": []}
+
+    def _list_newer(self, offset: dict):
+        mark, at_mark = offset["mtime_ns"], set(offset["at_mark"])
+        out = []
+        if os.path.isdir(self._dir):
+            for name in os.listdir(self._dir):
+                if not name.endswith(".json"):
+                    continue
+                full = os.path.join(self._dir, name)
+                m = os.stat(full).st_mtime_ns
+                if m > mark or (m == mark and name not in at_mark):
+                    out.append((m, name, full))
+        out.sort()
+        return out
+
+    def _rows(self, files):
+        for _, _, full in files:
+            with open(full, encoding="utf-8") as fh:
+                obj = json.load(fh)
+            yield tuple(
+                _conform(obj.get(name), self._schema[name].dataType)
+                for name in self._field_names
+            )
+
+    def read(self, start: dict):
+        files = self._list_newer(start)
+        if not files:
+            return iter(()), start
+        new_mark = files[-1][0]
+        at_mark = [n for m, n, _ in files if m == new_mark] + (
+            start["at_mark"] if new_mark == start["mtime_ns"] else []
+        )
+        end = {"mtime_ns": new_mark, "at_mark": sorted(set(at_mark))}
+        # a LIST iterator, not a generator: the simple-stream runner both
+        # iterates the result (next()) and pickles it into its prefetch
+        # cache — list iterators satisfy both, generators can't pickle
+        return iter(list(self._rows(files))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay for recovery: same listing rule, bounded above by `end`
+        mark, at_mark = end["mtime_ns"], set(end["at_mark"])
+        files = [
+            (m, n, f)
+            for m, n, f in self._list_newer(start)
+            if m < mark or (m == mark and n in at_mark)
+        ]
+        return list(self._rows(files))
+
+
 class KeyedJsonDataSource(DataSource):
     """spark.read.format("keyed_json") — see module docstring."""
 
@@ -124,3 +291,9 @@ class KeyedJsonDataSource(DataSource):
 
     def reader(self, schema) -> KeyedJsonReader:
         return KeyedJsonReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> KeyedJsonWriter:
+        return KeyedJsonWriter(schema, self.options, overwrite)
+
+    def simpleStreamReader(self, schema) -> KeyedJsonStreamReader:
+        return KeyedJsonStreamReader(schema, self.options)

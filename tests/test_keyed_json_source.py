@@ -52,3 +52,91 @@ def test_empty_staging_dir_yields_empty_frame(spark, tmp_path):
         .load()
     )
     assert back.count() == 0
+
+
+def test_writer_produces_exact_keyed_layout(spark, tmp_path):
+    """df.write.format('keyed_json') must land one {id}.json per row —
+    the reference's staging layout — and round-trip through the reader."""
+    import json
+    import os
+
+    rows = [artist(i) for i in range(7)]
+    df = spark.createDataFrame(rows, schema=ARTISTS_SCHEMA)
+    out = str(tmp_path / "keyed_out")
+    spark.dataSource.register(KeyedJsonDataSource)
+    (
+        df.write.format("keyed_json")
+        .option("path", out)
+        .option("keyColumn", "id")
+        .mode("append")
+        .save()
+    )
+    names = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert names == sorted(f"{r['id']}.json" for r in rows)
+    # each file is ONE json object keyed by its id
+    with open(os.path.join(out, names[0])) as fh:
+        obj = json.load(fh)
+    assert obj["id"] == names[0].removesuffix(".json")
+    # commit manifest lists every file
+    with open(os.path.join(out, "_MANIFEST")) as fh:
+        assert sorted(fh.read().split()) == names
+    back = (
+        spark.read.format("keyed_json")
+        .schema(ARTISTS_SCHEMA)
+        .option("path", out)
+        .load()
+    )
+    assert sorted(r["id"] for r in back.collect()) == sorted(
+        r["id"] for r in rows
+    )
+
+
+def test_stream_reader_tails_new_keyed_files(spark, tmp_path):
+    """readStream.format('keyed_json') must pick up newly staged objects
+    exactly once across micro-batches."""
+    import json
+    import os
+    import time
+
+    d = tmp_path / "keyed_stream"
+    d.mkdir()
+
+    def put(i):
+        a = artist(i)
+        tmp = d / f".{a['id']}.json.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(a, fh)
+        os.replace(tmp, d / f"{a['id']}.json")
+
+    for i in range(3):
+        put(i)
+    spark.dataSource.register(KeyedJsonDataSource)
+    stream = (
+        spark.readStream.format("keyed_json")
+        .schema(ARTISTS_SCHEMA)
+        .option("path", str(d))
+        .load()
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("keyed_tail")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = sorted(
+            r["id"] for r in spark.sql("SELECT id FROM keyed_tail").collect()
+        )
+        assert first == [f"ar{i:03d}" for i in range(3)]
+        for i in range(3, 5):
+            put(i)
+        time.sleep(0.05)
+        q.processAllAvailable()
+        got = sorted(
+            r["id"] for r in spark.sql("SELECT id FROM keyed_tail").collect()
+        )
+        # exactly once: no re-reads of the first batch's files
+        assert got == [f"ar{i:03d}" for i in range(5)]
+    finally:
+        q.stop()
