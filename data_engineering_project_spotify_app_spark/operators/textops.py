@@ -174,3 +174,164 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     return d.select("doc_id", F.md5(normalize(F.col("text"))).alias("fingerprint"))
+
+
+# PII patterns, valid with identical semantics in Java regex (Spark) and
+# RE2 (DuckDB): no backreferences, no lookaround, unambiguous quantifiers
+# (Java's leftmost-first and RE2's leftmost-longest agree on these).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 -]{7,}[0-9]"
+
+
+@query(
+    "q_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_IPV4}')) AS BIGINT)
+             AS n_ips,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{PII_IPV4}', '<IP>', 'g'),
+                 '{PII_PHONE}', '<PHONE>', 'g')) AS scrubbed_hash
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and mask emails / IPv4s / phone numbers.
+
+    The mandatory hygiene step before text lands in a training corpus.
+    Pure regexp_replace — stays in codegen at 100 TB; the scrubbed text
+    is emitted as a hash here so the oracle can value-check the exact
+    redaction output without hauling full text through the compare.
+    """
+    d = table(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), 0))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_IPV4), 0))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(PII_PHONE), 0))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+_BIGRAMS_REP = (
+    "CASE WHEN len({tok}) >= 2 THEN "
+    "[{tok}[i] || ' ' || {tok}[i+1] for i in generate_series(1, len({tok}) - 1)] "
+    "ELSE [] END"
+)
+
+
+@query(
+    "q_repetition_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOK} AS tok FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, tok, {_BIGRAMS_REP.format(tok="tok")} AS bg FROM toks
+    ),
+    base AS (
+      SELECT doc_id,
+             CAST(len(tok) AS BIGINT) AS n_tokens,
+             round(CASE WHEN len(tok) > 0
+               THEN 1.0 - len(list_distinct(tok)) * 1.0 / len(tok)
+               ELSE 0.0 END, 4) AS dup_token_ratio,
+             round(CASE WHEN len(bg) > 0
+               THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+               ELSE 0.0 END, 4) AS dup_bigram_ratio
+      FROM grams
+    ),
+    freq AS (
+      SELECT doc_id, max(c) AS top_cnt FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(tok) AS t FROM toks)
+        GROUP BY doc_id, t
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, b.dup_token_ratio, b.dup_bigram_ratio,
+           round(coalesce(f.top_cnt * 1.0 / nullif(b.n_tokens, 0), 0.0), 4)
+             AS top_token_ratio
+    FROM base b LEFT JOIN freq f ON f.doc_id = b.doc_id
+    """,
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    duplicate-token ratio, duplicate-bigram ratio, and the fraction of
+    the doc taken by its single most frequent token.
+
+    High repetition is the classic boilerplate/spam fingerprint — these
+    three ratios are the standard cheap filters applied before any model
+    ever sees the text.
+
+    Scale: the two dup ratios are pure array expressions (no shuffle at
+    all); top_token_ratio is one (doc_id, token) aggregation with
+    map-side combine, joined back per doc — the only shuffle, and it is
+    keyed by doc so it rides the same partitioning as every other
+    per-doc op.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tok"))
+    n = F.size("tok")
+    heads = F.slice(F.col("tok"), 1, F.greatest(n - 1, F.lit(0)))
+    tails = F.slice(F.col("tok"), 2, F.greatest(n - 1, F.lit(0)))
+    bg = F.when(n >= 2, F.zip_with(heads, tails, lambda x, y: F.concat_ws(" ", x, y))).otherwise(
+        F.array().cast("array<string>")
+    )
+    base = toks.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(
+            F.when(
+                n > 0, 1.0 - F.size(F.array_distinct("tok")) / n.cast("double")
+            ).otherwise(0.0),
+            4,
+        ).alias("dup_token_ratio"),
+        F.round(
+            F.when(
+                F.size(bg) > 0,
+                1.0 - F.size(F.array_distinct(bg)) / F.size(bg).cast("double"),
+            ).otherwise(0.0),
+            4,
+        ).alias("dup_bigram_ratio"),
+    )
+    freq = (
+        toks.select("doc_id", F.explode("tok").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    return base.join(freq, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_ratio",
+        "dup_bigram_ratio",
+        F.round(
+            F.coalesce(
+                F.col("top_cnt")
+                / F.nullif(F.col("n_tokens"), F.lit(0)).cast("double"),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("top_token_ratio"),
+    )

@@ -57,3 +57,45 @@ def test_tfidf_ranks_rare_terms_over_common(spark):
     }
     # the doc-unique term must out-rank 'common' (df=3) everywhere
     assert top1 == {1: "apple", 2: "banana", 3: "cherry"}
+
+
+def test_pii_patterns_redact_crafted_text(spark):
+    """The synthetic corpus contains no PII; prove the patterns on
+    crafted rows (both count and masked output)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators.textops import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co or c.d+x@e-f.org, host 10.0.255.1, tel +1 555-867-5309"),
+            (2, "no pii here"),
+        ],
+        "doc_id int, text string",
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)).alias("e"),
+            F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), 0)).alias("i"),
+            F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), 0)).alias("p"),
+            scrub.alias("s"),
+        ).collect()
+    }
+    assert (rows[1]["e"], rows[1]["i"], rows[1]["p"]) == (2, 1, 1)
+    assert rows[1]["s"] == "mail <EMAIL> or <EMAIL>, host <IP>, tel <PHONE>"
+    assert rows[2]["s"] == "no pii here"
