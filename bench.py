@@ -45,6 +45,12 @@ HEADLINE = [
     "q_knn_classify",
     "q_salted_join",
     "q_token_count_bpe",
+    # round 2 additions
+    "q_dedup_clusters",
+    "q_ann_multitable",
+    "q_pq_adc_topk",
+    "q_pii_scrub",
+    "q_repetition_ratio",
 ]
 
 

@@ -46,6 +46,7 @@ try:  # Spark 4 Python Data Source API
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
+        DataSourceStreamWriter,
         DataSourceWriter,
         InputPartition,
         SimpleDataSourceStreamReader,
@@ -63,6 +64,9 @@ except ImportError:  # pragma: no cover - older Spark
         pass
 
     class DataSourceWriter:  # type: ignore[no-redef]
+        pass
+
+    class DataSourceStreamWriter:  # type: ignore[no-redef]
         pass
 
     class SimpleDataSourceStreamReader:  # type: ignore[no-redef]
@@ -205,6 +209,36 @@ class KeyedJsonWriter(DataSourceWriter):
                     pass
 
 
+class KeyedJsonStreamWriter(DataSourceStreamWriter):
+    """Streaming writer: every micro-batch lands/refreshes ``{key}.json``
+    objects in place — the continuously-updated staging directory.
+
+    Exactly-once per key: the filename IS the key, so a replayed batch
+    rewrites the same objects (write-then-rename keeps concurrent readers
+    safe). ``commit`` appends one line per batch to ``_BATCHES`` — the
+    audit trail of which epochs are durable, the streaming twin of the
+    batch writer's ``_MANIFEST``.
+    """
+
+    def __init__(self, schema, options) -> None:
+        self._inner = KeyedJsonWriter(schema, options, overwrite=False)
+        self._dir = self._inner._dir
+
+    def write(self, iterator) -> _WroteFiles:
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        n = sum(len(m.names) for m in messages if m is not None)
+        with open(os.path.join(self._dir, "_BATCHES"), "a") as fh:
+            fh.write(f"{batchId}\t{n}\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        # keyed writes are idempotent: the retried batch rewrites the
+        # same paths, so leave files in place (removing could race the
+        # retry); the batch simply never appears in _BATCHES
+        pass
+
+
 class KeyedJsonStreamReader(SimpleDataSourceStreamReader):
     """Streaming reader for the keyed staging layout.
 
@@ -297,3 +331,6 @@ class KeyedJsonDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> KeyedJsonStreamReader:
         return KeyedJsonStreamReader(schema, self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> KeyedJsonStreamWriter:
+        return KeyedJsonStreamWriter(schema, self.options)

@@ -140,3 +140,49 @@ def test_stream_reader_tails_new_keyed_files(spark, tmp_path):
         assert got == [f"ar{i:03d}" for i in range(5)]
     finally:
         q.stop()
+
+
+def test_stream_writer_lands_keyed_objects_per_batch(spark, tmp_path):
+    """writeStream.format('keyed_json'): file-source events in, one
+    {id}.json per row out, _BATCHES records each committed epoch."""
+    import json
+    import os
+    import time
+
+    src = tmp_path / "sw_src"
+    src.mkdir()
+
+    def put_batch(name, lo, hi):
+        with open(src / name, "w") as fh:
+            for i in range(lo, hi):
+                fh.write(json.dumps(artist(i)) + "\n")
+
+    put_batch("b0.json", 0, 4)
+    spark.dataSource.register(KeyedJsonDataSource)
+    stream = (
+        spark.readStream.schema(ARTISTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out = str(tmp_path / "sw_out")
+    q = (
+        stream.writeStream.format("keyed_json")
+        .option("path", out)
+        .option("keyColumn", "id")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        put_batch("b1.json", 4, 6)
+        time.sleep(0.1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    names = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert names == [f"ar{i:03d}.json" for i in range(6)]
+    with open(os.path.join(out, "_BATCHES")) as fh:
+        batches = [line.split("\t") for line in fh.read().splitlines()]
+    assert len(batches) >= 2  # one commit line per non-empty epoch
+    assert sum(int(n) for _, n in batches) == 6

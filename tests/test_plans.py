@@ -97,3 +97,38 @@ def test_correlated_subquery_is_decorrelated(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_correlated_subquery")
     assert "Join" in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_pq_adc_lut_is_broadcast(spark, sf_dir):
+    """ADC search must broadcast the per-query LUT to the codes, never
+    shuffle the codes to the LUT: the LUT is Q*M*K rows, codes are the
+    corpus."""
+    plan = plan_of(spark, sf_dir, "q_pq_adc_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def _n_ops(plan: str, op: str) -> int:
+    """Count unique operators in a formatted plan (each operator appears
+    twice in explain('formatted'): once in the tree, once in details)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {op}", plan))
+
+
+def test_multitable_lsh_single_signature_aggregation(spark, sf_dir):
+    """All N_TABLES signatures must come from ONE aggregation over the
+    (vector x table x plane) products — a per-table union would rescan
+    and reshuffle the corpus once per table."""
+    plan = plan_of(spark, sf_dir, "q_ann_multitable")
+    # corpus scanned once for signatures + twice for the exact-cosine
+    # join-back (vec_a / vec_b sides)
+    assert _n_ops(plan, "Scan parquet") <= 3, plan
+
+
+def test_repetition_ratio_array_metrics_have_no_extra_shuffle(spark, sf_dir):
+    """The dup ratios are array expressions (no shuffle); allowed
+    exchanges: top-token aggregation pair ((doc_id,t) then doc_id) plus
+    the broadcast of the per-doc top counts back onto the array side."""
+    plan = plan_of(spark, sf_dir, "q_repetition_ratio")
+    assert _n_ops(plan, "Exchange") + _n_ops(plan, "BroadcastExchange") <= 3, plan
