@@ -1,0 +1,123 @@
+"""Sequential-pattern (funnel) analysis over the ``events`` table.
+
+The canonical product-analytics question the landed event stream exists
+to answer: how far does each user get through view → click → purchase,
+and when? This is MATCH_RECOGNIZE-shaped logic that Spark SQL lacks as a
+primitive; the engine expresses it as a *single-shuffle* fold — collect
+each user's (ts, type) events into a sorted array and run the state
+machine with the built-in ``aggregate`` higher-order function, entirely
+inside codegen.
+
+Scale: one groupBy(user_id) shuffle of (ts, type) pairs — the minimum
+any per-user ordering can do; no window sort, no self-joins, no Python.
+The per-user array must fit a task (events-per-user is bounded in any
+real funnel window; at 100 TB you'd bound it with a date filter pushed
+to the scan). The DuckDB oracle expresses the same semantics
+relationally (stage-k time = min event time strictly after stage-k-1) —
+two independent formulations, one answer.
+
+Stage advance is strict (``ts > previous stage ts``): a click in the
+same microsecond as the view does not advance, which makes the fold
+order-independent under timestamp ties and keeps both engines exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table
+
+_STAGES = ("view", "click", "purchase")
+
+
+_FUNNEL_ORACLE = """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    u AS (SELECT DISTINCT user_id FROM e),
+    v AS (
+      SELECT user_id, min(ts) AS tv FROM e
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.tv GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc GROUP BY 1
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN p.tp IS NOT NULL THEN 3
+                     WHEN c.tc IS NOT NULL THEN 2
+                     WHEN v.tv IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS funnel_stage,
+           v.tv AS t_view, c.tc AS t_click, p.tp AS t_purchase
+    FROM u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """
+
+
+@query("q_funnel", oracle=_FUNNEL_ORACLE)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user funnel state: deepest ordered stage reached + entry times.
+
+    funnel_stage ∈ {0..3}: 0 = none of the funnel events in order,
+    1 = viewed, 2 = clicked after viewing, 3 = purchased after clicking.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_STAGES)
+    )
+    evs = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_type"))
+        ).alias("evs")
+    )
+
+    acc0 = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("tv"),
+        F.lit(None).cast("timestamp").alias("tc"),
+        F.lit(None).cast("timestamp").alias("tp"),
+    )
+
+    def step(acc, x):
+        adv_v = (acc["stage"] == 0) & (x["event_type"] == "view")
+        adv_c = (
+            (acc["stage"] == 1)
+            & (x["event_type"] == "click")
+            & (x["ts"] > acc["tv"])
+        )
+        adv_p = (
+            (acc["stage"] == 2)
+            & (x["event_type"] == "purchase")
+            & (x["ts"] > acc["tc"])
+        )
+        return F.struct(
+            F.when(adv_v, 1)
+            .when(adv_c, 2)
+            .when(adv_p, 3)
+            .otherwise(acc["stage"])
+            .alias("stage"),
+            F.when(adv_v, x["ts"]).otherwise(acc["tv"]).alias("tv"),
+            F.when(adv_c, x["ts"]).otherwise(acc["tc"]).alias("tc"),
+            F.when(adv_p, x["ts"]).otherwise(acc["tp"]).alias("tp"),
+        )
+
+    folded = evs.select(
+        "user_id", F.aggregate("evs", acc0, step).alias("f")
+    )
+    return folded.select(
+        "user_id",
+        F.col("f.stage").cast("bigint").alias("funnel_stage"),
+        F.col("f.tv").alias("t_view"),
+        F.col("f.tc").alias("t_click"),
+        F.col("f.tp").alias("t_purchase"),
+    )

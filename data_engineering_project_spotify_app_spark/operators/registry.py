@@ -52,6 +52,7 @@ def load_all_modules() -> None:
         dataset,
         dedup,
         extras,
+        funnel,
         ivf,
         mlops,
         pq,
