@@ -84,6 +84,123 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
     return binary_df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, fmt string, width int, height int, payload binary"
+)
+
+TARGET_W, TARGET_H = 64, 64
+
+
+def resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """Resize one media payload to (w, h) — STUB.
+
+    A real implementation hands the decoded raster to the imaging lib;
+    the deterministic fake keeps the contract (output length is a pure
+    function of target dims) so partition sizing and schema flow are
+    testable: output payload is the input recycled/truncated to w*h
+    bytes.
+    """
+    need = w * h
+    if not payload:
+        return bytes(need)
+    reps = need // len(payload) + 1
+    return (payload * reps)[:need]
+
+
+def resize_batch(binary_df: DataFrame, w: int = TARGET_W, h: int = TARGET_H) -> DataFrame:
+    """mapInPandas resize: every payload normalized to a fixed raster.
+
+    The pre-training normalization step (images to one resolution).
+    Output payloads are constant-size, which is exactly what makes the
+    downstream shuffle/storage planning predictable at 100 TB: rows
+    become fixed-width, so maxPartitionBytes translates directly to
+    rows-per-task.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "fmt": pdf["fmt"],
+                    "width": pd.Series([w] * len(pdf), dtype="int32"),
+                    "height": pd.Series([h] * len(pdf), dtype="int32"),
+                    "payload": [
+                        resize_stub(p, w, h) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, n_frames int, frame_checksum bigint"
+)
+
+FRAME_BYTES = 256
+FRAME_STRIDE = 4
+
+
+def sample_frames(
+    binary_df: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """mapInPandas frame sampling: one input row fans out to one row per
+    sampled frame (every ``stride``-th fixed-size chunk of the payload —
+    the fake stand-in for video frame extraction).
+
+    The shape that matters: mapInPandas emitting MORE rows than it
+    receives, with the payload dropped on output — the video→frames
+    explosion happens inside the stage, and only small typed rows hit
+    the shuffle. At 100 TB the input stays partition-pruned to the
+    payload column's row groups; output cardinality is bounded by
+    len(payload)/frame_bytes/stride per row.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_idx, out_n, out_ck = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = [
+                    payload[i : i + frame_bytes]
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                n = len(frames)
+                for k in range(0, n, stride):
+                    out_doc.append(int(doc_id))
+                    out_idx.append(k)
+                    out_n.append(n)
+                    out_ck.append(sum(frames[k]) + len(frames[k]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out_doc, dtype="int64"),
+                    "frame_idx": pd.Series(out_idx, dtype="int32"),
+                    "n_frames": pd.Series(out_n, dtype="int32"),
+                    "frame_checksum": pd.Series(out_ck, dtype="int64"),
+                }
+            )
+
+    return binary_df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lit("fake/text").alias("fmt"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+
+
+@query("q_multimodal_frames")  # rows-only: mapInPandas fan-out
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over synthesized binary payloads (video stand-in):
+    every 4th 256-byte chunk becomes a typed frame row."""
+    return sample_frames(_payloads(spark, sf_dir))
+
+
 @query("q_multimodal_features")  # rows-only: mapInPandas, not SQL-expressible
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline over synthesized binary payloads.

@@ -80,3 +80,49 @@ def test_metadata_query_prunes_payload_column(spark, tmp_path):
     plan = buf.getvalue()
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "payload" not in read_schema
+
+
+def test_resize_normalizes_every_payload(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.multimodal import (
+        TARGET_H,
+        TARGET_W,
+        _payloads,
+        resize_batch,
+    )
+
+    out = resize_batch(_payloads(spark, sf_dir)).limit(50).collect()
+    assert out
+    for r in out:
+        assert (r["width"], r["height"]) == (TARGET_W, TARGET_H)
+        assert len(r["payload"]) == TARGET_W * TARGET_H
+
+
+def test_frame_sampling_fans_out_deterministically(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.multimodal import (
+        _payloads,
+        sample_frames,
+    )
+
+    stride = 2
+    src = _payloads(spark, sf_dir)
+    # small frames so the short fixture docs produce real fan-out
+    frames = sample_frames(src, frame_bytes=32, stride=stride)
+    rows = frames.collect()
+    n_docs = src.count()
+    assert len(rows) > n_docs  # fan-out: more frame rows than docs
+    # per-doc frame idx sequence matches the stride sampling exactly
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for one in list(by_doc.values())[:20]:
+        n = one[0]["n_frames"]
+        assert sorted(r["frame_idx"] for r in one) == list(
+            range(0, n, stride)
+        )
+    # determinism: same input → same checksums on rerun
+    again = {
+        (r["doc_id"], r["frame_idx"]): r["frame_checksum"]
+        for r in sample_frames(src, frame_bytes=32, stride=stride).collect()
+    }
+    for r in rows:
+        assert again[(r["doc_id"], r["frame_idx"])] == r["frame_checksum"]
