@@ -1,4 +1,4 @@
-"""Sequential-pattern (funnel) analysis over the ``events`` table.
+"""Event analytics over the ``events`` table: funnels and cohorts.
 
 The canonical product-analytics question the landed event stream exists
 to answer: how far does each user get through view → click → purchase,
@@ -120,4 +120,57 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f.tv").alias("t_view"),
         F.col("f.tc").alias("t_click"),
         F.col("f.tp").alias("t_purchase"),
+    )
+
+
+_COHORT_ORACLE = """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    f AS (
+      SELECT user_id, min(ts) AS t0 FROM e GROUP BY 1
+    ),
+    j AS (
+      SELECT e.user_id,
+             CAST(date_trunc('week', f.t0) AS DATE) AS cohort_week,
+             CAST(date_trunc('week', e.ts) AS DATE) AS w
+      FROM e JOIN f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, w) / 7 AS BIGINT)
+             AS week_offset,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM j GROUP BY 1, 2
+    """
+
+
+@query("q_cohort_retention", oracle=_COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-touch week,
+    counted once per (cohort_week, weeks-since-cohort) they were active.
+
+    The classic retention triangle. Both engines truncate weeks to
+    Monday, so cells match exactly.
+
+    Scale: first-touch is a map-side-combined min; the join back is on
+    the same user_id key as the min's shuffle (co-partitioned, no second
+    shuffle of the fact side under AQE); the retention grid itself is
+    tiny (weeks × offsets). Distinct-user counting per cell is the only
+    wide aggregation and it is keyed by the grid cell.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "ts")
+    first = e.groupBy("user_id").agg(F.min("ts").alias("t0"))
+    j = e.join(first, "user_id").select(
+        "user_id",
+        F.to_date(F.date_trunc("week", "t0")).alias("cohort_week"),
+        F.to_date(F.date_trunc("week", "ts")).alias("w"),
+    )
+    return (
+        j.groupBy(
+            "cohort_week",
+            (F.datediff("w", "cohort_week") / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
