@@ -354,6 +354,108 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(spark, sf_dir)
 
 
+_SIG_EQ_SQL = " + ".join(
+    f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_MINHASH)
+)
+
+_JACCARD_EST_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    cand AS (
+      {MINHASH_PAIRS_SQL}
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(({_SIG_EQ_SQL}) / {N_MINHASH}.0, 4) AS j_est
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    """
+
+
+@query("q_minhash_jaccard_est", oracle=_JACCARD_EST_ORACLE)
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated Jaccard for every LSH candidate pair — the sketch's
+    payoff: Pr[min-hash collision] = J, so the fraction of matching
+    signature components is an unbiased J estimate with no shingle
+    re-join.
+
+    At 100 TB this is how candidate pairs get *scored* without touching
+    raw text a second time: the signature table (K ints per doc) is the
+    only input besides the pair list. Estimator std-dev is
+    sqrt(J(1-J)/K) ≈ 0.12 at K=16 — tests bound the error against exact
+    bigram Jaccard.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("tok"))
+    grams = toks.select("doc_id", word_bigrams(F.col("tok")).alias("bg"))
+    sh = grams.filter(F.size("bg") > 0).select(
+        "doc_id", F.explode("bg").alias("shingle")
+    )
+    hashed = sh.select("doc_id", F.md5("shingle").alias("d"))
+    h12 = hashed.select(
+        "doc_id",
+        F.expr(_hex2int_sql("d", 1)).alias("h1"),
+        F.expr(_hex2int_sql("d", 9)).alias("h2"),
+    )
+    sig = h12.groupBy("doc_id").agg(*_minhash_sig_cols())
+    # the signature table feeds three consumers (bands → pairs, and both
+    # sides of the scoring join): materialize it once
+    sig = sig.localCheckpoint(eager=False)
+
+    band_structs = []
+    for band in range(N_BANDS):
+        cols = [f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+                ).alias("band_key"),
+            )
+        )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.band_key")
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.doc_a", "pr.doc_b")
+        .distinct()
+    )
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"ha{i}") for i in range(N_MINHASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"hb{i}") for i in range(N_MINHASH)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"ha{i}") == F.col(f"hb{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(n_eq / float(N_MINHASH), 4).alias("j_est"),
+        )
+    )
+
+
 _HEX = "0123456789abcdef"
 
 
