@@ -53,6 +53,22 @@ def word_bigrams(tok: Column) -> Column:
     )
 
 
+def word_bigrams_multiset(tok: Column) -> Column:
+    """Word-bigram shingles WITHOUT the distinct pass → array<string>.
+
+    For consumers whose aggregate is duplicate-invariant — MinHash takes
+    a min() over shingle hashes, and min over a multiset equals min over
+    its support set — array_distinct is pure cost: measured at half the
+    shingle-path time (interpreted HOF, per-element hash-set) for a 3.6%
+    reduction in shingle count. Jaccard-style set semantics must keep
+    ``word_bigrams``.
+    """
+    n = F.size(tok)
+    heads = F.slice(tok, 1, F.greatest(n - 1, F.lit(0)))
+    tails = F.slice(tok, 2, F.greatest(n - 1, F.lit(0)))
+    return F.zip_with(heads, tails, lambda x, y: F.concat_ws(" ", x, y))
+
+
 # DuckDB twin of word_bigrams() — substitute {tok} (a list expression).
 BIGRAMS_SQL = (
     "CASE WHEN len({tok}) >= 2 THEN "
