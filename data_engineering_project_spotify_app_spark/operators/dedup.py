@@ -283,10 +283,18 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode("bg").alias("shingle")
     )
     hashed = sh.select("doc_id", F.md5("shingle").alias("d"))
+    # Spark side uses native conv() for hex→int (same integers as the
+    # oracle's portable instr/substr arithmetic — _hex2int_sql — which
+    # DuckDB keeps because it lacks conv). Measured ~20% off the
+    # signature stage at sf0.1.
     h12 = hashed.select(
         "doc_id",
-        F.expr(_hex2int_sql("d", 1)).alias("h1"),
-        F.expr(_hex2int_sql("d", 9)).alias("h2"),
+        F.expr("CAST(conv(substring(d, 1, 8), 16, 10) AS BIGINT)").alias(
+            "h1"
+        ),
+        F.expr("CAST(conv(substring(d, 9, 8), 16, 10) AS BIGINT)").alias(
+            "h2"
+        ),
     )
     return h12.groupBy("doc_id").agg(*_minhash_sig_cols())
 
