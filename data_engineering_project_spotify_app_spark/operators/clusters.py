@@ -59,6 +59,22 @@ def connected_components(
     ever decrease, so any change strictly decreases the sum — one cheap
     aggregate per round instead of an old-vs-new anti-join.
 
+    The loop runs ONLY on edge-touched nodes: isolated nodes can never
+    change labels, so they are attached afterwards with one
+    coalesce-left-join. This is the decisive 100 TB property — the
+    iteration's working set scales with the number of *duplicate-pair
+    participants* (dup-rate × corpus), not corpus size; a billion-doc
+    corpus with 2% near-dups loops over ~20M nodes, not 10^9.
+
+    Labels start at min({self} ∪ neighbors) — the first propagation
+    round is folded into initialization (one aggregate over the edge
+    list, no join), which for the star/clique components LSH typically
+    yields converges immediately.
+
+    Per round, graph edges and the current pointer graph (node→lbl) are
+    unioned and joined against labels ONCE — neighbor propagation and
+    pointer doubling in a single shuffle join rather than two.
+
     Scale: each round shuffles (node, candidate_lbl) once on node; the
     edge table is re-read per round (at 100 TB: land it to parquet once
     — here it is small by construction, LSH candidates not the corpus).
@@ -69,32 +85,32 @@ def connected_components(
     both = edges.select(
         F.col("src").alias("n"), F.col("dst").alias("m")
     ).unionByName(edges.select(F.col("dst").alias("n"), F.col("src").alias("m")))
-    labels = nodes.select(F.col("node"), F.col("node").alias("lbl"))
+    # init: lbl(n) = min(n, min neighbor) — round 1 for free, and only
+    # edge-touched nodes enter the loop
+    labels = (
+        both.groupBy("n")
+        .agg(F.least(F.min("m"), F.first("n")).alias("lbl"))
+        .select(F.col("n").alias("node"), "lbl")
+    )
     labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
 
+    converged = False
     for _ in range(max_rounds):
-        # candidate labels flowing INTO each node n this round:
-        #  - its neighbors' current labels (graph edges)
-        #  - the label of the node it currently points to (doubling)
-        nbr = both.join(
-            labels.withColumnRenamed("node", "m"), "m"
-        ).select("n", "lbl")
-        ptr = (
-            labels.filter(F.col("node") != F.col("lbl"))
-            .select(F.col("node").alias("n"), F.col("lbl").alias("mid"))
-            .join(
-                labels.select(
-                    F.col("node").alias("mid"), F.col("lbl").alias("lbl")
-                ),
-                "mid",
-            )
+        # candidate labels flowing INTO each node n this round, via ONE
+        # join: graph edges carry neighbors' labels, pointer edges
+        # (n → lbl(n)) carry lbl(lbl(n)) — the doubling step
+        ptr_edges = labels.filter(F.col("node") != F.col("lbl")).select(
+            F.col("node").alias("n"), F.col("lbl").alias("m")
+        )
+        incoming = (
+            both.unionByName(ptr_edges)
+            .join(labels.withColumnRenamed("node", "m"), "m")
             .select("n", "lbl")
         )
         new_labels = (
             labels.select(F.col("node").alias("n"), "lbl")
-            .unionByName(nbr)
-            .unionByName(ptr)
+            .unionByName(incoming)
             .groupBy("n")
             .agg(F.min("lbl").alias("lbl"))
             .select(F.col("n").alias("node"), "lbl")
@@ -103,10 +119,17 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
-            return labels
+            converged = True
+            break
         prev_sum = new_sum
-    raise RuntimeError(
-        f"connected_components did not converge in {max_rounds} rounds"
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+    # isolated nodes label themselves; the loop's label table is small
+    # (edge-touched nodes only), so this resolves as a broadcast join
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("lbl", "node").alias("lbl")
     )
 
 
