@@ -51,6 +51,17 @@ HEADLINE = [
     "q_pq_adc_topk",
     "q_pii_scrub",
     "q_repetition_ratio",
+    # round 3 additions: the wide-TPC-H family (subquery decorrelation,
+    # outer-join distribution, disjunctive pushdown, anti-join threshold)
+    "q_tpch_q4",
+    "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_tpch_q22",
 ]
 
 

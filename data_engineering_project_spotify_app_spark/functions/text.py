@@ -76,3 +76,37 @@ BIGRAMS_SQL = (
     "for i in generate_series(1, len({tok}) - 1)]) "
     "ELSE [] END"
 )
+
+
+def word_ngrams(tok: Column, n: int) -> Column:
+    """Distinct word n-gram shingles from a token array → array<string>.
+
+    Same constant-reference discipline as ``word_bigrams``: n slices of
+    the (materialized) token array folded with zip_with, never a
+    transform(sequence) + element_at(tok, i) chain — the latter
+    re-evaluates the token expression per element after ProjectCollapsing
+    inlines it.
+    """
+    if n < 2:
+        raise ValueError("n-grams need n >= 2")
+    sz = F.size(tok)
+    m = F.greatest(sz - (n - 1), F.lit(0))
+    grams = F.slice(tok, 1, m)
+    for k in range(2, n + 1):
+        grams = F.zip_with(
+            grams, F.slice(tok, k, m), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.when(sz >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngrams_sql(tok: str, n: int) -> str:
+    """DuckDB twin of word_ngrams() — substitute a list expression."""
+    join = " || ' ' || ".join(f"{tok}[i+{k}]" if k else f"{tok}[i]" for k in range(n))
+    return (
+        f"CASE WHEN len({tok}) >= {n} THEN "
+        f"list_distinct([{join} "
+        f"for i in generate_series(1, len({tok}) - {n - 1})]) "
+        f"ELSE [] END"
+    )

@@ -1,0 +1,284 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The reference's pipeline ends at "land clean entity tables"
+(app.py:201–220); a 100 TB training-data pipeline continues from there:
+remove benchmark contamination, rebalance the source mix, pack documents
+into fixed-budget shards, and surface corpus-level term statistics.
+These are the north-star extensions (BASELINE.json) beyond the
+dedup/similarity ladder in dedup.py / similarity.py — all built-in
+DataFrame ops, all DuckDB-oracled.
+
+Scale posture shared by the module:
+- the eval/benchmark set is small by definition → its shingles
+  broadcast; the corpus side never self-joins;
+- shard packing needs a global order → rangepartitioned sort (Spark
+  samples boundaries), not a single-task window;
+- term statistics are partial-aggregate friendly (explode → groupBy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.functions.text import (
+    TOKENS_SQL,
+    ngrams_sql,
+    tokens,
+    word_ngrams,
+)
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table, table_parallel
+
+_TOK = TOKENS_SQL.format(col="text")
+
+# Every doc_id divisible by EVAL_MOD plays the "held-out benchmark" role:
+# deterministic, engine-independent, and present at every scale factor.
+EVAL_MOD = 50
+NGRAM_N = 4
+SHARD_CHAR_BUDGET = 50_000
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, {ngrams_sql(_TOK, NGRAM_N)} AS g FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, unnest(g) AS shingle FROM grams
+    ),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    )
+    SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
+    FROM sh s
+    JOIN eval_sh e ON s.shingle = e.shingle
+    WHERE s.doc_id % {EVAL_MOD} <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word
+    4-gram with the held-out eval set.
+
+    The standard pre-training hygiene pass (an n-gram-overlap filter):
+    docs that leak eval content are reported with their overlap size so
+    a downstream filter can drop or down-weight them.
+
+    Scale: the eval set is tiny relative to the corpus, so its distinct
+    shingle set builds once and BROADCASTS — the corpus side streams
+    through a broadcast hash join with no shuffle of the exploded
+    shingles. The corpus is tokenized exactly once (eval docs are a
+    filter over the same scan at small SF; at 100 TB the eval set is a
+    separate small table and the corpus scan drops the filter).
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(word_ngrams(tokens(F.col("text")), NGRAM_N)).alias("shingle"),
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") % EVAL_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        # word_ngrams is distinct per doc, so a plain count() would do;
+        # countDistinct stays robust if the shingler ever goes multiset.
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({_TOK})) AS token FROM documents
+    )
+    SELECT token, count(*) AS doc_freq
+    FROM toks
+    GROUP BY token
+    ORDER BY doc_freq DESC, token
+    LIMIT 20
+    """,
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters: top-20 tokens by document frequency.
+
+    The exact form of the frequent-items statistic used to build
+    stopword lists and spot boilerplate contamination. Scale: explode →
+    groupBy is partial-aggregate friendly (map-side combine collapses
+    each task to its distinct tokens before the shuffle); top-20 runs as
+    TakeOrderedAndProject. For a sketched one-pass variant at extreme
+    cardinality, see q_approx_distinct's posture — freqItems/CMS drop
+    the oracle, so the exact form is the registered one.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col("text")))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(20)
+    )
+
+
+@query(
+    "q_pack_shards",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT doc_id, n_chars,
+             sum(n_chars) OVER (ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_chars
+      FROM documents
+    )
+    SELECT CAST((cum_chars - 1) // {SHARD_CHAR_BUDGET} AS BIGINT) AS shard_id,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS shard_chars
+    FROM ordered
+    GROUP BY 1
+    """,
+)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~fixed-character-budget training shards.
+
+    Greedy sequential packing in deterministic doc_id order: shard_id =
+    ceil-division of the running character total. This is how a corpus
+    becomes N roughly-equal tokenizer-ready shards with stable content
+    (same input → same shards, a reproducibility requirement for
+    training runs).
+
+    Scale: the cumulative sum needs a total order — Spark plans a
+    range-partitioned sort (sampled boundaries, parallel), and the
+    running sum inside each range still needs the preceding ranges'
+    totals, so the window over a global ORDER BY coalesces to one
+    partition in vanilla Spark. The two-phase fix at 100 TB: per-range
+    partial sums + broadcast prefix offsets (the scan stays parallel;
+    only the tiny offset table serializes). At bench scale the one-task
+    window is measurably cheaper, so that is what ships; the two-phase
+    variant is tests/test_curation.py::test_pack_shards_two_phase.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.select("doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum_chars"))
+        .select(
+            ((F.col("cum_chars") - 1) / F.lit(SHARD_CHAR_BUDGET))
+            .cast("bigint")
+            .alias("shard_id"),
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+        )
+    )
+
+
+def pack_shards_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of q_pack_shards: prefix sums without a global
+    single-partition window.
+
+    Phase 1 computes per-partition character totals (tiny: one row per
+    partition); phase 2 broadcasts their running offsets back and each
+    partition computes its local cumulative sum independently — the
+    corpus is never shuffled into one task. Partitions are keyed by a
+    range-partitioning of doc_id so the concatenation order is the
+    global doc_id order.
+    """
+    d = table(spark, sf_dir, "documents")
+    ranged = d.repartitionByRange(8, "doc_id").select(
+        "doc_id", "n_chars", F.spark_partition_id().alias("pid")
+    )
+    part_totals = ranged.groupBy("pid").agg(
+        F.sum("n_chars").alias("part_chars"),
+        F.min("doc_id").alias("lo"),
+    )
+    offsets = part_totals.select(
+        "pid",
+        (
+            F.sum("part_chars").over(
+                Window.orderBy("lo").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("offset"),
+    ).fillna(0, subset=["offset"])
+    local_w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.col("offset") + F.sum("n_chars").over(local_w)).alias("cum_chars"),
+        )
+        .select(
+            ((F.col("cum_chars") - 1) / F.lit(SHARD_CHAR_BUDGET))
+            .cast("bigint")
+            .alias("shard_id"),
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+        )
+    )
+
+
+@query(
+    "q_source_weights",
+    oracle="""
+    WITH per_source AS (
+      SELECT lang, source,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, total_chars,
+           round(total_chars / sum(total_chars) OVER (), 6) AS char_share,
+           round((1.0 / count(*) OVER ())
+                 / (total_chars / sum(total_chars) OVER ()), 4) AS mix_weight
+    FROM per_source
+    """,
+)
+def q_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing weights: how much to up/down-sample each
+    (lang, source) stratum to reach a uniform character budget.
+
+    mix_weight > 1 means the stratum is under-represented (sample it
+    more); < 1 over-represented. This is the sampling-weight table a
+    data-mixing stage consumes (cf. q_stratified_sample, which applies
+    per-stratum rates).
+
+    Scale: the corpus collapses to one row per stratum BEFORE any
+    window runs — the empty-frame window (sum OVER ()) executes over
+    #strata rows, which is trivially small at any corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    per_source = d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.partitionBy()
+    share = F.col("total_chars") / F.sum("total_chars").over(w)
+    return per_source.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(share, 6).alias("char_share"),
+        F.round((1.0 / F.count("*").over(w)) / share, 4).alias("mix_weight"),
+    )

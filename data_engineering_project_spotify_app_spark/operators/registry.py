@@ -49,6 +49,7 @@ def load_all_modules() -> None:
     from data_engineering_project_spotify_app_spark.operators import (  # noqa: F401
         clusters,
         core,
+        curation,
         dataset,
         dedup,
         extras,

@@ -1,0 +1,60 @@
+"""Corpus-curation operators: semantics the oracle can't see.
+
+Oracle parity for q_decontaminate / q_heavy_hitters / q_pack_shards /
+q_source_weights runs in test_oracle_parity.py; here we pin down the
+invariants and the scale-path variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.operators import curation
+from tests.conftest import SF_SMOKE
+
+
+def test_decontaminate_excludes_eval_docs(spark):
+    out = curation.q_decontaminate(spark, SF_SMOKE)
+    bad = out.filter(F.col("doc_id") % curation.EVAL_MOD == 0).count()
+    assert bad == 0
+
+
+def test_decontaminate_overlap_is_positive(spark):
+    rows = curation.q_decontaminate(spark, SF_SMOKE).collect()
+    assert rows, "fixture corpus should contain contaminated docs"
+    assert all(r.n_shared >= 1 for r in rows)
+
+
+def test_pack_shards_two_phase_matches_window(spark):
+    """The broadcast-prefix form must equal the single-window form."""
+    a = sorted(
+        tuple(r) for r in curation.q_pack_shards(spark, SF_SMOKE).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in curation.pack_shards_two_phase(spark, SF_SMOKE).collect()
+    )
+    assert a == b
+
+
+def test_pack_shards_budget_respected(spark):
+    rows = curation.q_pack_shards(spark, SF_SMOKE).collect()
+    # Every shard except possibly the last stays within budget + one doc
+    # (greedy packing can overshoot by at most the doc that crosses the
+    # boundary; shards are closed the row they cross it).
+    max_doc = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .agg(F.max("n_chars"))
+        .collect()[0][0]
+    )
+    for r in rows:
+        assert r.shard_chars <= curation.SHARD_CHAR_BUDGET + max_doc
+
+
+def test_source_weights_sum_to_one(spark):
+    rows = curation.q_source_weights(spark, SF_SMOKE).collect()
+    assert abs(sum(r.char_share for r in rows) - 1.0) < 1e-4
+    # uniform target: weight * share == 1/#strata for every stratum
+    n = len(rows)
+    for r in rows:
+        assert abs(r.mix_weight * r.char_share - 1.0 / n) < 1e-3
