@@ -62,6 +62,7 @@ HEADLINE = [
     "q_tpch_q18",
     "q_tpch_q19",
     "q_tpch_q22",
+    "q_ann_ivf_adc",
 ]
 
 

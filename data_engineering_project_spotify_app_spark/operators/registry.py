@@ -55,6 +55,7 @@ def load_all_modules() -> None:
         extras,
         funnel,
         ivf,
+        ivf_adc,
         mlops,
         pq,
         similarity,
