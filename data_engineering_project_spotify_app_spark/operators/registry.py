@@ -58,6 +58,7 @@ def load_all_modules() -> None:
         ivf_adc,
         mlops,
         pq,
+        scale_ops,
         similarity,
         textops,
         multimodal,

@@ -1,0 +1,192 @@
+"""Scale-technique operators: join and layout patterns that only matter
+when the data is big.
+
+Two patterns a 100 TB deployment leans on constantly, each expressed so
+the *technique itself* is the operator under test:
+
+- banded interval join: a |t1 - t2| <= W range join rewritten as an
+  equi-join on time buckets. Spark plans a raw theta join as
+  BroadcastNestedLoopJoin — O(N·M) and a driver OOM on big inputs; the
+  bucket trick turns it into a shuffle hash join with a 3× candidate
+  expansion bound, the standard rewrite until range-join hints exist.
+- Z-order layout: interleave the bits of two clustering dimensions into
+  one sort key so a single file/row-group ordering serves range pruning
+  on BOTH columns (the Delta/Iceberg OPTIMIZE ZORDER layout, computed
+  here with plain bit arithmetic so the oracle can verify it exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table
+
+BAND_SECONDS = 300  # interval half-width: errors within ±5 min of a click
+Z_BITS = 16  # bits kept per dimension in the z-value
+
+
+@query(
+    "q_interval_join",
+    oracle=f"""
+    SELECT c.event_id, count(e.event_id) AS n_nearby_errors
+    FROM events c
+    JOIN events e
+      ON e.event_type = 'error'
+     AND abs(epoch(c.ts) - epoch(e.ts)) <= {BAND_SECONDS}
+    WHERE c.event_type = 'click'
+    GROUP BY c.event_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within ±5 minutes of each click: a banded interval join.
+
+    Each side is bucketed by floor(epoch / W); a pair within W seconds
+    is always within one bucket of each other, so errors are exploded to
+    their bucket ± 1 (3 rows each) and the join becomes a plain
+    equi-join on the bucket key, followed by the exact band predicate.
+
+    Scale: the naive theta join is BroadcastNestedLoopJoin (every click
+    × every error); the bucketed form shuffles both sides on the bucket
+    key — candidate pairs are bounded by bucket co-residents, and a hot
+    bucket is AQE-splittable like any skewed hash join. The 3× explode
+    on the (much smaller) error side is the entire overhead.
+    """
+    ev = table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("double")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", sec.alias("c_sec"), (sec / BAND_SECONDS).cast("bigint").alias("b")
+    )
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select(sec.alias("e_sec"))
+        .select(
+            "e_sec",
+            F.explode(
+                F.array(
+                    (F.col("e_sec") / BAND_SECONDS).cast("bigint") - 1,
+                    (F.col("e_sec") / BAND_SECONDS).cast("bigint"),
+                    (F.col("e_sec") / BAND_SECONDS).cast("bigint") + 1,
+                )
+            ).alias("b"),
+        )
+    )
+    return (
+        clicks.join(errors, "b")
+        .filter(F.abs(F.col("c_sec") - F.col("e_sec")) <= BAND_SECONDS)
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_nearby_errors"))
+    )
+
+
+def _interleave_terms(xcol: str, ycol: str) -> str:
+    """SQL for the bit-interleaved z-value — identical text on both
+    engines (pure BIGINT shifts/masks)."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({xcol} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ycol} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+# Both dimensions are normalized to the full Z_BITS range BEFORE
+# interleaving (rank/min-max scaling, exactly what Delta's OPTIMIZE
+# ZORDER does with range ids): interleaving raw values is broken
+# whenever the dimensions occupy different bit-widths — the wider
+# dimension's high bits dominate every comparison and the curve
+# degenerates to a single-column sort. Integer floor arithmetic keeps
+# both engines bit-identical.
+_ZMAX = (1 << Z_BITS) - 1
+_ZVAL = _interleave_terms("cn", "dn")
+
+_ZORDER_ORACLE = f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(epoch(o_orderdate) / 86400 AS BIGINT) AS day
+      FROM orders
+    ),
+    stats AS (
+      SELECT min(o_custkey) AS cmin, max(o_custkey) AS cmax,
+             min(day) AS dmin, max(day) AS dmax
+      FROM keyed
+    ),
+    norm AS (
+      SELECT o_custkey, day,
+             CAST(floor((o_custkey - cmin) * {_ZMAX} * 1.0
+                        / greatest(cmax - cmin, 1)) AS BIGINT) AS cn,
+             CAST(floor((day - dmin) * {_ZMAX} * 1.0
+                        / greatest(dmax - dmin, 1)) AS BIGINT) AS dn
+      FROM keyed CROSS JOIN stats
+    ),
+    z AS (
+      SELECT o_custkey, day, ({_ZVAL}) AS zval FROM norm
+    )
+    SELECT CAST(zval >> {2 * Z_BITS - 4} AS BIGINT) AS zbucket,
+           count(*) AS n_rows,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           min(day) AS min_day, max(day) AS max_day
+    FROM z
+    GROUP BY 1
+    """
+
+
+@query("q_zorder_layout", oracle=_ZORDER_ORACLE)
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering stats for orders on (o_custkey, order day).
+
+    Computes the min-max-normalized, bit-interleaved z-value and
+    reports, per z-bucket (top 4 bits — the file/row-group unit a
+    writer would sort into), the min/max of BOTH dimensions — exactly
+    the column statistics parquet footers carry. Tight per-bucket
+    ranges on both columns simultaneously are what let a z-ordered
+    layout prune scans for predicates on either column; the test
+    asserts that property against single-column sorts.
+
+    Scale: stats is a 1-row broadcast (a layout job computes it in the
+    same pass that sizes files); the z-value is pure JVM bit arithmetic
+    (codegen); the writer path is ``df.repartitionByRange(N, "zval")
+    .sortWithinPartitions("zval").write...`` — one range shuffle, no
+    skew (normalized z-values spread uniformly when either dimension
+    does).
+    """
+    o = table(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_custkey",
+        (F.col("o_orderdate").cast("timestamp").cast("double") / 86400)
+        .cast("bigint")
+        .alias("day"),
+    )
+    stats = keyed.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min("day").alias("dmin"),
+        F.max("day").alias("dmax"),
+    )
+    norm = keyed.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        "day",
+        F.floor(
+            (F.col("o_custkey") - F.col("cmin"))
+            * _ZMAX
+            / F.greatest(F.col("cmax") - F.col("cmin"), F.lit(1))
+        ).alias("cn"),
+        F.floor(
+            (F.col("day") - F.col("dmin"))
+            * _ZMAX
+            / F.greatest(F.col("dmax") - F.col("dmin"), F.lit(1))
+        ).alias("dn"),
+    )
+    z = norm.select("o_custkey", "day", F.expr(_ZVAL).alias("zval"))
+    return (
+        z.groupBy(
+            F.expr(f"zval >> {2 * Z_BITS - 4}").cast("bigint").alias("zbucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("day").alias("min_day"),
+            F.max("day").alias("max_day"),
+        )
+    )
