@@ -63,6 +63,12 @@ HEADLINE = [
     "q_tpch_q19",
     "q_tpch_q22",
     "q_ann_ivf_adc",
+    "q_tpch_q7",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q16",
+    "q_interval_join",
+    "q_decontaminate",
 ]
 
 
