@@ -271,11 +271,17 @@ _MINHASH_ORACLE = f"""
 
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K=16 min-hash signature per doc — one aggregation over exploded
-    multiset shingles (word_bigrams_multiset: min is duplicate-invariant,
-    so the distinct pass is skipped — measured ~0.5 s/consumer at sf0.1).
+    multiset shingles (min is duplicate-invariant, so no distinct pass —
+    measured ~0.5 s/consumer at sf0.1; see word_bigrams_multiset for the
+    array-form equivalent).
     """
     d = table_parallel(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens(F.col("text")).alias("tok"))
+    # zip_with shingles, NOT posexplode+element_at: the exploded form
+    # carries the whole token array on every shingle row, and with the
+    # md5/conv projection downstream it measured 1.7x SLOWER end-to-end
+    # (isolated explode-and-count benchmarks say the opposite — always
+    # A/B the full pipeline).
     grams = toks.select(
         "doc_id", word_bigrams_multiset(F.col("tok")).alias("bg")
     )
