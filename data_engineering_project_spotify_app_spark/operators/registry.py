@@ -51,6 +51,7 @@ def load_all_modules() -> None:
         core,
         curation,
         dataset,
+        entity,
         dedup,
         extras,
         funnel,
