@@ -132,8 +132,11 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("vec_id").alias("query_id"), "cid")
     )
 
+    # probes is Q·NPROBE rows by construction but sits behind a window
+    # (no stats) — hint the broadcast or assign gets sort-merge-shuffled.
     cands = (
-        probes.join(assign, "cid")
+        F.broadcast(probes)
+        .join(assign, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
         .distinct()

@@ -136,8 +136,12 @@ def q_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ranked.filter(
         (F.col("vec_id") < PQ_QUERIES) & (F.col("rn") <= NPROBE)
     ).select(F.col("vec_id").alias("query_id"), "ccid")
+    # probes is Q·NPROBE rows by construction but sits behind a window,
+    # so the planner has no stats — hint the broadcast explicitly or the
+    # assign side gets sort-merge-shuffled for nothing.
     cands = (
-        probes.join(assign, "ccid")
+        F.broadcast(probes)
+        .join(assign, "ccid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
         .distinct()

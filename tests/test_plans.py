@@ -132,3 +132,43 @@ def test_repetition_ratio_array_metrics_have_no_extra_shuffle(spark, sf_dir):
     the broadcast of the per-doc top counts back onto the array side."""
     plan = plan_of(spark, sf_dir, "q_repetition_ratio")
     assert _n_ops(plan, "Exchange") + _n_ops(plan, "BroadcastExchange") <= 3, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_tpch_q4", "q_tpch_q14", "q_tpch_q19", "q_decontaminate"],
+)
+def test_round3_filters_reach_parquet_scan(spark, sf_dir, name):
+    """New TPC-H/curation queries: selective predicates must hit the scan
+    (Q19's OR-of-ANDs counts via the planner-factored single-side
+    implications)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert pushed_filters(plan), f"{name}: no PushedFilters in scan\n{plan}"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_tpch_q9", "q_tpch_q16", "q_tpch_q18", "q_ann_ivf_adc", "q_fuzzy_match"],
+)
+def test_round3_joins_broadcast_not_shuffle(spark, sf_dir, name):
+    """Small/filtered sides (LIKE-filtered part, HAVING key sets, PQ LUT,
+    name dictionary) must broadcast — none of these queries should
+    shuffle a fact table into a sort-merge join."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+    assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge\n{plan}"
+
+
+def test_q4_exists_lowers_to_left_semi(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_tpch_q4")
+    assert "LeftSemi" in plan, plan
+
+
+def test_q22_not_exists_lowers_to_left_anti(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_tpch_q22")
+    assert "LeftAnti" in plan, plan
+
+
+def test_q10_topk_has_no_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q_tpch_q10")
+    assert "TakeOrderedAndProject" in plan, plan
