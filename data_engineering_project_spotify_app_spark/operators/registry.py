@@ -55,6 +55,7 @@ def load_all_modules() -> None:
         dedup,
         extras,
         funnel,
+        incremental,
         ivf,
         ivf_adc,
         mlops,
