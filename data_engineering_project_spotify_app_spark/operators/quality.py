@@ -1,0 +1,189 @@
+"""Data-quality operators: profiling and constraint validation.
+
+The reference's only validation is runtime guards and BigQuery's
+load-time schema check (SURVEY.md §5); a pipeline landing 100 TB runs
+explicit quality gates instead: per-column profiles (the stats a human
+checks before trusting a table) and declared-constraint violation counts
+(the checks that fail the batch before bad data propagates). Both are
+single-pass aggregates / anti-joins — no new machinery, which is the
+point: quality gates must be cheap enough to run on every load.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table
+
+
+@query(
+    "q_profile",
+    oracle="""
+    SELECT 'o_orderkey' AS col,
+           count(*) AS n_rows,
+           count(o_orderkey) AS n_nonnull,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_num
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*), count(o_totalprice),
+           count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+           count(DISTINCT o_orderpriority), NULL, NULL
+    FROM orders
+    """,
+)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``orders``: rows / non-nulls / distincts /
+    numeric range per column, one output row per column.
+
+    Scale: ONE scan — every per-column statistic is an aggregate over
+    the same pass (Spark computes all of them in a single partial-agg
+    pipeline); the per-column rows are unpivoted from that one result,
+    not one job per column. count(DISTINCT a, b, c) in one aggregate
+    triggers Spark's expand-based rewrite (3× the rows through the
+    shuffle) — acceptable for 3 columns, swap to approx_count_distinct
+    at wider schemas.
+    """
+    o = table(spark, sf_dir, "orders")
+    row = o.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderkey").alias("nn_key"),
+        F.countDistinct("o_orderkey").alias("nd_key"),
+        F.min("o_orderkey").cast("double").alias("min_key"),
+        F.max("o_orderkey").cast("double").alias("max_key"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+    )
+    null_d = F.lit(None).cast("double")
+    return row.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderkey").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_key").alias("n_nonnull"),
+                    F.col("nd_key").alias("n_distinct"),
+                    F.col("min_key").alias("min_num"),
+                    F.col("max_key").alias("max_num"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_price").alias("n_nonnull"),
+                    F.col("nd_price").alias("n_distinct"),
+                    F.col("min_price").alias("min_num"),
+                    F.col("max_price").alias("max_num"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("n_rows"),
+                    F.col("nn_prio").alias("n_nonnull"),
+                    F.col("nd_prio").alias("n_distinct"),
+                    null_d.alias("min_num"),
+                    null_d.alias("max_num"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    SELECT 'lineitem.quantity_in_range' AS check_name,
+           count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50)
+             AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.discount_in_range',
+           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.orphan_custkey',
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    FROM (SELECT 1)
+    UNION ALL
+    SELECT 'lineitem.orphan_orderkey',
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    FROM (SELECT 1)
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation counts: range checks and referential
+    integrity (orphan foreign keys), one row per declared check.
+
+    Scale: range checks are conditional counts inside the table's one
+    scan; orphan checks are left-anti joins against the parent's key
+    column only (broadcast when the parent's keys fit, shuffled
+    otherwise — never a full-row join). A failing gate stops the load
+    before bad rows propagate into downstream tables — the engine-side
+    replacement for the reference's trust-the-API posture.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li_checks = l.agg(
+        F.count(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+        ).alias("qty"),
+        F.count(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            )
+        ).alias("disc"),
+    )
+    orphan_orders = (
+        o.join(
+            c.select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    orphan_lines = (
+        l.join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        li_checks.select(
+            F.lit("lineitem.quantity_in_range").alias("check_name"),
+            F.col("qty").alias("n_violations"),
+        )
+        .unionByName(
+            li_checks.select(
+                F.lit("lineitem.discount_in_range").alias("check_name"),
+                F.col("disc").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            orphan_orders.select(
+                F.lit("orders.orphan_custkey").alias("check_name"),
+                F.col("n").alias("n_violations"),
+            )
+        )
+        .unionByName(
+            orphan_lines.select(
+                F.lit("lineitem.orphan_orderkey").alias("check_name"),
+                F.col("n").alias("n_violations"),
+            )
+        )
+    )

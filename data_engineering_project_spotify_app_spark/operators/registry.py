@@ -60,6 +60,7 @@ def load_all_modules() -> None:
         ivf_adc,
         mlops,
         pq,
+        quality,
         scale_ops,
         similarity,
         textops,
