@@ -187,3 +187,98 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+N_HIST_BUCKETS = 10
+
+
+@query(
+    "q_histogram",
+    oracle=f"""
+    WITH stats AS (
+      SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - lo)
+                            / ((hi - lo) / {N_HIST_BUCKETS}.0)),
+                      {N_HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+           count(*) AS n_rows,
+           round(min(o_totalprice), 2) AS bucket_min,
+           round(max(o_totalprice), 2) AS bucket_max
+    FROM orders CROSS JOIN stats
+    GROUP BY 1
+    """,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: the distribution profile a
+    quality gate compares run-over-run to catch data drift.
+
+    Scale: two passes — a 1-row min/max broadcast, then one scan with a
+    pure-arithmetic bucket expression folded into the groupBy (10
+    groups, map-side combined). The max value lands in the last bucket
+    via the least() clamp; identical float arithmetic on both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / float(N_HIST_BUCKETS)
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width),
+        F.lit(N_HIST_BUCKETS - 1),
+    ).cast("bigint")
+    return (
+        o.crossJoin(F.broadcast(stats))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )
+
+
+@query(
+    "q_schema_evolution_union",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(NULL AS VARCHAR) AS o_orderpriority,
+           'v1' AS source_version
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, CAST(NULL AS DOUBLE), o_orderpriority, 'v2'
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union across schema versions: a v1 load (has price, no priority)
+    and a v2 load (priority added, price dropped) combined by NAME with
+    missing columns null-filled.
+
+    The ingestion reality the reference's fixed bq-load schema papers
+    over: upstream payloads gain and lose fields between loads.
+    ``unionByName(allowMissingColumns=True)`` is the engine primitive —
+    positional UNION would silently misalign columns; the by-name form
+    is order-proof and null-fills exactly like the declared-schema load
+    (SURVEY.md §1.2's lenient-extract / strict-landing contract).
+
+    Scale: a metadata-only operation — no shuffle, each side keeps its
+    scan; the null fill is a constant column.
+    """
+    o = table(spark, sf_dir, "orders")
+    v1 = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("source_version", F.lit("v1"))
+    )
+    v2 = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+        .withColumn("source_version", F.lit("v2"))
+    )
+    return v1.unionByName(v2, allowMissingColumns=True).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        "o_orderpriority",
+        "source_version",
+    )
