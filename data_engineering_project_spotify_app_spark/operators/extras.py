@@ -280,7 +280,9 @@ def q_sql_entrypoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_salted_join",
     oracle="""
     SELECT s.s_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue,
            count(*) AS n_items
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_name
@@ -318,15 +320,20 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s_name", salted_fact.salt)
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "rev_part"
-            ),
+            # DECIMAL partials: the two-phase sum adds in a different
+            # order than the oracle's one-pass sum — a per-supplier
+            # revenue landed on a round-half boundary at sf0.1. Decimal
+            # addition is exact/order-independent (q_tpch_q10 convention).
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (1 - F.col("l_discount").cast("decimal(18,4)"))
+            ).alias("rev_part"),
             F.count("*").alias("n_part"),
         )
     )
     # phase 2: final agg per key
     return partial.groupBy("s_name").agg(
-        F.round(F.sum("rev_part"), 2).alias("revenue"),
+        F.round(F.sum("rev_part"), 2).cast("double").alias("revenue"),
         F.sum("n_part").alias("n_items"),
     )
 

@@ -59,7 +59,7 @@ def dot(a: Column, b: Column) -> Column:
     ),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS sim
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) + 0.0 AS sim
       FROM n q JOIN n c ON c.vec_id <> q.vec_id
       WHERE q.vec_id < {N_QUERIES}
     )
@@ -97,8 +97,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")), 4
+            (
+                F.round(
+                    dot(F.col("qv"), F.col("v"))
+                    / (F.col("qnrm") * F.col("nrm")),
+                    4,
+                )
+                + F.lit(0.0)  # -0.0 → +0.0, see q_ann_lsh
             ).alias("sim"),
         )
     )
@@ -128,7 +133,8 @@ _ANN_ORACLE = f"""
            (SELECT unnest(generate_series(1, {DIM})) AS d)
     ),
     proj AS (
-      SELECT e.vec_id, wts.p, sum(wts.w * e.v[wts.d]) AS s
+      SELECT e.vec_id, wts.p,
+             sum(CAST(wts.w * e.v[wts.d] AS DECIMAL(28,14))) AS s
       FROM e CROSS JOIN wts
       GROUP BY e.vec_id, wts.p
     ),
@@ -142,7 +148,7 @@ _ANN_ORACLE = f"""
       FROM e JOIN sig ON e.vec_id = sig.vec_id
     )
     SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
-           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0 AS sim
     FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     """
 
@@ -187,7 +193,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = (
         e.crossJoin(F.broadcast(wts))
         .select(
-            "vec_id", "p", (F.col("w") * F.element_at("v", F.col("d"))).alias("wx")
+            "vec_id",
+            "p",
+            # DECIMAL-accumulated projection: a float sum's order differs
+            # across engines (and across partitionings), and a projection
+            # landing within an ulp of 0 flips the bucket's sign bit —
+            # observed at sf0.1. Decimal addition is exact, so the sign
+            # is order-independent and bit-identical to the oracle.
+            (F.col("w") * F.element_at("v", F.col("d")))
+            .cast("decimal(28,14)")
+            .alias("wx"),
         )
         .groupBy("vec_id", "p")
         .agg(F.sum("wx").alias("s"))
@@ -236,8 +251,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bucket",
             "vec_a",
             "vec_b",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            (
+                F.round(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")),
+                    4,
+                )
+                # + 0.0 folds IEEE -0.0 to +0.0 (exact for all other
+                # values): engines disagree on the SIGN of a zero-rounded
+                # sim, and stringly row sorts put -0.0 and 0.0 in
+                # different positions — observed at sf0.1.
+                + F.lit(0.0)
             ).alias("sim"),
         )
     )
@@ -270,7 +294,8 @@ _MULTITABLE_ORACLE = f"""
            (SELECT unnest(generate_series(1, {DIM})) AS d)
     ),
     proj AS (
-      SELECT e.vec_id, wts.t, wts.p, sum(wts.w * e.v[wts.d]) AS s
+      SELECT e.vec_id, wts.t, wts.p,
+             sum(CAST(wts.w * e.v[wts.d] AS DECIMAL(28,14))) AS s
       FROM e CROSS JOIN wts
       GROUP BY 1, 2, 3
     ),
@@ -292,7 +317,7 @@ _MULTITABLE_ORACLE = f"""
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
     )
     SELECT c.vec_a, c.vec_b, c.n_tables_matched,
-           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS sim
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0 AS sim
     FROM cand c
     JOIN n a ON a.vec_id = c.vec_a
     JOIN n b ON b.vec_id = c.vec_b
@@ -342,7 +367,10 @@ def q_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "t",
             "p",
-            (F.col("w") * F.element_at("v", F.col("d"))).alias("wx"),
+            # decimal accumulation — see q_ann_lsh's proj comment
+            (F.col("w") * F.element_at("v", F.col("d")))
+            .cast("decimal(28,14)")
+            .alias("wx"),
         )
         .groupBy("vec_id", "t", "p")
         .agg(F.sum("wx").alias("s"))
@@ -403,8 +431,17 @@ def q_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_a",
             "vec_b",
             "n_tables_matched",
-            F.round(
-                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            (
+                F.round(
+                    dot(F.col("va"), F.col("vb"))
+                    / (F.col("na") * F.col("nb")),
+                    4,
+                )
+                # + 0.0 folds IEEE -0.0 to +0.0 (exact for all other
+                # values): engines disagree on the SIGN of a zero-rounded
+                # sim, and stringly row sorts put -0.0 and 0.0 in
+                # different positions — observed at sf0.1.
+                + F.lit(0.0)
             ).alias("sim"),
         )
     )

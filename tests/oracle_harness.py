@@ -31,7 +31,9 @@ def _canon_cell(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # + 0.0 folds IEEE -0.0 to +0.0: -0.0 == 0.0 numerically but
+        # str()s differently, which would split them in the row sort
+        return round(v, 6) + 0.0
     if isinstance(v, (list, tuple)):
         return tuple(_canon_cell(x) for x in v)
     return v
