@@ -134,7 +134,7 @@ _ANN_ORACLE = f"""
     ),
     proj AS (
       SELECT e.vec_id, wts.p,
-             sum(CAST(wts.w * e.v[wts.d] AS DECIMAL(28,14))) AS s
+             sum(CAST(round(wts.w * e.v[wts.d] * 1e14) AS BIGINT)) AS s
       FROM e CROSS JOIN wts
       GROUP BY e.vec_id, wts.p
     ),
@@ -195,13 +195,17 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "p",
-            # DECIMAL-accumulated projection: a float sum's order differs
+            # Scaled-integer projection: a float sum's order differs
             # across engines (and across partitionings), and a projection
             # landing within an ulp of 0 flips the bucket's sign bit —
-            # observed at sf0.1. Decimal addition is exact, so the sign
-            # is order-independent and bit-identical to the oracle.
-            (F.col("w") * F.element_at("v", F.col("d")))
-            .cast("decimal(28,14)")
+            # observed at sf0.1. Each term is rounded to 14 decimal
+            # places and summed as BIGINT: exact, order-independent, and
+            # ~2× faster than DECIMAL accumulation (longs stay in
+            # codegen; Decimal128 does not). No overflow: 64 terms ×
+            # ~1e14 ≪ 2^63. Per-element round is order-free and
+            # HALF_UP-identical in both engines.
+            F.round(F.col("w") * F.element_at("v", F.col("d")) * 1e14, 0)
+            .cast("bigint")
             .alias("wx"),
         )
         .groupBy("vec_id", "p")
@@ -295,7 +299,7 @@ _MULTITABLE_ORACLE = f"""
     ),
     proj AS (
       SELECT e.vec_id, wts.t, wts.p,
-             sum(CAST(wts.w * e.v[wts.d] AS DECIMAL(28,14))) AS s
+             sum(CAST(round(wts.w * e.v[wts.d] * 1e14) AS BIGINT)) AS s
       FROM e CROSS JOIN wts
       GROUP BY 1, 2, 3
     ),
@@ -367,9 +371,9 @@ def q_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             "t",
             "p",
-            # decimal accumulation — see q_ann_lsh's proj comment
-            (F.col("w") * F.element_at("v", F.col("d")))
-            .cast("decimal(28,14)")
+            # scaled-integer accumulation — see q_ann_lsh's proj comment
+            F.round(F.col("w") * F.element_at("v", F.col("d")) * 1e14, 0)
+            .cast("bigint")
             .alias("wx"),
         )
         .groupBy("vec_id", "t", "p")
