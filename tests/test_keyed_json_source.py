@@ -131,13 +131,22 @@ def test_stream_reader_tails_new_keyed_files(spark, tmp_path):
         assert first == [f"ar{i:03d}" for i in range(3)]
         for i in range(3, 5):
             put(i)
-        time.sleep(0.05)
-        q.processAllAvailable()
-        got = sorted(
-            r["id"] for r in spark.sql("SELECT id FROM keyed_tail").collect()
-        )
-        # exactly once: no re-reads of the first batch's files
-        assert got == [f"ar{i:03d}" for i in range(5)]
+        # poll rather than a fixed sleep: under full-suite load one
+        # processAllAvailable can race the source's directory listing
+        want = [f"ar{i:03d}" for i in range(5)]
+        deadline = time.monotonic() + 30
+        got: list = []
+        while time.monotonic() < deadline:
+            q.processAllAvailable()
+            got = sorted(
+                r["id"]
+                for r in spark.sql("SELECT id FROM keyed_tail").collect()
+            )
+            if got == want:
+                break
+            time.sleep(0.2)
+        # exactly once: all five files, no re-reads of the first batch's
+        assert got == want
     finally:
         q.stop()
 
