@@ -190,3 +190,59 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("day").alias("max_day"),
         )
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+        AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+    )
+    """,
+)
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: cheapest-for-their-size —
+    no other part is both no-more-expensive and no-smaller (strictly
+    better in at least one).
+
+    The oracle is the defining NOT EXISTS — an O(N²) self-anti-join.
+    The engine form exploits the 2-D structure instead: per price, only
+    the max-size rows can survive; across prices sorted ascending, a
+    row survives iff its size exceeds the running max size of all
+    strictly cheaper prices. One distinct-price aggregate + one window
+    over #distinct-prices rows — O(N log N), no pairwise stage at all.
+
+    Scale: the price-level table is #distinct-prices rows (bounded,
+    shuffled once); the running max is a window over that small table;
+    candidates join back by price (broadcast). For d > 2 dimensions the
+    sort trick dies — there you partition, take per-block skylines
+    (skyline is distributive over any partition), and finish on the
+    reduced union.
+    """
+    p = table(spark, sf_dir, "part")
+    from pyspark.sql.window import Window
+
+    per_price = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("max_size")
+    )
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    frontier = per_price.select(
+        "price",
+        "max_size",
+        F.max("max_size").over(w).alias("cheaper_max"),
+    ).filter(
+        F.col("cheaper_max").isNull()
+        | (F.col("max_size") > F.col("cheaper_max"))
+    )
+    return (
+        p.join(
+            F.broadcast(frontier),
+            (F.col("p_retailprice") == F.col("price"))
+            & (F.col("p_size") == F.col("max_size")),
+        )
+        .select("p_partkey", "p_name", "p_retailprice", "p_size")
+    )
