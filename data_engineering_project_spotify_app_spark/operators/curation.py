@@ -148,52 +148,31 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pack documents into ~fixed-character-budget training shards.
+    """Pack documents into ~fixed-character-budget training shards —
+    the 100 TB form: prefix sums without a global single-partition
+    window.
 
     Greedy sequential packing in deterministic doc_id order: shard_id =
-    ceil-division of the running character total. This is how a corpus
+    floor-division of the running character total. This is how a corpus
     becomes N roughly-equal tokenizer-ready shards with stable content
     (same input → same shards, a reproducibility requirement for
     training runs).
 
-    Scale: the cumulative sum needs a total order — Spark plans a
-    range-partitioned sort (sampled boundaries, parallel), and the
-    running sum inside each range still needs the preceding ranges'
-    totals, so the window over a global ORDER BY coalesces to one
-    partition in vanilla Spark. The two-phase fix at 100 TB: per-range
-    partial sums + broadcast prefix offsets (the scan stays parallel;
-    only the tiny offset table serializes). At bench scale the one-task
-    window is measurably cheaper, so that is what ships; the two-phase
-    variant is tests/test_curation.py::test_pack_shards_two_phase.
-    """
-    d = table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return (
-        d.select("doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum_chars"))
-        .select(
-            ((F.col("cum_chars") - 1) / F.lit(SHARD_CHAR_BUDGET))
-            .cast("bigint")
-            .alias("shard_id"),
-            "n_chars",
-        )
-        .groupBy("shard_id")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("shard_chars"),
-        )
-    )
+    Scale: a naive `sum OVER (ORDER BY doc_id)` window coalesces the
+    whole corpus into ONE task (Spark global-order windows have no
+    partition key). Here instead: phase 1 computes per-range character
+    totals (tiny: one row per partition); phase 2 broadcasts their
+    running offsets back and each range partition computes its local
+    cumulative sum independently — the corpus is never shuffled into a
+    single task. Ranges come from `repartitionByRange(doc_id)` so the
+    concatenation order is the global doc_id order. The single-window
+    toy form is kept as `pack_shards_single_window` for comparison;
+    equivalence is pinned in tests/test_curation.py.
 
-
-def pack_shards_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of q_pack_shards: prefix sums without a global
-    single-partition window.
-
-    Phase 1 computes per-partition character totals (tiny: one row per
-    partition); phase 2 broadcasts their running offsets back and each
-    partition computes its local cumulative sum independently — the
-    corpus is never shuffled into one task. Partitions are keyed by a
-    range-partitioning of doc_id so the concatenation order is the
-    global doc_id order.
+    Exactness: shard_id uses integer floor semantics (`F.floor`) to
+    match DuckDB's `//` BIGINT floor division — a cast('bigint') on a
+    double quotient truncates toward zero and loses exactness past
+    2^53 cumulative chars.
     """
     d = table(spark, sf_dir, "documents")
     ranged = d.repartitionByRange(8, "doc_id").select(
@@ -224,7 +203,30 @@ def pack_shards_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.sum("n_chars").over(local_w)).alias("cum_chars"),
         )
         .select(
-            ((F.col("cum_chars") - 1) / F.lit(SHARD_CHAR_BUDGET))
+            F.floor((F.col("cum_chars") - 1) / F.lit(SHARD_CHAR_BUDGET))
+            .cast("bigint")
+            .alias("shard_id"),
+            "n_chars",
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+        )
+    )
+
+
+def pack_shards_single_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The toy form of q_pack_shards: one global-order running-sum
+    window. Spark plans this as a SINGLE task holding the whole corpus
+    — fine at bench scale, wrong at 100 TB. Kept only as the
+    equivalence witness for the registered two-phase plan."""
+    d = table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.select("doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum_chars"))
+        .select(
+            F.floor((F.col("cum_chars") - 1) / F.lit(SHARD_CHAR_BUDGET))
             .cast("bigint")
             .alias("shard_id"),
             "n_chars",

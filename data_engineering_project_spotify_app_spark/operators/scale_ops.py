@@ -55,20 +55,22 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = table(spark, sf_dir, "events")
     sec = F.col("ts").cast("double")
+    # F.floor, not cast('bigint'): truncation != floor for negative epoch
+    # seconds (pre-1970 ts), which would put near-boundary pairs in
+    # non-adjacent buckets and miss them vs the exact abs() predicate.
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "event_id", sec.alias("c_sec"), (sec / BAND_SECONDS).cast("bigint").alias("b")
+        "event_id",
+        sec.alias("c_sec"),
+        F.floor(sec / BAND_SECONDS).cast("bigint").alias("b"),
     )
+    e_bucket = F.floor(F.col("e_sec") / BAND_SECONDS).cast("bigint")
     errors = (
         ev.filter(F.col("event_type") == "error")
         .select(sec.alias("e_sec"))
         .select(
             "e_sec",
             F.explode(
-                F.array(
-                    (F.col("e_sec") / BAND_SECONDS).cast("bigint") - 1,
-                    (F.col("e_sec") / BAND_SECONDS).cast("bigint"),
-                    (F.col("e_sec") / BAND_SECONDS).cast("bigint") + 1,
-                )
+                F.array(e_bucket - 1, e_bucket, e_bucket + 1)
             ).alias("b"),
         )
     )

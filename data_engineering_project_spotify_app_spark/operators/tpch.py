@@ -872,8 +872,9 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand <> 'Brand#45'
       AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
-      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
-                              WHERE s_acctbal < 0)
+      AND NOT EXISTS (SELECT 1 FROM supplier s
+                      WHERE s.s_acctbal < 0
+                        AND s.s_suppkey = l.l_suppkey)
     GROUP BY p.p_brand, p.p_type, p.p_size
     """,
 )
@@ -882,7 +883,11 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp relation is derived from lineitem's part-supplier pairs;
     the complaints exclusion keys on negative account balance).
 
-    Scale: the NOT IN lowers to a left-anti join against a tiny
+    Exactness: the oracle is phrased NOT EXISTS (null-safe), which is
+    what a left-anti join implements exactly — NOT IN would diverge
+    under three-valued logic if the subquery ever produced a NULL key.
+
+    Scale: the exclusion lowers to a left-anti join against a tiny
     (filtered supplier) broadcast; distinct-count is two-phase — Spark
     plans it as a partial distinct on (group, suppkey) before the
     count, so the shuffle dedups early.

@@ -26,15 +26,29 @@ def test_decontaminate_overlap_is_positive(spark):
 
 
 def test_pack_shards_two_phase_matches_window(spark):
-    """The broadcast-prefix form must equal the single-window form."""
+    """The registered broadcast-prefix form must equal the single-window
+    toy form."""
     a = sorted(
         tuple(r) for r in curation.q_pack_shards(spark, SF_SMOKE).collect()
     )
     b = sorted(
         tuple(r)
-        for r in curation.pack_shards_two_phase(spark, SF_SMOKE).collect()
+        for r in curation.pack_shards_single_window(spark, SF_SMOKE).collect()
     )
     assert a == b
+
+
+def test_pack_shards_registered_plan_has_no_global_window(spark):
+    """The registered q_pack_shards must never coalesce the corpus into
+    one task: every Window node in the optimized plan either has a
+    partition key (the per-range local sums) or runs over the tiny
+    per-partition offset table — no `Window [ORDER BY doc_id]` over the
+    corpus."""
+    plan = curation.q_pack_shards(spark, SF_SMOKE)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(doc_id" in line.replace(" ", "").lower():
+            # a corpus-wide window is only safe when partitioned by pid
+            assert "pid" in line, f"global-order corpus window found: {line}"
 
 
 def test_pack_shards_budget_respected(spark):

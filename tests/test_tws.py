@@ -75,15 +75,19 @@ def _final_profiles(spark, d, op, sink_name):
     rows = spark.sql(
         f"SELECT * FROM {sink_name}"
     ).collect()
-    # update mode re-emits per batch: the LAST row per user is the final
-    # state (memory sink appends in batch order)
+    # update mode re-emits per batch; collect() row order across
+    # micro-batches is not contractual, so pick the final state
+    # order-independently: n_events grows monotonically per user, so the
+    # row with the max n_events is the last state update.
     final = {}
     for r in rows:
-        final[r["user_id"]] = (
-            r["n_events"],
-            r["total_value"],
-            r["max_value"],
-        )
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (
+                r["n_events"],
+                r["total_value"],
+                r["max_value"],
+            )
     return final
 
 
