@@ -20,12 +20,14 @@ dot product is provided in tests for cross-checking the HOF math.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_engineering_project_spotify_app_spark.operators.registry import query
-from data_engineering_project_spotify_app_spark.tables import table
+from data_engineering_project_spotify_app_spark.tables import table, table_parallel
 
 TOPK = 5
 N_QUERIES = 5  # query set: vec_id < 5
@@ -82,7 +84,7 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query batch, not the corpus. Ranking uses the *rounded* sim with
     a vec_id tie-break so ordering is reproducible across engines.
     """
-    e = table(spark, sf_dir, "embeddings").select(
+    e = table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
     n = e.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
@@ -112,6 +114,90 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= TOPK)
     )
+
+
+def _plane_weights(p: int, t: int | None = None) -> list[float]:
+    """Deterministic ±1 hyperplane weights for plane ``p`` (and table
+    ``t`` in the multi-table variant), one per dimension.
+
+    Computed driver-side with hashlib.md5 — bit-identical to the
+    ``md5(concat(...))`` the DuckDB oracle evaluates, so the planes are
+    the SAME mathematical objects in both engines while Spark never has
+    to materialize a (vector × plane × dim) exploded frame: the weights
+    ship to executors as the GEMM weight matrix (see _srp_signatures).
+    """
+    out = []
+    for d in range(1, DIM + 1):
+        key = f"{p}_{d}" if t is None else f"{t}_{p}_{d}"
+        first_hex = hashlib.md5(key.encode()).hexdigest()[0]
+        out.append(1.0 if int(first_hex, 16) >= 8 else -1.0)
+    return out
+
+
+def _srp_signatures(
+    e: DataFrame, tables: list[int | None], passthrough_v: bool = False
+) -> DataFrame:
+    """SRP bucket signatures via an Arrow-batched int64 GEMM.
+
+    Input ``e`` must have (vec_id, v: array<double>). Output is
+    (vec_id[, v], t, bucket) with one row per (vector, hash table) —
+    ``t`` omitted when a single plane set is requested.
+
+    The projection of every vector onto every (table, plane) hyperplane
+    is one numpy matmul per Arrow batch: scaled-int terms
+    round(v·1e14) as an N×DIM int64 matrix times the ±1 weight matrix
+    DIM×(T·P). Exactness: the weights are ±1 and round is half away
+    from zero in numpy (floor(|y|+0.5)·sign), Spark (HALF_UP) and
+    DuckDB (std::round) alike, so round(w·x·1e14) = w·round(x·1e14)
+    and the int64 sums are bit-identical to the oracle's
+    sum(round(w * v[d] * 1e14)) — order-independent, no float
+    accumulation anywhere. No overflow: 64 terms × ~1e14 ≪ 2^63.
+
+    Scale: one corpus pass, zero shuffle — the alternatives measured
+    worse: an exploded (vector × table × plane × dim) crossJoin+agg
+    shuffles T·P·DIM rows per vector, and a per-plane zip_with tree is
+    interpreted per element (NOTES: HOF lambdas leave codegen). The
+    GEMM is the same applyInPandas/Arrow pattern as mlops.py's
+    embedding dedup (measured 50× there).
+    """
+    import numpy as np
+    import pandas as pd
+
+    weight_mat = np.array(
+        [_plane_weights(p, t) for t in tables for p in range(N_PLANES)],
+        dtype=np.int64,
+    ).T  # DIM × (n_tables · N_PLANES)
+    n_tables = len(tables)
+    with_t = n_tables > 1
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf["v"].to_numpy())  # N × DIM float64
+            scaled = vecs * 1e14
+            terms = (np.floor(np.abs(scaled) + 0.5) * np.sign(scaled)).astype(
+                np.int64
+            )
+            sums = terms @ weight_mat  # N × (n_tables · N_PLANES), exact
+            bits = np.where(sums >= 0, "1", "0")
+            for ti in range(n_tables):
+                seg = bits[:, ti * N_PLANES : (ti + 1) * N_PLANES]
+                out = {"vec_id": pdf["vec_id"].to_numpy()}
+                if passthrough_v:
+                    out["v"] = pdf["v"]
+                if with_t:
+                    out["t"] = np.full(len(pdf), ti, dtype=np.int32)
+                out["bucket"] = ["".join(row) for row in seg.tolist()]
+                yield pd.DataFrame(out)
+
+    fields = ["vec_id long"]
+    if passthrough_v:
+        fields.append("v array<double>")
+    if with_t:
+        fields.append("t int")
+    fields.append("bucket string")
+    return e.mapInPandas(gen, ", ".join(fields))
 
 
 def _weight_sql() -> str:
@@ -161,77 +247,21 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each vector gets a P-bit bucket id (sign of v·w_p for P pseudo-random
     ±1 hyperplanes); exact cosine is computed only for same-bucket pairs.
 
-    Scale: bucket assignment is one aggregation over (vector × plane)
-    partial products — map-side combined, no shuffle of raw vectors; the
-    candidate join shuffles on the bucket key (2^P buckets; raise P to
-    cut bucket size; multiple hash tables = union of P-sets for recall).
-    Expected pairwise work drops from N²/2 to N²/2^(P+1) per table.
+    Scale: bucket assignment is one Arrow-batched int64 GEMM over the
+    corpus (see _srp_signatures) — no exploded (vector × plane × dim)
+    frame, no aggregation, no shuffle until the candidate join on the
+    bucket key (2^P buckets; raise P to cut bucket size; multiple hash
+    tables = union of P-sets for recall). Expected pairwise work drops
+    from N²/2 to N²/2^(P+1) per table.
     """
-    e = table(spark, sf_dir, "embeddings").select(
+    e = table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
-
-    # plane weights: explode (plane, dim) → ±1 from md5, built as a tiny
-    # broadcast-able frame (N_PLANES × DIM rows), computed JVM-side.
-    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
-    dims = spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("d"))
-    md5_arg = F.concat(
-        F.col("p").cast("string"), F.lit("_"), F.col("d").cast("string")
-    )
-    wts = planes.crossJoin(dims).select(
-        "p",
-        "d",
-        F.when(
-            F.expr(f"instr('{_HEX}', substr(md5(concat(CAST(p AS STRING), '_', "
-                   f"CAST(d AS STRING))), 1, 1)) - 1 >= 8"),
-            F.lit(1.0),
-        )
-        .otherwise(F.lit(-1.0))
-        .alias("w"),
-    )
-
-    proj = (
-        e.crossJoin(F.broadcast(wts))
-        .select(
-            "vec_id",
-            "p",
-            # Scaled-integer projection: a float sum's order differs
-            # across engines (and across partitionings), and a projection
-            # landing within an ulp of 0 flips the bucket's sign bit —
-            # observed at sf0.1. Each term is rounded to 14 decimal
-            # places and summed as BIGINT: exact, order-independent, and
-            # ~2× faster than DECIMAL accumulation (longs stay in
-            # codegen; Decimal128 does not). No overflow: 64 terms ×
-            # ~1e14 ≪ 2^63. Per-element round is order-free and
-            # HALF_UP-identical in both engines.
-            F.round(F.col("w") * F.element_at("v", F.col("d")) * 1e14, 0)
-            .cast("bigint")
-            .alias("wx"),
-        )
-        .groupBy("vec_id", "p")
-        .agg(F.sum("wx").alias("s"))
-    )
-    sig = (
-        proj.groupBy("vec_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.array_sort(
-                    F.collect_list(
-                        F.struct(
-                            F.col("p"),
-                            F.when(F.col("s") >= 0, "1").otherwise("0").alias("bit"),
-                        )
-                    )
-                ).getField("bit"),
-            ).alias("bucket")
-        )
-    )
-    n = (
-        e.join(sig, "vec_id")
-        .select(
-            "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"), "bucket"
-        )
+    n = _srp_signatures(e, [None], passthrough_v=True).select(
+        "vec_id",
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        "bucket",
     )
     a = n.select(
         F.col("bucket"),
@@ -338,62 +368,19 @@ def q_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     work. Emits each candidate pair ONCE with how many tables proposed
     it — n_tables_matched doubles as a cheap confidence score.
 
-    Scale: signatures for all tables are built in ONE aggregation over
-    (vector × table × plane) partial products; candidates come from one
-    bucket-collect per (table, bucket) key; the final exact-cosine pass
-    touches only the distinct candidate set (join back to vectors),
-    which is the part you'd budget at 100 TB — tune T and P so
-    candidates ≪ corpus².
+    Scale: every table's bucket id comes from ONE Arrow-batched int64
+    GEMM pass over the corpus (see _srp_signatures) — no exploded
+    (vector × table × plane) frame, no signature aggregation.
+    Candidates come from one bucket-collect per (table, bucket) key;
+    the final exact-cosine pass touches only the distinct candidate set
+    (join back to vectors), which is the part you'd budget at 100 TB —
+    tune T and P so candidates ≪ corpus².
     """
-    e = table(spark, sf_dir, "embeddings").select(
+    e = table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
-    tables_ = spark.range(N_TABLES).select(F.col("id").cast("int").alias("t"))
-    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
-    dims = spark.range(1, DIM + 1).select(F.col("id").cast("int").alias("d"))
-    wts = tables_.crossJoin(planes).crossJoin(dims).select(
-        "t",
-        "p",
-        "d",
-        F.when(
-            F.expr(
-                f"instr('{_HEX}', substr(md5(concat(CAST(t AS STRING), '_', "
-                "CAST(p AS STRING), '_', CAST(d AS STRING))), 1, 1)) - 1 >= 8"
-            ),
-            F.lit(1.0),
-        )
-        .otherwise(F.lit(-1.0))
-        .alias("w"),
-    )
-    proj = (
-        e.crossJoin(F.broadcast(wts))
-        .select(
-            "vec_id",
-            "t",
-            "p",
-            # scaled-integer accumulation — see q_ann_lsh's proj comment
-            F.round(F.col("w") * F.element_at("v", F.col("d")) * 1e14, 0)
-            .cast("bigint")
-            .alias("wx"),
-        )
-        .groupBy("vec_id", "t", "p")
-        .agg(F.sum("wx").alias("s"))
-    )
-    sig = proj.groupBy("vec_id", "t").agg(
-        F.concat_ws(
-            "",
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("p"),
-                        F.when(F.col("s") >= 0, "1").otherwise("0").alias(
-                            "bit"
-                        ),
-                    )
-                )
-            ).getField("bit"),
-        ).alias("bucket")
-    )
+    # (vec_id, t, bucket): T bucket strings per vector from one GEMM pass
+    sig = _srp_signatures(e, list(range(N_TABLES)))
     # bucket-collect pair generation per (table, bucket) — same shape as
     # the dedup LSH path: one shuffle, no self-join diamond
     buckets = (

@@ -63,10 +63,19 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     _ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) layout read via nanosAsLong → truncate to µs
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # timestamp[us] layout: parquet NTZ inference leaks
+            # timestamp_ntz, which unix_micros & friends reject — cast to
+            # session-TZ (UTC) timestamp, same wall-clock values DuckDB
+            # reads for the oracle.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
