@@ -46,6 +46,24 @@ N_MINHASH = 16
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 
+# Skew cap for the _capped production variants: an LSH band bucket (or a
+# shingle posting list) holding more than max(16, n_docs/200) documents
+# carries no dedup signal — it is an uninformative band / stop-shingle —
+# and its C(k,2) pair explosion would serialize one task at corpus
+# scale. Dropping it bounds the largest bucket's work; true near-dups
+# re-surface via their other, informative bands/shingles. The cap is
+# RELATIVE to corpus size (0.5% doc-frequency) so the same query is
+# meaningful at every SF; computed in-plan (broadcast scalar) on the
+# Spark side and as a scalar subquery in the oracle.
+CAP_FLOOR = 16
+CAP_DIVISOR = 200
+
+
+def _auto_cap(n_rows: F.Column) -> F.Column:
+    return F.greatest(
+        F.lit(CAP_FLOOR), F.floor(n_rows / CAP_DIVISOR)
+    ).cast("bigint")
+
 
 @query(
     "q_dedup_exact",
@@ -110,11 +128,22 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, source, shingle) is the shuffle key; per-doc shingles are
     distinct so each common shingle contributes exactly 1 to |A∩B|.
     """
-    d = table_parallel(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(table_parallel(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, df_cap: int | str | None = None
+) -> DataFrame:
+    """Bigram-Jaccard near-dup pairs over a (doc_id, lang, source, text)
+    frame; ``df_cap`` drops shingles with per-shard doc-frequency above
+    the cap before pair generation (the production skew guard — see
+    q_dedup_ngram_jaccard_capped). An int caps absolutely; ``"auto"``
+    uses max(CAP_FLOOR, n_docs/CAP_DIVISOR) computed in-plan.
+    """
     # materialize the token array BEFORE shingling: expression trees that
     # reference tokens() inline would re-run the regex split per
     # element_at call inside the transform lambda (measured 10x slowdown)
-    toks = d.select(
+    toks = docs.select(
         "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
     )
     grams = toks.select(
@@ -138,9 +167,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize→shingle lineage running twice). Per-doc shingles are
     # distinct, so each bucket contributes exactly 1 to |A∩B|.
     # Scale: a degenerate bucket (an ultra-common shingle) makes pair-gen
-    # quadratic in ONE task — production caps bucket size (drop shingles
-    # with doc-frequency > cap: they carry no dedup signal); the exact
-    # oracle here forbids that, so the cap is left to the caller.
+    # quadratic in ONE task — df_cap drops those buckets (the registered
+    # capped variant exercises it; the uncapped form keeps the exact
+    # textbook semantics).
     buckets = (
         sh.groupBy("lang", "source", "shingle")
         .agg(
@@ -150,6 +179,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("ds") > 1)
     )
+    if df_cap == "auto":
+        cap = docs.agg(_auto_cap(F.count("*")).alias("df_cap"))
+        buckets = buckets.crossJoin(F.broadcast(cap)).filter(
+            F.size("ds") <= F.col("df_cap")
+        )
+    elif df_cap is not None:
+        buckets = buckets.filter(F.size("ds") <= df_cap)
     pair = F.explode(
         F.expr(
             "flatten(transform(ds, (x, i) -> "
@@ -171,6 +207,65 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return inter.filter(jac >= JACCARD_THRESHOLD).select(
         "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, source, {_BIGRAMS} AS bg
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, source, unnest(bg) AS shingle FROM grams
+    ),
+    cnt AS (
+      SELECT doc_id, CAST(len(bg) AS BIGINT) AS n FROM grams
+    ),
+    kept AS (
+      SELECT lang, source, shingle FROM sh
+      GROUP BY 1, 2, 3
+      HAVING count(*) <= greatest({CAP_FLOOR},
+                                  (SELECT count(*) FROM documents)
+                                    // {CAP_DIVISOR})
+    ),
+    shf AS (
+      SELECT sh.* FROM sh JOIN kept USING (lang, source, shingle)
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shf a
+      JOIN shf b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_common / (ca.n + cb.n - i.n_common), 4) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.doc_a
+    JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE i.n_common / (ca.n + cb.n - i.n_common) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-capped bigram-Jaccard near-dup pairs — the production form.
+
+    Identical to q_dedup_ngram_jaccard except shingles whose doc-
+    frequency exceeds max(16, n_docs/200) are dropped BEFORE the
+    bucket-collect: an ultra-common shingle ("of the") is a stop-feature
+    with no dedup signal, and its C(df, 2) pair explosion is the one
+    place the uncapped plan serializes a task at 100 TB. The cap is
+    relative (0.5% doc-frequency) so it tracks corpus growth; it ships
+    as a broadcast scalar, so the plan cost is one count + one filter.
+    The resulting jaccard is a lower bound (intersection counts only
+    informative shingles; the denominator keeps the full shingle
+    counts), so a pair passing the threshold is at least as similar as
+    reported.
+    """
+    return ngram_jaccard_pairs(
+        table_parallel(spark, sf_dir, "documents"), df_cap="auto"
     )
 
 
@@ -275,8 +370,13 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured ~0.5 s/consumer at sf0.1; see word_bigrams_multiset for the
     array-form equivalent).
     """
-    d = table_parallel(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens(F.col("text")).alias("tok"))
+    return minhash_signatures_df(table_parallel(spark, sf_dir, "documents"))
+
+
+def minhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """K=16 min-hash signature per (doc_id, text) row — see
+    _minhash_signatures."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
     # zip_with shingles, NOT posexplode+element_at: the exploded form
     # carries the whole token array on every shingle row, and with the
     # md5/conv projection downstream it measured 1.7x SLOWER end-to-end
@@ -305,7 +405,9 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h12.groupBy("doc_id").agg(*_minhash_sig_cols())
 
 
-def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_candidate_pairs(
+    spark: SparkSession, sf_dir: str, bucket_cap: int | str | None = None
+) -> DataFrame:
     """Candidate near-dup pairs (doc_a, doc_b, n_bands_matched) — the
     shared building block of q_minhash_lsh and the cluster operators.
 
@@ -319,10 +421,33 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side combine (min is algebraic); candidates come from a
     bucket-collect on the band key (one shuffle of (band_key, doc_id)
     pairs — see the inline comment below). No quadratic stage anywhere
-    except within a bucket, which production caps.
+    except within a bucket, which ``bucket_cap`` bounds (see
+    q_minhash_lsh_capped).
     """
-    sig = _minhash_signatures(spark, sf_dir)
+    # "auto" cap counts the cheap documents scan, NOT the sig frame —
+    # a second consumer of sig would recompute the whole shingle+minhash
+    # aggregation (no subplan sharing across consumers).
+    cap_df = (
+        table(spark, sf_dir, "documents") if bucket_cap == "auto" else None
+    )
+    return minhash_candidate_pairs_df(
+        _minhash_signatures(spark, sf_dir),
+        bucket_cap=bucket_cap,
+        cap_df=cap_df,
+    )
 
+
+def minhash_candidate_pairs_df(
+    sig: DataFrame,
+    bucket_cap: int | str | None = None,
+    cap_df: DataFrame | None = None,
+) -> DataFrame:
+    """Band-bucket candidate pairs from a signature frame (doc_id,
+    h0..h15). ``bucket_cap`` drops band buckets larger than the cap
+    before pair generation — the skew guard. An int caps absolutely;
+    ``"auto"`` uses max(CAP_FLOOR, n/CAP_DIVISOR) in-plan, with n
+    counted from ``cap_df`` (pass the raw docs frame — counting ``sig``
+    itself would recompute the signature aggregation)."""
     # bands via ONE explode — a per-band union would recompute the whole
     # signature aggregation once per band (Spark does not share subplans
     # across union branches)
@@ -349,14 +474,23 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with array HOFs. Replaces the round-1 band self-join + its
     # localCheckpoint diamond — one shuffle of (band_key, doc_id) instead
     # of two join sides, and the signature aggregation runs exactly once.
-    # Bucket skew (a degenerate band key) serializes one task; at corpus
-    # scale cap bucket size — an over-full LSH bucket means the band is
+    # Bucket skew (a degenerate band key) serializes one task; bucket_cap
+    # drops over-full buckets — an over-full LSH bucket means the band is
     # uninformative, and its pairs re-surface via the other bands.
     buckets = (
         bands.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if bucket_cap == "auto":
+        cap = (cap_df if cap_df is not None else sig).agg(
+            _auto_cap(F.count("*")).alias("bucket_cap")
+        )
+        buckets = buckets.crossJoin(F.broadcast(cap)).filter(
+            F.size("ids") <= F.col("bucket_cap")
+        )
+    elif bucket_cap is not None:
+        buckets = buckets.filter(F.size("ids") <= bucket_cap)
     pairs = buckets.select(
         F.explode(
             F.expr(
@@ -377,6 +511,44 @@ def minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding candidate pairs (see minhash_candidate_pairs)."""
     return minhash_candidate_pairs(spark, sf_dir)
+
+
+_MINHASH_CAPPED_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    kept AS (
+      SELECT band, band_key FROM bands
+      GROUP BY 1, 2
+      HAVING count(*) <= greatest({CAP_FLOOR},
+                                  (SELECT count(*) FROM documents)
+                                    // {CAP_DIVISOR})
+    ),
+    bk AS (
+      SELECT bands.* FROM bands JOIN kept USING (band, band_key)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS n_bands_matched
+    FROM bk a
+    JOIN bk b
+      ON a.band = b.band AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@query("q_minhash_lsh_capped", oracle=_MINHASH_CAPPED_ORACLE)
+def q_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-capped MinHash+LSH candidate pairs — the production form.
+
+    Identical to q_minhash_lsh except band buckets holding more than
+    max(16, n_docs/200) docs are dropped before the C(k,2) pair
+    explosion. A bucket that big means the band's 4 min-hashes are
+    degenerate for those docs (boilerplate shingles, near-empty texts)
+    — its pairs are noise, and its quadratic blow-up is the one task
+    that would serialize the stage at 100 TB. n_bands_matched then
+    counts only informative bands, and the max per-task pair work is
+    bounded by C(cap, 2) per bucket.
+    """
+    return minhash_candidate_pairs(spark, sf_dir, bucket_cap="auto")
 
 
 _SIG_EQ_SQL = " + ".join(
