@@ -69,6 +69,12 @@ HEADLINE = [
     "q_tpch_q16",
     "q_interval_join",
     "q_decontaminate",
+    # round-2 additions: derived-partsupp family + skew-capped LSH
+    "q_tpch_q2",
+    "q_tpch_q11",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_minhash_lsh_capped",
 ]
 
 
