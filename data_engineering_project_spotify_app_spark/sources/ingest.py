@@ -46,25 +46,32 @@ def stage_entity(df: DataFrame, staging_dir: str, entity: str) -> str:
 def stage_entity_keyed(df: DataFrame, staging_dir: str, entity: str) -> str:
     """S6 exact-layout variant: one ``{id}.json`` object per row.
 
-    Byte-level parity with app.py:204–208 (single JSON object per file,
-    keyed filename). Streams rows through the driver (toLocalIterator —
-    one partition in memory at a time, and the target is a shared path,
-    not executor-local disk); use for small dimension snapshots ONLY —
-    at 100 TB this layout is the small-files anti-pattern, which is why
-    ``stage_entity`` (part-file NDJSON) is the default.
+    Layout parity with app.py:204–208 (single JSON object per file,
+    keyed filename), written DISTRIBUTED through the ``keyed_json``
+    DataSource batch writer: every partition writes its own rows
+    (write-then-rename per object, commit manifest, abort cleanup) — no
+    driver-side row iteration anywhere. The layout itself remains the
+    small-files anti-pattern at 100 TB, which is why ``stage_entity``
+    (part-file NDJSON) is the default sink; keep this for dimension
+    snapshots where per-key object addressing is the contract.
     """
-    import json
-    import os
+    from data_engineering_project_spotify_app_spark.sources.keyed_json_source import (
+        KeyedJsonDataSource,
+    )
 
+    spark = df.sparkSession
+    try:
+        spark.dataSource.register(KeyedJsonDataSource)
+    except Exception:
+        pass  # already registered in this session
     out = f"{staging_dir}/{entity}"
-    os.makedirs(out, exist_ok=True)
-    for row in df.toLocalIterator():
-        d = row.asDict(recursive=True)
-        if d.get("id") is None:
-            continue
-        path = os.path.join(out, f"{d['id']}.json")
-        with open(path, "w", encoding="utf-8") as fh:
-            json.dump(d, fh, default=str)
+    (
+        df.filter(F.col("id").isNotNull())
+        .write.format("keyed_json")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
     return out
 
 

@@ -110,10 +110,13 @@ def test_keyed_sink_one_object_per_row(spark, tmp_path):
     rows = [artist(i) for i in range(5)]
     df = spark.createDataFrame(rows, schema=ARTISTS_SCHEMA)
     out = stage_entity_keyed(df, str(tmp_path / "stage"), "artists")
-    files = sorted(os.listdir(out))
+    files = sorted(f for f in os.listdir(out) if f.endswith(".json"))
     assert files == [f"ar{i:03d}.json" for i in range(5)]
     payload = json.loads(open(os.path.join(out, "ar001.json")).read())
     assert payload["id"] == "ar001"
+    # distributed writer's commit manifest records every object written
+    manifest = open(os.path.join(out, "_MANIFEST")).read().split()
+    assert sorted(manifest) == files
 
 
 def test_release_date_precision_matrix(spark):
