@@ -75,6 +75,7 @@ HEADLINE = [
     "q_tpch_q20",
     "q_tpch_q21",
     "q_minhash_lsh_capped",
+    "q_tpch_q12",
 ]
 
 

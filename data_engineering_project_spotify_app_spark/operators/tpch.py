@@ -1266,3 +1266,80 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+@query(
+    "q_tpch_q12",
+    oracle=f"""
+    WITH lineitem_ext AS (
+      SELECT l_orderkey, l_returnflag, l_shipdate,
+             l_shipdate + ((l_orderkey * 3 + l_linenumber * 7) % 30 + 1)
+               * INTERVAL 1 DAY AS l_receiptdate,
+             l_shipdate + ((l_orderkey * 5 + l_linenumber * 11) % 45)
+               * INTERVAL 1 DAY AS l_commitdate
+      FROM lineitem
+    )
+    SELECT l.l_returnflag AS shipgroup,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o
+    JOIN lineitem_ext l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_commitdate < l.l_receiptdate
+      AND l.l_shipdate < l.l_commitdate
+      AND l.l_receiptdate >= TIMESTAMP '1996-01-01'
+      AND l.l_receiptdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority counts (adapted: the fixture
+    has no l_shipmode, so l_returnflag plays the mode column; commit/
+    receipt dates derived as in q_tpch_q21 — see _LINEITEM_EXT_SQL).
+
+    The classic conditional-aggregation pattern: two CASE sums in one
+    pass, no second scan or self-join per priority class.
+
+    Scale: the date filters sit on derived columns, but l_shipdate
+    bounds them — receipt ≤ ship+30d, commit ≤ ship+44d — so a real
+    deployment adds the implied l_shipdate range to the scan filter;
+    here the join is the only shuffle and orders broadcasts at
+    dimension scale.
+    """
+    l = table(spark, sf_dir, "lineitem")
+    ext = l.select(
+        "l_orderkey",
+        "l_returnflag",
+        "l_shipdate",
+        F.expr(
+            "timestampadd(DAY, CAST((l_orderkey * 3 + l_linenumber * 7) "
+            "% 30 + 1 AS INT), l_shipdate)"
+        ).alias("l_receiptdate"),
+        F.expr(
+            "timestampadd(DAY, CAST((l_orderkey * 5 + l_linenumber * 11) "
+            "% 45 AS INT), l_shipdate)"
+        ).alias("l_commitdate"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        ext.filter(
+            F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_commitdate") < F.col("l_receiptdate"))
+            & (F.col("l_shipdate") < F.col("l_commitdate"))
+            & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("shipgroup"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("shipgroup")
+    )

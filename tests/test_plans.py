@@ -172,3 +172,40 @@ def test_q22_not_exists_lowers_to_left_anti(spark, sf_dir):
 def test_q10_topk_has_no_global_sort(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_tpch_q10")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q_tpch_q2", "q_tpch_q11", "q_tpch_q20", "q_tpch_q12"]
+)
+def test_partsupp_family_joins_broadcast_not_shuffle(spark, sf_dir, name):
+    """Derived-partsupp queries: every dimension side (filtered part,
+    nation-filtered supplier set, red-part keys, orders) must broadcast
+    — the only shuffles should be the partsupp distinct and the group
+    aggregations."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
+    assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge\n{plan}"
+
+
+def test_q21_single_lineitem_scan_and_shuffle(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS rewrite must touch lineitem ONCE (the
+    collect_set windows share the l_orderkey partition) — the textbook
+    form scans it three times."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q21")
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "Location" in line and "lineitem.parquet" in line
+    ]
+    assert len(scans) == 1, f"expected 1 lineitem scan, got {len(scans)}\n{plan}"
+    assert "Window" in plan, plan
+
+
+def test_q2_window_min_after_part_filter(spark, sf_dir):
+    """Q2's min-cost decorrelation: the window must run on the frame
+    already cut by the broadcast part filter, and the part scan itself
+    must carry the pushed size/type predicates."""
+    plan = plan_of(spark, sf_dir, "q_tpch_q2")
+    assert "Window" in plan, plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "p_size" in l]
+    assert pushed, f"part filter not pushed to scan\n{plan}"
