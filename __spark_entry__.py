@@ -66,15 +66,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across the full registry; within each group, registration order.
     """
     seen = _checked_in_prior_rounds()
-    # headline claims with no driver-green row yet go first of all
+    # first: headline claims with no driver-green row yet, queries whose
+    # implementation changed since their last green row (q_pack_shards →
+    # two-phase; the SRP family → GEMM signatures), and this session's
+    # new registrations; then all remaining never-checked names; then
+    # the already-checked tail.
     priority = ["q_topk_per_group", "q_tpch_q1", "q_tpch_q3",
                 "q_cosine_topk", "q_ann_lsh", "q_ann_multitable",
+                "q_pack_shards", "q_minhash_lsh_capped",
+                "q_dedup_ngram_jaccard_capped", "q_tpch_q2", "q_tpch_q11",
+                "q_tpch_q12", "q_tpch_q20", "q_tpch_q21",
                 "q_sessionize", "q_tumbling_window"]
     reg_pos = {n: i for i, n in enumerate(registry.QUERIES)}
     pri_pos = {n: i for i, n in enumerate(priority)}
 
     def key(n: str) -> tuple:
-        return (n in seen, pri_pos.get(n, len(priority)), reg_pos[n])
+        return (pri_pos.get(n, len(priority)), n in seen, reg_pos[n])
 
     return {n: registry.QUERIES[n] for n in sorted(registry.QUERIES, key=key)}
 
