@@ -248,3 +248,101 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_name", "p_retailprice", "p_size")
     )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+             lag(event_type) OVER w AS prev_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    marked AS (
+      SELECT *, CASE WHEN prev_type IS NULL
+                       OR prev_type <> event_type THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    islands AS (
+      SELECT user_id, event_id, event_type, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS island_id
+      FROM marked
+    ),
+    runs AS (
+      SELECT user_id, island_id,
+             min(event_type)  AS state,
+             min(ts)          AS valid_from,
+             count(*)         AS n_events
+      FROM islands
+      GROUP BY user_id, island_id
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island_id)
+             AS valid_to,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY island_id) IS NULL
+                AS BOOLEAN) AS is_current,
+           n_events
+    FROM runs
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) intervals from an event log —
+    the gaps-and-islands pattern every warehouse ingest needs: collapse
+    each user's consecutive run of the same state into one row with
+    [valid_from, valid_to) validity and an is_current flag on the open
+    interval.
+
+    Change detection is lag() per user; runs become islands via the
+    running sum of change marks; lead() closes each interval with the
+    next run's start. Ties on ts break by event_id so run boundaries
+    are deterministic cross-engine.
+
+    Scale: everything partitions by user_id — ONE shuffle reused by
+    both window passes and the group-by (Spark keeps the child
+    partitioning); no self-join against the "next row", which is the
+    O(N²)-prone textbook alternative.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").alias("ts")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    islands = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("island_id"),
+    )
+    runs = islands.groupBy("user_id", "island_id").agg(
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("island_id")
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+        "n_events",
+    )

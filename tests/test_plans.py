@@ -209,3 +209,15 @@ def test_q2_window_min_after_part_filter(spark, sf_dir):
     assert "Window" in plan, plan
     pushed = [l for l in plan.splitlines() if "PushedFilters" in l and "p_size" in l]
     assert pushed, f"part filter not pushed to scan\n{plan}"
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """SCD2's two window passes + run aggregation must all reuse the
+    user_id partitioning — one Exchange total (hashpartitioning on
+    user_id satisfies the (user_id, island_id) clustering)."""
+    plan = plan_of(spark, sf_dir, "q_scd2_intervals")
+    tree = plan.split("\n(1)")[0]
+    n_exchanges = sum(
+        1 for line in tree.splitlines() if "+- Exchange" in line
+    )
+    assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}\n{plan}"
