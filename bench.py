@@ -76,6 +76,7 @@ HEADLINE = [
     "q_tpch_q21",
     "q_minhash_lsh_capped",
     "q_tpch_q12",
+    "q_scd2_intervals",
 ]
 
 
