@@ -18,7 +18,7 @@ from data_engineering_project_spotify_app_spark.functions.text import (
     tokens,
 )
 from data_engineering_project_spotify_app_spark.operators.registry import query
-from data_engineering_project_spotify_app_spark.tables import table
+from data_engineering_project_spotify_app_spark.tables import table, table_parallel
 
 _TOK = TOKENS_SQL.format(col="text")
 
@@ -334,4 +334,65 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             4,
         ).alias("top_token_ratio"),
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ),
+    tot AS (
+      SELECT sum(CAST(len({_TOK}) AS BIGINT)) AS n FROM documents
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(CAST(v.c AS DOUBLE) / tot.n)), 4) AS avg_logprob
+    FROM tok t
+    JOIN vocab v ON v.tok = t.tok
+    CROSS JOIN tot
+    GROUP BY t.doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM score per document — the CCNet-style quality
+    proxy: average ln P(token) under the corpus's own unigram model.
+    Documents full of rare/garbled tokens score far below the mean;
+    boilerplate scores above it. The standard cheap signal for
+    perplexity-bucketing a pretraining corpus when no external LM is
+    available.
+
+    The token multiset counts duplicates (a doc repeating one common
+    word is NOT penalized as rare — repetition_ratio catches that
+    instead). The corpus total is summed from per-doc token counts on a
+    second cheap scan of documents — NOT from the vocab aggregate,
+    whose second consumer would recompute the explode+count.
+
+    Scale: vocab is a hash aggregation on the token (map-side combined,
+    Zipf head collapses early); the score join shuffles tokens by word
+    — at 100 TB both sides are token-partitioned so the join is
+    co-located; no broadcast assumption on the (huge) vocab.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(tokens(F.col("text"))).cast("bigint").alias("k"))
+        .agg(F.sum("k").alias("n"))
+    )
+    return (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 4
+            ).alias("avg_logprob"),
+        )
     )
