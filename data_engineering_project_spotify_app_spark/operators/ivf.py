@@ -32,6 +32,11 @@ from data_engineering_project_spotify_app_spark.tables import table
 
 N_CENTROIDS = 8
 NPROBE = 2
+# Trained centroids partition tighter than the deterministic random
+# ones, so true neighbors straddle list boundaries more often — the
+# standard remedy is a higher nprobe (recall/cost knob: candidates
+# scale with nprobe/K).
+KMEANS_NPROBE = 4
 IVF_TOPK = 3
 IVF_QUERIES = 5  # vec_id < 5 are the query set
 
@@ -116,6 +121,17 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nrm").alias("cnrm"),
         )
     )
+    return probed_search(n, cent)
+
+
+def probed_search(
+    n: DataFrame, cent: DataFrame, nprobe: int = NPROBE
+) -> DataFrame:
+    """The IVF search DAG given a (vec_id, v, nrm) corpus and a
+    (cid, cv, cnrm) centroid frame — shared by the deterministic and
+    the k-means-trained variants; the query shape is identical, only
+    where the centroids come from (and how many lists each query
+    probes) differs."""
     csim = F.round(
         dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4
     )
@@ -128,7 +144,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
     probes = (
         ranked.filter(
-            (F.col("vec_id") < IVF_QUERIES) & (F.col("rn") <= NPROBE)
+            (F.col("vec_id") < IVF_QUERIES) & (F.col("rn") <= nprobe)
         ).select(F.col("vec_id").alias("query_id"), "cid")
     )
 
@@ -170,3 +186,50 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= IVF_TOPK)
     )
+
+
+@query("q_ann_ivf_kmeans")  # rows-only: trained centroids are engine-specific
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probed search over K-MEANS-TRAINED centroids — the production
+    coarse quantizer (q_ann_ivf's deterministic lowest-id centroids
+    exist so the *search* is exactly oracle-checkable; this variant
+    replaces them with a real pyspark.ml KMeans fit, seed-pinned).
+
+    Vectors are L2-normalized before the fit so euclidean k-means
+    clusters by cosine direction (spherical-ish k-means — the right
+    coarse quantizer for cosine search). The trained centers are K×DIM
+    doubles collected driver-side (tiny) and re-enter the plan as a
+    broadcast centroid frame feeding the identical probed-search DAG.
+
+    No DuckDB oracle by design: k-means|| initialization is
+    engine-specific. The driver records a rows-only check;
+    tests/test_ivf.py bounds recall vs the brute-force baseline.
+
+    Scale: the fit is Spark ML's distributed Lloyd iterations (each a
+    broadcast-centers + map-side partial-sum pass over the corpus);
+    everything after the fit is the same N·NPROBE/K search as q_ann_ivf.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n = _norm_frame(spark, sf_dir)
+    unit = n.select(
+        "vec_id",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+    )
+    feats = unit.select("vec_id", array_to_vector(F.col("u")).alias("features"))
+    model = KMeans(
+        k=N_CENTROIDS, seed=42, maxIter=10, initMode="k-means||"
+    ).fit(feats)
+    centers = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    cent = (
+        spark.createDataFrame(centers, "cid int, cv array<double>")
+        .select(
+            "cid",
+            "cv",
+            F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cnrm"),
+        )
+    )
+    return probed_search(n, F.broadcast(cent), nprobe=KMEANS_NPROBE)

@@ -67,3 +67,22 @@ def test_pandas_udf_cosine_matches_hof(spark, sf_dir):
     )
     bad = both.filter(F.abs(F.col("arrow") - F.col("hof")) > 1e-9).count()
     assert bad == 0
+
+
+def test_kmeans_ivf_trained_centroids_recall(spark, sf_dir):
+    """The k-means-trained coarse quantizer (the production path) must
+    return IVF_TOPK rows per query and recall >= 0.6 of the brute-force
+    top-k at KMEANS_NPROBE=4 of 8 lists. Seed-pinned fit keeps this
+    deterministic."""
+    rows = registry.QUERIES["q_ann_ivf_kmeans"](spark, sf_dir).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    for rs in per_q.values():
+        assert len(rs) == IVF_TOPK
+    brute = registry.QUERIES["q_cosine_topk"](spark, sf_dir).collect()
+    truth = {(r.query_id, r.neighbor_id) for r in brute if r.rnk <= IVF_TOPK}
+    got = {(r.query_id, r.neighbor_id) for r in rows}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"kmeans-IVF recall {recall}"
