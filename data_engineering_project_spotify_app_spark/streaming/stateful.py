@@ -166,3 +166,93 @@ def closed_sessions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+SCD2_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("valid_from", T.TimestampType()),
+        T.StructField("valid_to", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# open run per user: current state string, run start (epoch µs), last seen
+# event (µs, event_id tiebreak) and the run's event count
+SCD2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_state", T.StringType()),
+        T.StructField("from_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+
+def _scd2_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming twin of q_scd2_intervals: maintain each user's OPEN
+    run in state; every state change closes the previous run and emits
+    it as a finished [valid_from, valid_to) interval. The open interval
+    is never emitted (it is not final until the stream ends) — exactly
+    the rows the batch operator marks is_current=false.
+
+    In-batch events are folded in (ts, event_id) order, so replaying
+    the same events through any micro-batch slicing yields the same
+    closed intervals as the batch gaps-and-islands query (equivalence
+    pinned in tests/test_stateful_streaming.py)."""
+    (user_id,) = key
+    if state.exists:
+        cur, from_us, last_us, last_eid, n = state.get
+    else:
+        cur, from_us, last_us, last_eid, n = None, None, None, None, 0
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for ts, eid, etype in zip(
+            pdf["ts"].astype("int64") // 1000,
+            pdf["event_id"],
+            pdf["event_type"],
+        ):
+            ts, eid = int(ts), int(eid)
+            if cur is None:
+                cur, from_us, n = etype, ts, 0
+            elif etype != cur:
+                closed.append((user_id, cur, from_us, ts, n))
+                cur, from_us, n = etype, ts, 0
+            n += 1
+            last_us, last_eid = ts, eid
+    state.update((cur, from_us, last_us, last_eid, n))
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "state": [c[1] for c in closed],
+                "valid_from": [pd.to_datetime(c[2], unit="us") for c in closed],
+                "valid_to": [pd.to_datetime(c[3], unit="us") for c in closed],
+                "n_events": [c[4] for c in closed],
+            }
+        )
+
+
+def scd2_stream(events: DataFrame) -> DataFrame:
+    """Streaming SCD2: closed type-2 intervals per user as they finish.
+
+    Scale: state is O(1) per user (one open run — five scalars); the
+    shuffle key is user_id, same as the batch twin's single Exchange.
+    Append-mode output — each closed interval is emitted exactly once.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _scd2_fn,
+        outputStructType=SCD2_SCHEMA,
+        stateStructType=SCD2_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -101,3 +101,93 @@ def test_profiles_match_batch_aggregate_at_end(spark, tmp_path):
             round(want[u][1], 2),
             want[u][2],
         )
+
+
+def _scd_ev(i, user, etype):
+    return {
+        "event_id": i,
+        "ts": f"2024-01-01T00:{i:02d}:00.000Z",
+        "user_id": user,
+        "event_type": etype,
+        "value": 1.0,
+        "props": "{}",
+    }
+
+
+def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
+    """The streaming SCD2 twin must emit exactly the CLOSED intervals the
+    batch gaps-and-islands operator computes (is_current=false rows),
+    regardless of how the ordered event log is sliced into micro-batches."""
+    from data_engineering_project_spotify_app_spark.operators import registry
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        scd2_stream,
+    )
+
+    registry.load_all_modules()
+
+    rows = [
+        _scd_ev(0, 7, "click"),
+        _scd_ev(1, 7, "click"),
+        _scd_ev(2, 8, "view"),
+        _scd_ev(3, 7, "error"),   # closes 7's click run
+        _scd_ev(4, 8, "view"),
+        _scd_ev(5, 8, "click"),   # closes 8's view run
+        _scd_ev(6, 7, "error"),
+        _scd_ev(7, 7, "click"),   # closes 7's error run
+        _scd_ev(8, 8, "click"),
+    ]
+
+    # batch twin over the same rows, via a temp fixture dir
+    fixture = tmp_path / "fixture"
+    fixture.mkdir()
+    (
+        spark.createDataFrame(
+            [
+                (
+                    r["event_id"],
+                    r["ts"].replace("T", " ").replace("Z", ""),
+                    r["user_id"],
+                    r["event_type"],
+                    r["value"],
+                    r["props"],
+                )
+                for r in rows
+            ],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        )
+        .write.mode("overwrite")
+        .parquet(str(fixture / "events.parquet"))
+    )
+    batch = registry.QUERIES["q_scd2_intervals"](spark, str(fixture))
+    expect = {
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.n_events)
+        for r in batch.collect()
+        if not r.is_current
+    }
+    assert len(expect) == 3
+
+    # stream the same log in 3 ordered micro-batches
+    d = tmp_path / "stream_scd2"
+    d.mkdir()
+    _write_batch(d, "b0.json", rows[:3])
+    _write_batch(d, "b1.json", rows[3:6])
+    _write_batch(d, "b2.json", rows[6:])
+    q = (
+        scd2_stream(stream_events(spark, str(d), max_files_per_trigger=1))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("scd2_closed")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.state, r.valid_from, r.valid_to, r.n_events)
+        for r in spark.sql("SELECT * FROM scd2_closed").collect()
+    }
+    assert got == expect
