@@ -560,3 +560,41 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer c
         """
     )
+
+
+@query(
+    "q_json_props",
+    oracle="""
+    SELECT k % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    WHERE k IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction from the events payload column with a REAL
+    JSON parser — from_json with a declared schema (not the regexp
+    shortcut q_nested_path demonstrates), aggregated per k-bucket.
+
+    Scale: from_json runs inside codegen (Jackson per row, no Python);
+    the declared schema means malformed payloads yield NULL (filtered
+    here) instead of failing the job — the lenient-extract / strict-
+    landing contract from SURVEY.md §1.2.
+    """
+    ev = table(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.from_json(F.col("props"), "k BIGINT").getField("k").alias("k")
+    )
+    return (
+        parsed.filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
