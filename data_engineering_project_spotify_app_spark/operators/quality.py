@@ -282,3 +282,49 @@ def q_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "source_version",
     )
+
+
+@query(
+    "q_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             avg(value) AS m,
+             stddev_samp(value) AS sd
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           round((e.value - s.m) / s.sd, 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE abs((e.value - s.m) / s.sd) > 3
+    """,
+)
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier detection: rows more than 3 sample
+    standard deviations from their event type's mean — the data-quality
+    screen that feeds quarantine/review queues in an ingest pipeline.
+
+    Scale: group stats are one map-side-combined aggregation collapsed
+    to #groups rows, broadcast back onto the fact scan — the fact table
+    is read twice but never shuffled. Cross-engine note: avg/stddev sum
+    order differs between engines in the last ulp, so z is rounded for
+    output; the |z| > 3 cut uses the unrounded value on both sides
+    (knife-edge ties are ~1e-12-probability, same convention as the
+    suite's other statistical thresholds).
+    """
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"),
+        F.stddev_samp("value").alias("sd"),
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 4).alias("z"),
+        )
+    )
