@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "q_pack_shards", "q_minhash_lsh_capped",
                 "q_dedup_ngram_jaccard_capped", "q_tpch_q2", "q_tpch_q11",
                 "q_tpch_q12", "q_tpch_q20", "q_tpch_q21",
+                "q_unigram_logprob", "q_scd2_intervals", "q_json_props",
+                "q_outliers", "q_ann_ivf_kmeans",
                 "q_sessionize", "q_tumbling_window"]
     reg_pos = {n: i for i, n in enumerate(registry.QUERIES)}
     pri_pos = {n: i for i, n in enumerate(priority)}
