@@ -82,3 +82,92 @@ def test_topk_matches_python_sort(spark, xs):
     ]
     want = sorted(enumerate(xs), key=lambda t: (-t[1], t[0]))[:5]
     assert got == [(i, v) for i, v in want]
+
+
+_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=12
+)
+
+
+@given(texts=_texts, cap=st.integers(min_value=1, max_value=6))
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_capped_pairs_subset_of_uncapped(spark, texts, cap):
+    """Skew-cap law: for ANY corpus and ANY cap, the capped n-gram pair
+    set is a subset of the uncapped one, and jaccard values agree (the
+    cap only removes buckets, never invents intersections)."""
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", "web", t) for i, t in enumerate(texts)],
+        "doc_id long, lang string, source string, text string",
+    )
+    unc = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, df_cap=cap).collect()
+    }
+    assert set(capped) <= set(unc)
+    # a pair surviving the cap reports a jaccard <= its uncapped value
+    # (intersection can only shrink; denominator is unchanged)
+    for k, j in capped.items():
+        assert j <= unc[k] + 1e-9
+
+
+@given(
+    seq=st.lists(
+        st.tuples(st.integers(0, 2), st.sampled_from(["a", "b"])),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_scd2_intervals_partition_each_users_timeline(spark, seq):
+    """SCD2 laws for ANY event sequence: per user, intervals are
+    contiguous ([valid_to == next valid_from), exactly one open
+    interval, n_events sums to the user's event count, and consecutive
+    interval states differ."""
+    import datetime
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(minutes=i),
+            int(user),
+            etype,
+            1.0,
+            "{}",
+        )
+        for i, (user, etype) in enumerate(seq)
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        out = registry.QUERIES["q_scd2_intervals"](spark, d).collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r.user_id, []).append(r)
+    from collections import Counter
+
+    counts = Counter(u for u, _ in seq)
+    for user, ivs in per_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in ivs if r.is_current) == 1
+        assert ivs[-1].is_current and ivs[-1].valid_to is None
+        assert sum(r.n_events for r in ivs) == counts[user]
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
+            assert a.state != b.state
