@@ -43,3 +43,45 @@ def test_multitable_beats_single_table_recall(spark, sf_dir):
     assert len(mt) > len(st)  # 3 tables propose strictly more candidates
     # a pair proposed by k tables appears ONCE with its vote count
     assert all(1 <= r["n_tables_matched"] <= 3 for r in mt_rows)
+
+
+def test_gemm_signatures_match_pure_python_reference(spark):
+    """The Arrow-GEMM SRP signature must equal an INDEPENDENT pure-Python
+    evaluation of sum(round_half_away(w * x * 1e14)) per plane — pinning
+    the int64-exactness claim the oracles rely on, on vectors that
+    exercise negative values, tiny magnitudes, and exact halves."""
+    import math
+
+    from data_engineering_project_spotify_app_spark.operators.similarity import (
+        DIM,
+        N_PLANES,
+        _plane_weights,
+        _srp_signatures,
+    )
+
+    vecs = []
+    for i in range(7):
+        vecs.append(
+            [
+                ((-1) ** (i + d) ) * ((d + 1) * 1e-14 * (i + 1) if d % 3 else 0.5e-14)
+                for d in range(DIM)
+            ]
+        )
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, v array<double>"
+    )
+    got = {
+        r.vec_id: r.bucket
+        for r in _srp_signatures(df, [None], passthrough_v=False).collect()
+    }
+
+    def round_half_away(y: float) -> int:
+        return int(math.floor(abs(y) + 0.5)) * (1 if y >= 0 else -1)
+
+    for i, v in enumerate(vecs):
+        bits = []
+        for p in range(N_PLANES):
+            w = _plane_weights(p)
+            s = sum(round_half_away(w[d] * v[d] * 1e14) for d in range(DIM))
+            bits.append("1" if s >= 0 else "0")
+        assert got[i] == "".join(bits), f"vec {i}"
