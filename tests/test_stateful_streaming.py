@@ -171,12 +171,21 @@ def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
     }
     assert len(expect) == 3
 
-    # stream the same log in 3 ordered micro-batches
+    # stream the same log in 3 ordered micro-batches; the file source
+    # orders batches by modification time, and files written
+    # back-to-back can share an mtime (observed flake) — force a
+    # strictly increasing sequence so the slicing is deterministic
+    import os
+    import time as _time
+
     d = tmp_path / "stream_scd2"
     d.mkdir()
-    _write_batch(d, "b0.json", rows[:3])
-    _write_batch(d, "b1.json", rows[3:6])
-    _write_batch(d, "b2.json", rows[6:])
+    now = _time.time()
+    for k, (name, chunk) in enumerate(
+        [("b0.json", rows[:3]), ("b1.json", rows[3:6]), ("b2.json", rows[6:])]
+    ):
+        _write_batch(d, name, chunk)
+        os.utime(d / name, (now - 30 + 10 * k, now - 30 + 10 * k))
     q = (
         scd2_stream(stream_events(spark, str(d), max_files_per_trigger=1))
         .writeStream.outputMode("append")
