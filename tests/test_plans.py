@@ -221,3 +221,20 @@ def test_scd2_single_shuffle(spark, sf_dir):
         1 for line in tree.splitlines() if "+- Exchange" in line
     )
     assert n_exchanges == 1, f"expected 1 shuffle, got {n_exchanges}\n{plan}"
+
+
+def test_srp_lsh_gemm_has_no_signature_aggregation(spark, sf_dir):
+    """The GEMM rework's claim, asserted: bucket assignment happens in
+    the Arrow map stage (MapInPandas / ArrowEvalPython in the plan), so
+    there is NO (vector x plane) aggregation before the bucket-collect —
+    the only aggregates left are the bucket-collect itself and the
+    candidate-pair count."""
+    for name in ("q_ann_lsh", "q_ann_multitable"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+        # the r01 exploded form carried 2 extra HashAggregates for the
+        # per-(vec, plane) partial sums; the GEMM plan must not
+        n_aggs = _n_ops(plan, "HashAggregate") + _n_ops(
+            plan, "ObjectHashAggregate"
+        ) + _n_ops(plan, "SortAggregate")
+        assert n_aggs <= 4, f"{name}: unexpected aggregation stages\n{plan}"
