@@ -101,14 +101,22 @@ def main() -> None:
         except Exception:
             pass  # never let warm-up kill the bench
 
+    # Per-query MIN across N full passes: this box's run-to-run noise is
+    # ±30% (BASELINE.md), so a single pass can't distinguish a plan
+    # regression from scheduler jitter; min-of-runs is the stable
+    # estimator of a query's achievable cost.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        # count() forces full execution of every operator in the plan
-        # (aggregations/joins/windows can't short-circuit a count)
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = registry.QUERIES[name]
+            t0 = time.perf_counter()
+            # count() forces full execution of every operator in the plan
+            # (aggregations/joins/windows can't short-circuit a count)
+            fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
 
     total = round(sum(timings.values()), 3)
     print(
@@ -118,6 +126,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": n_runs,
+                "aggregation": "per_query_min_of_runs",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

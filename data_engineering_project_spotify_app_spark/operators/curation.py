@@ -175,7 +175,11 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^53 cumulative chars.
     """
     d = table(spark, sf_dir, "documents")
-    ranged = d.repartitionByRange(8, "doc_id").select(
+    # range count scales with the cluster, not a constant: one range per
+    # core (floor 8 keeps the two-phase shape exercised at toy scale).
+    # Phase 1 stays tiny either way — one (pid, total) row per range.
+    n_ranges = max(8, spark.sparkContext.defaultParallelism)
+    ranged = d.repartitionByRange(n_ranges, "doc_id").select(
         "doc_id", "n_chars", F.spark_partition_id().alias("pid")
     )
     part_totals = ranged.groupBy("pid").agg(

@@ -213,7 +213,9 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     n = _norm_frame(spark, sf_dir)
-    unit = n.select(
+    # zero-norm guard: an all-zero embedding has no direction — x/nrm
+    # would inject NaN features and poison (or fail) the KMeans fit
+    unit = n.filter(F.col("nrm") > 0).select(
         "vec_id",
         F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
     )

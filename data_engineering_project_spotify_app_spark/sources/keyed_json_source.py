@@ -190,10 +190,33 @@ class KeyedJsonWriter(DataSourceWriter):
         return _WroteFiles(names)
 
     def commit(self, messages) -> None:
-        manifest = sorted(
+        written = {
             name for msg in messages if msg is not None for name in msg.names
-        )
-        with open(os.path.join(self._dir, "_MANIFEST"), "w") as fh:
+        }
+        manifest_path = os.path.join(self._dir, "_MANIFEST")
+        if self._overwrite:
+            # snapshot semantics: the new manifest IS the directory —
+            # remove stale {id}.json objects from prior commits so
+            # manifest == files holds after re-staging an entity
+            for name in os.listdir(self._dir):
+                if name.endswith(".json") and name not in written:
+                    try:
+                        os.remove(os.path.join(self._dir, name))
+                    except FileNotFoundError:
+                        pass
+        else:
+            # append/upsert semantics: merge the prior manifest so keys
+            # staged by earlier commits stay listed (their files are
+            # still on disk; keyed writes only ever upsert in place)
+            try:
+                with open(manifest_path) as fh:
+                    written.update(
+                        line for line in fh.read().splitlines() if line
+                    )
+            except FileNotFoundError:
+                pass
+        manifest = sorted(written)
+        with open(manifest_path, "w") as fh:
             fh.write("\n".join(manifest) + ("\n" if manifest else ""))
 
     def abort(self, messages) -> None:

@@ -202,24 +202,31 @@ def _scd2_fn(
     is never emitted (it is not final until the stream ends) — exactly
     the rows the batch operator marks is_current=false.
 
-    In-batch events are folded in (ts, event_id) order, so replaying
-    the same events through any micro-batch slicing yields the same
-    closed intervals as the batch gaps-and-islands query (equivalence
-    pinned in tests/test_stateful_streaming.py)."""
+    A large group arrives as SEVERAL Arrow chunks in arbitrary shuffle
+    order, so the whole batch's events are concatenated and sorted by
+    (ts, event_id) BEFORE folding — sorting each chunk independently
+    would fold events out of order across chunk boundaries and emit
+    spurious intervals. Within one micro-batch any chunking therefore
+    yields the same closed intervals as the batch gaps-and-islands
+    query (equivalence pinned in tests/test_stateful_streaming.py)."""
     (user_id,) = key
     if state.exists:
         cur, from_us, last_us, last_eid, n = state.get
     else:
         cur, from_us, last_us, last_eid, n = None, None, None, None, 0
     closed: list[tuple] = []
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        pdf = pdf.sort_values(["ts", "event_id"])
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        )
+        batch = batch.sort_values(["ts", "event_id"])
         for ts, eid, etype in zip(
-            pdf["ts"].astype("int64") // 1000,
-            pdf["event_id"],
-            pdf["event_type"],
+            batch["ts"].astype("int64") // 1000,
+            batch["event_id"],
+            batch["event_type"],
         ):
             ts, eid = int(ts), int(eid)
             if cur is None:
@@ -244,6 +251,16 @@ def _scd2_fn(
 
 def scd2_stream(events: DataFrame) -> DataFrame:
     """Streaming SCD2: closed type-2 intervals per user as they finish.
+
+    PRECONDITION — in-order arrival ACROSS micro-batches: events are
+    sorted by (ts, event_id) within each batch, but there is no
+    watermark/late-event buffering, so an event arriving in a later
+    micro-batch with an earlier timestamp is folded after the runs
+    already closed and the output diverges from q_scd2_intervals.
+    Equivalence with the batch operator holds for any batch *slicing*
+    of an in-order stream, not for out-of-order delivery; feed from a
+    time-ordered source (replay log, ordered Kafka partition per user)
+    or pre-sort upstream.
 
     Scale: state is O(1) per user (one open run — five scalars); the
     shuffle key is user_id, same as the batch twin's single Exchange.

@@ -195,3 +195,50 @@ def test_stream_writer_lands_keyed_objects_per_batch(spark, tmp_path):
         batches = [line.split("\t") for line in fh.read().splitlines()]
     assert len(batches) >= 2  # one commit line per non-empty epoch
     assert sum(int(n) for _, n in batches) == 6
+
+
+def test_append_restage_merges_manifest(spark, tmp_path):
+    """Staging the same entity twice in append mode must keep
+    manifest == on-disk files: commit merges the prior manifest instead
+    of rewriting it to just the second batch's names."""
+    import os
+
+    out = str(tmp_path / "restage")
+    spark.dataSource.register(KeyedJsonDataSource)
+    for lo, hi in [(0, 5), (3, 8)]:  # overlapping key ranges (upsert)
+        df = spark.createDataFrame(
+            [artist(i) for i in range(lo, hi)], schema=ARTISTS_SCHEMA
+        )
+        (
+            df.write.format("keyed_json")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    names = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert names == [f"ar{i:03d}.json" for i in range(8)]
+    with open(os.path.join(out, "_MANIFEST")) as fh:
+        assert sorted(fh.read().split()) == names
+
+
+def test_overwrite_restage_is_snapshot(spark, tmp_path):
+    """mode('overwrite') is a snapshot: stale {id}.json objects from a
+    prior commit are removed so manifest == files afterwards."""
+    import os
+
+    out = str(tmp_path / "snap")
+    spark.dataSource.register(KeyedJsonDataSource)
+    for lo, hi, mode in [(0, 6, "append"), (2, 4, "overwrite")]:
+        df = spark.createDataFrame(
+            [artist(i) for i in range(lo, hi)], schema=ARTISTS_SCHEMA
+        )
+        (
+            df.write.format("keyed_json")
+            .option("path", out)
+            .mode(mode)
+            .save()
+        )
+    names = sorted(f for f in os.listdir(out) if f.endswith(".json"))
+    assert names == ["ar002.json", "ar003.json"]
+    with open(os.path.join(out, "_MANIFEST")) as fh:
+        assert sorted(fh.read().split()) == names

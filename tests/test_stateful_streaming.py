@@ -200,3 +200,63 @@ def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
         for r in spark.sql("SELECT * FROM scd2_closed").collect()
     }
     assert got == expect
+
+
+def test_scd2_fold_is_chunk_order_independent():
+    """applyInPandasWithState delivers a large group as several Arrow
+    chunks in ARBITRARY order; the fold must concat+sort the whole
+    batch before folding, or chunk-boundary events close spurious
+    intervals. Drives _scd2_fn directly with shuffled chunkings."""
+    import pandas as pd
+
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        _scd2_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows], unit="s"),
+                "event_id": [r[1] for r in rows],
+                "event_type": [r[2] for r in rows],
+            }
+        )
+
+    events = [
+        (10, 1, "a"), (20, 2, "a"), (30, 3, "b"),
+        (40, 4, "b"), (50, 5, "a"), (60, 6, "c"),
+    ]
+
+    def run(chunking):
+        st = FakeState()
+        out = list(_scd2_fn((7,), [mk(c) for c in chunking], st))
+        rows = []
+        for pdf in out:
+            rows += [tuple(r) for r in pdf.itertuples(index=False)]
+        return rows, st._v
+
+    base_rows, base_state = run([events])
+    assert len(base_rows) == 3  # a|b, b|a, a|c boundaries close 3 runs
+    # chunk boundaries mid-run, reversed chunk order, singleton chunks
+    for chunking in (
+        [events[:2], events[2:]],
+        [events[4:], events[:4]],
+        [events[3:], events[:3]],
+        [[e] for e in reversed(events)],
+    ):
+        rows, state = run(chunking)
+        assert rows == base_rows, chunking
+        assert state == base_state, chunking
