@@ -1,0 +1,303 @@
+"""Line/paragraph-level corpus dedup + exact substring overlap.
+
+The missing rung of the dedup ladder (doc-level exact / n-gram Jaccard /
+MinHash-LSH / SimHash / embedding live in dedup.py + mlops.py): C4-style
+INTRA-document dedup, where a *line* duplicated anywhere in the corpus
+is kept only at its first occurrence and every document is reassembled
+from its surviving lines (Raffel et al. 2020, "Exploring the Limits of
+Transfer Learning", §2.2 — the C4 three-sentence/line dedup rule), plus
+exact substring-overlap detection between document pairs (Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better" — the
+ExactSubstr motivation, here via k-gram diagonal runs instead of suffix
+arrays).
+
+The synthetic corpus has no newline characters, so a "line" is defined
+as a deterministic non-overlapping K-token chunk (K=4; "paragraph"
+= K=16) — the same segmentation expressed identically in the DuckDB
+oracles, which keeps every query fully hash-checkable.
+
+Scale design (100 TB posture):
+
+- first-occurrence is a min(struct(doc_id, line_idx)) HASH AGGREGATE
+  on the line digest followed by a co-partitioned join back, NOT a
+  row_number window over the digest: the window form puts every
+  occurrence of one line into ONE task, and the motivating C4 case is
+  exactly a boilerplate line repeated 10^8 times ("enable JavaScript").
+  The aggregate partial-aggregates map-side (a mega-duplicated line
+  shuffles one row per map task) and AQE skew-splits the probe join.
+  The price is the known two-consumer diamond (the line frame is
+  computed twice — NOTES_r2.md); a second linear pass is the right
+  trade against an unboundedly-skewed window partition.
+- LCS overlap caps k-gram posting lists at max(16, n_docs/200) BEFORE
+  pair explosion — the same stop-feature cap as the capped LSH ladder
+  (dedup.py): an ultra-common k-gram carries no overlap signal and its
+  C(df,2) pairs would serialize one task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.functions.text import (
+    TOKENS_SQL,
+    tokens,
+)
+from data_engineering_project_spotify_app_spark.operators.dedup import (
+    CAP_DIVISOR,
+    CAP_FLOOR,
+    _auto_cap,
+)
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table_parallel
+
+_TOK = TOKENS_SQL.format(col="text")
+
+LINE_TOKENS = 4
+PARA_TOKENS = 16
+
+LCS_GRAM = 4
+MIN_LCS_TOKENS = 8
+
+
+def _exploded_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, tok) rows, pos 0-based in document order.
+
+    posexplode of a pre-materialized token array — building chunks with
+    transform(sequence(...), i -> slice(tok, ...)) instead would let
+    ProjectCollapsing inline the tokenizer regex into every lambda
+    element (measured 10x on the shingle path, functions/text.py).
+    """
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    return toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+
+
+def _chunk_lines(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, line_idx, line): non-overlapping k-token chunks.
+
+    One shuffle on (doc_id, line_idx); the chunk string is reassembled
+    position-sorted so it equals the oracle's ORDER BY string_agg.
+    """
+    ex = _exploded_tokens(docs)
+    return (
+        ex.groupBy(
+            "doc_id",
+            F.floor(F.col("pos") / k).cast("bigint").alias("line_idx"),
+        )
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("line")
+        )
+    )
+
+
+def dedup_lines(docs: DataFrame, k: int) -> DataFrame:
+    """C4-style chunk dedup: keep each distinct line only at its FIRST
+    corpus occurrence (min (doc_id, line_idx)), reassemble documents
+    from surviving lines, and report kept/dropped counts per doc."""
+    lines = _chunk_lines(docs, k).withColumn("h", F.md5("line"))
+    firsts = lines.groupBy("h").agg(
+        F.min(F.struct("doc_id", "line_idx")).alias("first")
+    )
+    flagged = lines.join(firsts, "h").select(
+        "doc_id",
+        "line_idx",
+        "line",
+        (
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("line_idx") == F.col("first.line_idx"))
+        ).alias("keep"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("line_idx", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+        F.count(F.when(~F.col("keep"), 1)).alias("n_dropped"),
+    )
+
+
+def _dedup_lines_oracle(k: int) -> str:
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(generate_series(1, len(t))) AS pos1
+      FROM tok
+    ),
+    lines AS (
+      SELECT doc_id,
+             CAST(floor((pos1 - 1) / {k}) AS BIGINT) AS line_idx,
+             string_agg(tok, ' ' ORDER BY pos1) AS line
+      FROM ex GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, line_idx, line,
+             row_number() OVER (
+               PARTITION BY md5(line) ORDER BY doc_id, line_idx
+             ) AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           coalesce(
+             string_agg(line, ' ' ORDER BY line_idx) FILTER (rn = 1), ''
+           ) AS clean_text,
+           count(*) FILTER (rn = 1) AS n_kept,
+           count(*) FILTER (rn > 1) AS n_dropped
+    FROM ranked GROUP BY doc_id
+    """
+
+
+@query("q_dedup_lines", oracle=_dedup_lines_oracle(LINE_TOKENS))
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level corpus dedup (line = 4-token chunk)."""
+    return dedup_lines(table_parallel(spark, sf_dir, "documents"), LINE_TOKENS)
+
+
+@query("q_dedup_paragraphs", oracle=_dedup_lines_oracle(PARA_TOKENS))
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level twin of q_dedup_lines (paragraph = 16-token
+    chunk) — coarser segments, so only near-verbatim boilerplate blocks
+    are dropped while shared short phrases survive."""
+    return dedup_lines(table_parallel(spark, sf_dir, "documents"), PARA_TOKENS)
+
+
+@query(
+    "q_lcs_overlap",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(generate_series(1, len(t))) AS pos1
+      FROM tok
+    ),
+    g0 AS (
+      SELECT doc_id, pos1 - 1 AS pos, tok,
+             lead(tok, 1) OVER w AS t1,
+             lead(tok, 2) OVER w AS t2,
+             lead(tok, 3) OVER w AS t3
+      FROM ex WINDOW w AS (PARTITION BY doc_id ORDER BY pos1)
+    ),
+    g AS (
+      SELECT doc_id, pos,
+             tok || ' ' || t1 || ' ' || t2 || ' ' || t3 AS gram
+      FROM g0 WHERE t3 IS NOT NULL
+    ),
+    occ AS (SELECT md5(gram) AS h, doc_id, pos FROM g),
+    keep AS (
+      SELECT h FROM occ GROUP BY h
+      HAVING count(*) > 1
+         AND count(*) <= greatest({CAP_FLOOR},
+                                  (SELECT count(*) FROM documents)
+                                    // {CAP_DIVISOR})
+    ),
+    occf AS (SELECT occ.* FROM occ JOIN keep USING (h)),
+    pairs AS (
+      SELECT a.doc_id AS da, a.pos AS pa, b.doc_id AS db, b.pos AS pb
+      FROM occf a JOIN occf b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT da, db, pa - pb AS diag, pa,
+             row_number() OVER (
+               PARTITION BY da, db, pa - pb ORDER BY pa
+             ) AS rn
+      FROM pairs
+    ),
+    islands AS (
+      SELECT da, db, count(*) AS run
+      FROM runs GROUP BY da, db, diag, pa - rn
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(max(run) + {LCS_GRAM} - 1 AS BIGINT) AS lcs_tokens
+    FROM islands GROUP BY 1, 2
+    HAVING max(run) + {LCS_GRAM} - 1 >= {MIN_LCS_TOKENS}
+    """,
+)
+def q_lcs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest common token-run per document pair (ExactSubstr-style).
+
+    A shared token run of length L >= {LCS_GRAM} appears as L-K+1
+    consecutive shared k-grams on one (doc_a, doc_b, pos_a - pos_b)
+    DIAGONAL, so the longest exact overlap is K-1 + the longest
+    consecutive-position island of shared k-grams per diagonal — the
+    gaps-and-islands trick applied to the k-gram match matrix. Exact
+    for every overlap >= K tokens, and fully SQL-expressible, unlike
+    the suffix-array formulation it replaces.
+
+    Scale: sliding k-grams come from lead() windows partitioned by
+    doc_id (uniform); candidate pairs come from bucket-collect on the
+    gram digest with posting lists capped at max(16, n_docs/200)
+    occurrences BEFORE the C(df,2) explosion — stop-grams are dropped,
+    bounding the largest task. Island detection windows partition on
+    (doc_a, doc_b, diag), bounded by document length.
+    """
+    docs = table_parallel(spark, sf_dir, "documents")
+    ex = _exploded_tokens(docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    g = (
+        ex.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(
+                " ",
+                "tok",
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+                F.lead("tok", 3).over(w),
+            ).alias("gram"),
+            F.lead("tok", 3).over(w).alias("_chk"),
+        )
+        .filter(F.col("_chk").isNotNull())
+        .select("doc_id", "pos", F.md5("gram").alias("h"))
+    )
+    # bucket-collect with in-plan cap (cheap scalar from the base table)
+    cap = docs.agg(_auto_cap(F.count("*")).alias("df_cap"))
+    buckets = (
+        g.groupBy("h")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "pos"))).alias("occ"))
+        .filter(F.size("occ") > 1)
+        .crossJoin(F.broadcast(cap))
+        .filter(F.size("occ") <= F.col("df_cap"))
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(occ, (x, i) -> "
+                    "transform(slice(occ, i + 2, size(occ) - i - 1), "
+                    "y -> struct(x.doc_id AS da, x.pos AS pa, "
+                    "y.doc_id AS db, y.pos AS pb))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.da", "pr.pa", "pr.db", "pr.pb")
+        .filter(F.col("da") != F.col("db"))
+    )
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    wr = Window.partitionBy("da", "db", "diag").orderBy("pa")
+    runs = pairs.select("da", "db", diag, "pa").withColumn(
+        "isl", F.col("pa") - F.row_number().over(wr)
+    )
+    islands = runs.groupBy("da", "db", "diag", "isl").agg(
+        F.count("*").alias("run")
+    )
+    return (
+        islands.groupBy(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+        )
+        .agg((F.max("run") + F.lit(LCS_GRAM - 1)).alias("lcs_tokens"))
+        .filter(F.col("lcs_tokens") >= MIN_LCS_TOKENS)
+    )

@@ -58,6 +58,7 @@ def load_all_modules() -> None:
         incremental,
         ivf,
         ivf_adc,
+        linedup,
         mlops,
         pq,
         quality,

@@ -1,0 +1,98 @@
+"""Line/paragraph-level dedup + LCS overlap: adversarial semantics.
+
+The oracle-parity suite already pins cross-engine equality on the real
+fixtures; these tests pin the SEMANTICS on hand-built corpora — the
+C4 motivating case (one boilerplate line shared by many documents) and
+known-overlap document pairs for the k-gram-diagonal LCS.
+"""
+
+from __future__ import annotations
+
+from data_engineering_project_spotify_app_spark.operators.linedup import (
+    LINE_TOKENS,
+    MIN_LCS_TOKENS,
+    dedup_lines,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_line_kept_only_at_first_occurrence(spark):
+    # 40 documents all carrying the same 4-token boilerplate line first,
+    # then a unique tail line — the C4 case: the boilerplate survives
+    # only in doc 0, every other doc keeps just its unique tail.
+    boiler = "please enable java script"
+    rows = [(i, f"{boiler} unique tail line {i}") for i in range(40)]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(_docs(spark, rows), LINE_TOKENS).collect()
+    }
+    assert len(out) == 40
+    assert out[0]["clean_text"] == f"{boiler} unique tail line 0"
+    assert (out[0]["n_kept"], out[0]["n_dropped"]) == (2, 0)
+    for i in range(1, 40):
+        assert out[i]["clean_text"] == f"unique tail line {i}", i
+        assert (out[i]["n_kept"], out[i]["n_dropped"]) == (1, 1), i
+
+
+def test_doc_fully_made_of_duplicates_reassembles_empty(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),  # every line first seen in doc 1
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(_docs(spark, rows), LINE_TOKENS).collect()
+    }
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[2]["clean_text"] == ""
+    assert (out[2]["n_kept"], out[2]["n_dropped"]) == (0, 1)
+
+
+def test_first_occurrence_is_min_doc_then_position(spark):
+    # the duplicated line sits LATE in doc 1 and EARLY in doc 2: first
+    # occurrence orders by (doc_id, line_idx), so doc 1 keeps it
+    rows = [
+        (1, "one two three four shared line goes here"),
+        (2, "shared line goes here five six seven eight"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(_docs(spark, rows), LINE_TOKENS).collect()
+    }
+    assert out[1]["n_dropped"] == 0
+    assert out[2]["clean_text"] == "five six seven eight"
+
+
+def test_lcs_overlap_finds_exact_shared_run(spark):
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    # build a tiny corpus parquet: docs 1/2 share an 11-token run
+    # (>= MIN_LCS_TOKENS), docs 3/4 share only 6 tokens (< threshold
+    # after the 8-token floor? 6 < 8 — excluded), doc 5 is disjoint
+    shared = "zero one two three four five six seven eight nine ten"
+    short = "aa bb cc dd ee ff"
+    rows = [
+        (1, f"left padding words {shared} and a tail"),
+        (2, f"{shared} other ending entirely"),
+        (3, f"{short} xx yy zz"),
+        (4, f"qq rr ss {short}"),
+        (5, "totally different content with no overlap at all here"),
+    ]
+    df = _docs(spark, rows).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["lcs_tokens"]
+            for r in registry.QUERIES["q_lcs_overlap"](spark, d).collect()
+        }
+    assert got == {(1, 2): 11}, got
+    assert MIN_LCS_TOKENS == 8
