@@ -37,22 +37,71 @@ FEATURE_SCHEMA = (
 )
 
 
+try:  # optional real raster codec — import-gated, absent in container
+    from PIL import Image as _PILImage  # type: ignore
+
+    _HAS_PIL = True
+except ImportError:  # pragma: no cover - container has no pillow
+    _PILImage = None
+    _HAS_PIL = False
+
+
+def _decode_ppm_p6(payload: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib decode of a binary PPM (P6) raster — a REAL image
+    format the pipeline exercises even without media libs: header is
+    ASCII 'P6 <w> <h> <maxval>' with #-comments, then raw RGB bytes."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment to end-of-line
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = fields
+    need = w * h * (6 if maxval > 255 else 3)
+    raster = payload[i : i + need]
+    if len(raster) < need:
+        raise ValueError(f"truncated P6 raster: {len(raster)} < {need}")
+    return (w, h, sum(raster[:4096]) + len(raster))
+
+
 def decode_stub(fmt: str, payload: bytes) -> tuple[int, int, int]:
     """Decode one media payload → (width, height, checksum).
 
-    Real formats (jpeg/png/wav/mp4/...) would dispatch to the media lib
-    here; the container has none, so they raise. The 'fake/' format
-    family decodes deterministically from the payload bytes so tests and
-    the driver's rows-only check exercise the full pipeline shape.
+    Dispatch ladder: 'fake/*' decodes deterministically from the bytes
+    (the always-available test format); 'image/ppm' runs a real
+    pure-stdlib P6 parser; other rasters (jpeg/png/...) go through
+    pillow WHEN the environment has it (import-gated — this container
+    does not), else raise. Audio/video formats stay stubbed.
     """
     if fmt.startswith("fake/"):
         n = len(payload)
         checksum = sum(payload[:64]) + n
         # deterministic fake dimensions derived from content
         return (n % 640 + 1, (checksum % 480) + 1, checksum)
+    if fmt == "image/ppm":
+        return _decode_ppm_p6(payload)
+    if fmt.startswith("image/") and _HAS_PIL:
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            w, h = im.size
+            raster = im.convert("RGB").tobytes()
+        return (w, h, sum(raster[:4096]) + len(raster))
     raise NotImplementedError(
         f"media decode for {fmt!r} requires an image/audio library "
-        "not present in this environment; only 'fake/*' is implemented"
+        "not present in this environment; 'fake/*', 'image/ppm' and "
+        "(with pillow) raster 'image/*' are implemented"
     )
 
 

@@ -126,3 +126,54 @@ def test_frame_sampling_fans_out_deterministically(spark, sf_dir):
     }
     for r in rows:
         assert again[(r["doc_id"], r["frame_idx"])] == r["frame_checksum"]
+
+
+def _ppm(w, h, comment=False):
+    header = b"P6\n"
+    if comment:
+        header += b"# a comment line\n"
+    header += f"{w} {h}\n255\n".encode()
+    raster = bytes((x * 7 + 3) % 256 for x in range(w * h * 3))
+    return header + raster
+
+
+def test_decode_real_ppm_raster():
+    """image/ppm decodes through a REAL pure-stdlib P6 parser."""
+    w, h, c = decode_stub("image/ppm", _ppm(8, 6))
+    assert (w, h) == (8, 6)
+    w2, h2, c2 = decode_stub("image/ppm", _ppm(8, 6, comment=True))
+    assert (w2, h2, c2) == (w, h, c)  # header comments don't change decode
+    with pytest.raises(ValueError):
+        decode_stub("image/ppm", _ppm(8, 6)[:-10])  # truncated raster
+
+
+def test_decode_dispatch_ladder():
+    import importlib.util
+
+    has_pil = importlib.util.find_spec("PIL") is not None
+    if not has_pil:
+        with pytest.raises(NotImplementedError):
+            decode_stub("image/png", b"\x89PNG\r\n")
+    else:  # pragma: no cover - pillow absent in this container
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (5, 4)).save(buf, format="PNG")
+        w, h, _ = decode_stub("image/png", buf.getvalue())
+        assert (w, h) == (5, 4)
+
+
+def test_ppm_payloads_flow_through_feature_pipeline(spark):
+    """Real-format payloads ride the same mapInPandas feature path."""
+    from data_engineering_project_spotify_app_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    rows = [(i, "image/ppm", _ppm(4 + i, 3 + i)) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, fmt string, payload binary")
+    got = {r["doc_id"]: r for r in extract_features(df).collect()}
+    for i in range(6):
+        assert (got[i]["width"], got[i]["height"]) == (4 + i, 3 + i)
+        assert got[i]["byte_len"] == len(_ppm(4 + i, 3 + i))
