@@ -77,6 +77,9 @@ HEADLINE = [
     "q_minhash_lsh_capped",
     "q_tpch_q12",
     "q_scd2_intervals",
+    # round-3 additions: line-level dedup + substring overlap
+    "q_dedup_lines",
+    "q_lcs_overlap",
 ]
 
 

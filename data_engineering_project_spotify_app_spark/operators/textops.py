@@ -396,3 +396,85 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "q_bigram_logprob",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(generate_series(1, len(t))) AS pos
+      FROM t0
+    ),
+    bg AS (
+      SELECT doc_id, w1, w2 FROM (
+        SELECT doc_id, tok AS w1,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        FROM ex
+      ) WHERE w2 IS NOT NULL
+    ),
+    bc AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY 1, 2),
+    uc AS (SELECT tok, count(*) AS cu FROM ex GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS vsz FROM ex)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln((bc.cb + 1.0) / (uc.cu + v.vsz))), 4) AS avg_logprob
+    FROM bg b
+    JOIN bc USING (w1, w2)
+    JOIN uc ON uc.tok = b.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram LM score per document, add-one smoothed — the next
+    rung above q_unigram_logprob on the CCNet-style quality ladder:
+    avg ln P(w2|w1) with P = (c(w1 w2) + 1) / (c(w1) + V). Word-salad
+    documents (plausible tokens, implausible transitions) score low
+    where the unigram model cannot tell them apart from prose.
+
+    Docs with fewer than 2 tokens have no bigrams and drop out — in
+    both engines identically.
+
+    Scale: consecutive pairs come from zip_with over two array slices
+    (constant references — no per-element re-evaluation, see
+    functions/text.py) exploded once; bigram counts and context counts
+    are hash aggregations on (w1, w2) / w1 (map-side combined, Zipf
+    head collapses early); both score joins are token-partitioned and
+    co-located at 100 TB; only the vocab-size SCALAR is broadcast — no
+    broadcast assumption on the (huge) bigram table.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    ex = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uc = ex.groupBy("tok").agg(F.count("*").alias("cu"))
+    v = ex.agg(F.count_distinct("tok").alias("vsz"))
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc, F.col("tok") == F.col("w1"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("cb") + F.lit(1.0))
+                        / (F.col("cu") + F.col("vsz"))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )

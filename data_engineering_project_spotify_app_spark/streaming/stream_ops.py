@@ -227,3 +227,59 @@ def clicks_to_purchases_left_outer(
         ),
         "leftOuter",
     ).select("purchase_id", "click_id", "p_user", "purchase_ts", "amount")
+
+
+def interval_join_stream(
+    clicks: DataFrame,
+    errors: DataFrame,
+    band_seconds: int = 300,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream twin of q_interval_join (scale_ops.py): clicks
+    matched to errors within ±band_seconds, as a NATIVE stream-stream
+    inner join with a time-range condition.
+
+    Stream-stream joins REQUIRE an equality predicate (the join state
+    store is keyed by it; a pure range condition raises
+    streamJoinStreamWithoutEqualityPredicate) — so this reuses the batch
+    twin's construction verbatim: bucket each side by
+    floor(epoch/band), explode the error side to bucket ± 1, equi-join
+    on the bucket key, then apply the exact band predicate. The time-
+    range condition on the watermarked columns additionally lets the
+    engine evict join state older than (watermark + band) — the
+    bounded-state contract. Emits one row per matched (click, error)
+    pair as matches arrive (append mode); the per-click error count is
+    a downstream aggregation (chained stateful operators) or a batch
+    rollup over the emitted pairs, which is how
+    tests/test_streaming_depth.py pins equivalence with the batch twin.
+    """
+    c_sec = F.col("c_ts").cast("double")
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+        )
+        .withWatermark("c_ts", watermark)
+        .withColumn(
+            "b", F.floor(c_sec / band_seconds).cast("bigint")
+        )
+    )
+    e_sec = F.col("e_ts").cast("double")
+    e_bucket = F.floor(e_sec / band_seconds).cast("bigint")
+    e = (
+        errors.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"), F.col("ts").alias("e_ts")
+        )
+        .withWatermark("e_ts", watermark)
+        .withColumn(
+            "b", F.explode(F.array(e_bucket - 1, e_bucket, e_bucket + 1))
+        )
+    )
+    band = F.expr(
+        f"e_ts BETWEEN c_ts - INTERVAL {band_seconds} SECONDS "
+        f"AND c_ts + INTERVAL {band_seconds} SECONDS"
+    )
+    return c.join(e, (c["b"] == e["b"]) & band).select(
+        "click_id", "c_ts", "error_id", "e_ts"
+    )

