@@ -478,3 +478,91 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+MIN_DOC_TOKENS = 20
+MIN_QUALITY = 0.5
+
+
+@query(
+    "q_corpus_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, md5(text) AS h,
+             CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+             {_lang_hits_sql(('the', 'a', 'of', 'and'))} AS sw_hits
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, h, n_tokens,
+             least(n_tokens / 50.0, 1.0) * 0.6
+               + least(sw_hits / (n_tokens + 1.0) * 5.0, 1.0) * 0.4
+               AS quality
+      FROM t
+    ),
+    k AS (SELECT h, min(doc_id) AS keep_id FROM t GROUP BY h)
+    SELECT q.doc_id, q.n_tokens, round(q.quality, 4) AS quality,
+           CASE
+             WHEN q.doc_id <> k.keep_id THEN 'duplicate'
+             WHEN q.n_tokens < {MIN_DOC_TOKENS} THEN 'too_short'
+             WHEN q.quality < {MIN_QUALITY} THEN 'low_quality'
+             ELSE 'ok'
+           END AS reason,
+           (q.doc_id = k.keep_id AND q.n_tokens >= {MIN_DOC_TOKENS}
+             AND q.quality >= {MIN_QUALITY}) AS keep
+    FROM q JOIN k USING (h)
+    """,
+)
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4-style curation funnel as ONE query: every document gets a
+    keep/drop decision with its FIRST failing rule as the reason —
+    exact-duplicate (not the min-doc_id keeper of its content hash) →
+    too_short (< 20 tokens) → low_quality (the q_quality_score formula
+    below 0.5) → ok. The per-reason counts are the funnel report every
+    corpus curation run starts from.
+
+    Scale: one codegen projection computes hash + signals; duplicate
+    detection is the same min-aggregate + co-partitioned join as
+    q_dedup_lines (map-side combinable, AQE-skew-splittable — never a
+    digest-partitioned window); thresholds are per-document constants,
+    so the decision needs no second corpus pass.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    sw = ("the", "a", "of", "and")
+    t = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.size(tok).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(tok, lambda x: x.isin(*sw)))
+        .cast("bigint")
+        .alias("sw_hits"),
+    )
+    n_tok = F.col("n_tokens")
+    q = t.select(
+        "doc_id",
+        "h",
+        "n_tokens",
+        (
+            F.least(n_tok / 50.0, F.lit(1.0)) * 0.6
+            + F.least(F.col("sw_hits") / (n_tok + 1.0) * 5.0, F.lit(1.0))
+            * 0.4
+        ).alias("quality"),
+    )
+    k = t.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    ok = (
+        (F.col("doc_id") == F.col("keep_id"))
+        & (n_tok >= MIN_DOC_TOKENS)
+        & (F.col("quality") >= MIN_QUALITY)
+    )
+    return q.join(k, "h").select(
+        "doc_id",
+        "n_tokens",
+        F.round("quality", 4).alias("quality"),
+        F.when(F.col("doc_id") != F.col("keep_id"), "duplicate")
+        .when(n_tok < MIN_DOC_TOKENS, "too_short")
+        .when(F.col("quality") < MIN_QUALITY, "low_quality")
+        .otherwise("ok")
+        .alias("reason"),
+        ok.alias("keep"),
+    )

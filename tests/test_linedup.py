@@ -96,3 +96,36 @@ def test_lcs_overlap_finds_exact_shared_run(spark):
         }
     assert got == {(1, 2): 11}, got
     assert MIN_LCS_TOKENS == 8
+
+
+def test_corpus_filter_reports_first_failing_rule(spark):
+    """A doc that is BOTH a duplicate and too short must report
+    'duplicate' (the ladder is ordered), and only 'ok' docs keep."""
+    import tempfile
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    long_good = " ".join(["the quick brown fox jumps of and a"] * 5)  # 35 toks
+    rows = [
+        (1, long_good),            # ok: long, stopword-dense, unique
+        (2, long_good),            # duplicate of 1 (also would pass others)
+        (3, "tiny short doc"),     # too_short
+        (4, "tiny short doc"),     # duplicate beats too_short in the ladder
+        (5, " ".join(f"w{i}" for i in range(40))),  # long but 0 stopwords
+    ]
+    df = _docs(spark, rows).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["reason"], r["keep"])
+            for r in registry.QUERIES["q_corpus_filter"](spark, d).collect()
+        }
+    assert got[1] == ("ok", True)
+    assert got[2] == ("duplicate", False)
+    assert got[3] == ("too_short", False)
+    assert got[4] == ("duplicate", False)
+    assert got[5] == ("low_quality", False)
