@@ -175,10 +175,13 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(table_parallel(spark, sf_dir, "documents"), PARA_TOKENS)
 
 
-@query(
-    "q_lcs_overlap",
-    oracle=f"""
-    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+# Shared CTE chain for the k-gram-diagonal machinery: sliding 4-gram
+# occurrences → capped posting lists → cross-doc position pairs →
+# consecutive-position islands per (doc_a, doc_b, diagonal). Used by
+# both q_lcs_overlap (max island per pair) and q_remove_overlaps
+# (islands → doc_b token spans → span removal).
+_DIAG_RUNS_SQL = f"""
+    tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
     ex AS (
       SELECT doc_id, unnest(t) AS tok,
              unnest(generate_series(1, len(t))) AS pos1
@@ -217,9 +220,16 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pairs
     ),
     islands AS (
-      SELECT da, db, count(*) AS run
+      SELECT da, db, diag, min(pa) AS pa0, count(*) AS run
       FROM runs GROUP BY da, db, diag, pa - rn
     )
+"""
+
+
+@query(
+    "q_lcs_overlap",
+    oracle=f"""
+    WITH {_DIAG_RUNS_SQL}
     SELECT da AS doc_a, db AS doc_b,
            CAST(max(run) + {LCS_GRAM} - 1 AS BIGINT) AS lcs_tokens
     FROM islands GROUP BY 1, 2
@@ -244,6 +254,22 @@ def q_lcs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounding the largest task. Island detection windows partition on
     (doc_a, doc_b, diag), bounded by document length.
     """
+    islands = _diag_islands(spark, sf_dir)
+    return (
+        islands.groupBy(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+        )
+        .agg((F.max("run") + F.lit(LCS_GRAM - 1)).alias("lcs_tokens"))
+        .filter(F.col("lcs_tokens") >= MIN_LCS_TOKENS)
+    )
+
+
+def _diag_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(da, db, diag, pa0, run): maximal consecutive-shared-k-gram
+    islands per cross-doc diagonal — the Spark twin of _DIAG_RUNS_SQL.
+    ``pa0`` is the island's first gram position in doc_a (so the doc_b
+    span starts at pa0 - diag); ``run`` its gram count (span length in
+    tokens = run + LCS_GRAM - 1)."""
     docs = table_parallel(spark, sf_dir, "documents")
     ex = _exploded_tokens(docs)
     w = Window.partitionBy("doc_id").orderBy("pos")
@@ -291,13 +317,124 @@ def q_lcs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = pairs.select("da", "db", diag, "pa").withColumn(
         "isl", F.col("pa") - F.row_number().over(wr)
     )
-    islands = runs.groupBy("da", "db", "diag", "isl").agg(
-        F.count("*").alias("run")
+    return runs.groupBy("da", "db", "diag", "isl").agg(
+        F.min("pa").alias("pa0"), F.count("*").alias("run")
     )
-    return (
-        islands.groupBy(
-            F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
-        )
-        .agg((F.max("run") + F.lit(LCS_GRAM - 1)).alias("lcs_tokens"))
-        .filter(F.col("lcs_tokens") >= MIN_LCS_TOKENS)
+
+
+@query(
+    "q_remove_overlaps",
+    oracle=f"""
+    WITH {_DIAG_RUNS_SQL},
+    spans AS (
+      SELECT db AS doc_id, pa0 - diag AS s,
+             pa0 - diag + run + {LCS_GRAM} - 1 AS e
+      FROM islands
+      WHERE run + {LCS_GRAM} - 1 >= {MIN_LCS_TOKENS}
+    ),
+    marked AS (
+      SELECT doc_id, s, e,
+             max(e) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_max
+      FROM spans
+    ),
+    grouped AS (
+      SELECT doc_id, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS grp
+      FROM marked
+    ),
+    merged AS (
+      SELECT doc_id, min(s) AS s, max(e) AS e
+      FROM grouped GROUP BY doc_id, grp
+    ),
+    toks AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(generate_series(1, len(t))) - 1 AS pos
+      FROM tok
+    ),
+    flagged AS (
+      SELECT tk.doc_id, tk.pos, tk.tok, m.s
+      FROM toks tk
+      LEFT JOIN merged m
+        ON m.doc_id = tk.doc_id AND tk.pos >= m.s AND tk.pos < m.e
+    )
+    SELECT doc_id,
+           coalesce(
+             string_agg(tok, ' ' ORDER BY pos) FILTER (s IS NULL), ''
+           ) AS clean_text,
+           count(*) FILTER (s IS NOT NULL) AS n_removed
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q_remove_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (the second half of Lee et al. 2022): every
+    token span of >= {MIN_LCS_TOKENS} tokens that also appears in an
+    earlier document (doc_a < doc_b) is cut from the LATER document;
+    the earlier occurrence survives. Spans from q_lcs_overlap's
+    diagonal islands are projected onto doc_b coordinates, merged per
+    document (classic running-max interval merge), and the document is
+    reassembled without the covered positions.
+
+    Scale: spans per doc are few and short (windows partition on
+    doc_id — bounded); the flagging join is tokens ⋈ merged-spans on
+    doc_id + range predicate, co-partitioned on the doc key; final
+    reassembly reuses the (doc_id)-grouped sorted concat from the line
+    dedup family.
+    """
+    islands = _diag_islands(spark, sf_dir)
+    spans = islands.filter(
+        F.col("run") + F.lit(LCS_GRAM - 1) >= MIN_LCS_TOKENS
+    ).select(
+        F.col("db").alias("doc_id"),
+        (F.col("pa0") - F.col("diag")).alias("s"),
+        (F.col("pa0") - F.col("diag") + F.col("run") + F.lit(LCS_GRAM - 1)).alias(
+            "e"
+        ),
+    )
+    wm = Window.partitionBy("doc_id").orderBy("s", "e")
+    marked = spans.withColumn(
+        "prev_max",
+        F.max("e").over(wm.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    grouped = marked.withColumn(
+        "grp",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(wm.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = grouped.groupBy("doc_id", "grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    toks = _exploded_tokens(
+        table_parallel(spark, sf_dir, "documents")
+    )
+    flagged = toks.join(
+        merged,
+        (toks["doc_id"] == merged["doc_id"])
+        & (F.col("pos") >= F.col("s"))
+        & (F.col("pos") < F.col("e")),
+        "left",
+    ).select(toks["doc_id"], "pos", "tok", "s")
+    return flagged.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("s").isNull(), F.struct("pos", "tok"))
+                    )
+                ),
+                lambda x: x["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.when(F.col("s").isNotNull(), 1)).alias("n_removed"),
     )

@@ -129,3 +129,42 @@ def test_corpus_filter_reports_first_failing_rule(spark):
     assert got[3] == ("too_short", False)
     assert got[4] == ("duplicate", False)
     assert got[5] == ("low_quality", False)
+
+
+def test_remove_overlaps_cuts_span_from_later_doc_only(spark):
+    """The 11-token shared run must survive in doc 1 (earlier) and be
+    cut from doc 2; disjoint docs are untouched; overlapping spans from
+    different partners merge instead of double-removing."""
+    import tempfile
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    shared = "zero one two three four five six seven eight nine ten"
+    rows = [
+        (1, f"left padding words {shared} and a tail"),
+        (2, f"{shared} other ending entirely"),
+        # doc 3 contains the shared run EXTENDED by two tokens — its two
+        # overlap spans (vs doc 1 and vs doc 2) cover overlapping ranges
+        # and must merge into one removal region
+        (3, f"prefix {shared} extra suffix"),
+        (5, "totally different content with no overlap at all here"),
+    ]
+    df = _docs(spark, rows).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in registry.QUERIES["q_remove_overlaps"](spark, d).collect()
+        }
+    # doc 1 is the earliest: untouched
+    assert got[1] == (f"left padding words {shared} and a tail", 0)
+    # doc 2 loses exactly the 11 shared tokens
+    assert got[2] == ("other ending entirely", 11)
+    # doc 3 loses the merged region once (11 tokens), keeps its frame
+    assert got[3] == ("prefix extra suffix", 11)
+    # disjoint doc untouched
+    assert got[5][1] == 0

@@ -171,3 +171,46 @@ def test_scd2_intervals_partition_each_users_timeline(spark, seq):
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from
             assert a.state != b.state
+
+
+_words = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=24
+)
+_corpus = st.lists(_words, min_size=1, max_size=8)
+
+
+def _dedup_lines_py(texts, k=4):
+    """Pure-Python reference of dedup_lines: first (doc, chunk) keeps."""
+    seen = set()
+    out = {}
+    for doc_id, toks in enumerate(texts):
+        kept, dropped = [], 0
+        for i in range(0, len(toks), k):
+            line = " ".join(toks[i : i + k])
+            if line in seen:
+                dropped += 1
+            else:
+                seen.add(line)
+                kept.append(line)
+        if toks:
+            out[doc_id] = (" ".join(kept), len(kept), dropped)
+    return out
+
+
+@given(corpus=_corpus)
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_dedup_lines_matches_pure_python_reference(spark, corpus):
+    """q_dedup_lines' distributed first-occurrence fold == a sequential
+    single-threaded dedup for ANY corpus (duplicate-heavy by
+    construction: 5-word vocabulary)."""
+    from data_engineering_project_spotify_app_spark.operators.linedup import (
+        dedup_lines,
+    )
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in dedup_lines(df, 4).collect()
+    }
+    assert got == _dedup_lines_py(corpus)
