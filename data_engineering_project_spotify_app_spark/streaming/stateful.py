@@ -273,3 +273,110 @@ def scd2_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FILTER_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_tokens", T.LongType()),
+        T.StructField("reason", T.StringType()),
+        T.StructField("keep", T.BooleanType()),
+    ]
+)
+
+# one flag per distinct content hash: has a doc with this hash passed?
+FILTER_STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
+
+MIN_DOC_TOKENS = 20
+MIN_QUALITY = 0.5
+
+
+def _corpus_filter_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Grouped by content hash: the FIRST arrival (min doc_id within the
+    batch, state across batches) gets the quality ladder; every later
+    arrival is 'duplicate'. Same concat-then-sort discipline as
+    _scd2_fn — chunk order is not contractual."""
+    seen = state.exists
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    batch = (
+        pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    ).sort_values("doc_id")
+    doc_ids, n_toks, reasons, keeps = [], [], [], []
+    for doc_id, n_tokens, quality in zip(
+        batch["doc_id"], batch["n_tokens"], batch["quality"]
+    ):
+        if seen:
+            reason = "duplicate"
+        else:
+            seen = True
+            if n_tokens < MIN_DOC_TOKENS:
+                reason = "too_short"
+            elif quality < MIN_QUALITY:
+                reason = "low_quality"
+            else:
+                reason = "ok"
+        doc_ids.append(int(doc_id))
+        n_toks.append(int(n_tokens))
+        reasons.append(reason)
+        keeps.append(reason == "ok")
+    state.update((1,))
+    yield pd.DataFrame(
+        {
+            "doc_id": doc_ids,
+            "n_tokens": n_toks,
+            "reason": reasons,
+            "keep": keeps,
+        }
+    )
+
+
+def corpus_filter_stream(docs: DataFrame) -> DataFrame:
+    """Streaming twin of q_corpus_filter (operators/textops.py): every
+    arriving document gets its keep/drop decision with the same
+    first-failing-rule ladder; 'duplicate' means a document with the
+    same content hash already passed through the stream — exactly the
+    batch operator's min-doc_id keeper rule when arrival order follows
+    doc_id (equivalence pinned in tests/test_stateful_streaming.py).
+
+    The stateless signals (hash, token count, quality score) are
+    computed in a codegen projection BEFORE the stateful stage; the
+    applyInPandasWithState op only carries the cross-batch duplicate
+    memory — one long per distinct content hash. Production streams
+    should bound that state with an event-time TTL (the
+    GroupStateTimeout knob, as in closed_sessions) at the horizon where
+    re-emitting an old duplicate is acceptable.
+
+    ``docs`` must carry (doc_id, text); signals are derived here.
+    """
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.functions.text import (
+        tokens,
+    )
+
+    tok = tokens(F.col("text"))
+    sw = ("the", "a", "of", "and")
+    n_tok = F.size(tok).cast("bigint")
+    sw_hits = F.size(F.filter(tok, lambda x: x.isin(*sw))).cast("bigint")
+    sig = docs.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        n_tok.alias("n_tokens"),
+        (
+            F.least(n_tok / 50.0, F.lit(1.0)) * 0.6
+            + F.least(sw_hits / (n_tok + 1.0) * 5.0, F.lit(1.0)) * 0.4
+        ).alias("quality"),
+    )
+    return sig.groupBy("h").applyInPandasWithState(
+        _corpus_filter_fn,
+        outputStructType=FILTER_OUT_SCHEMA,
+        stateStructType=FILTER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

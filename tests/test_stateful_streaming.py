@@ -260,3 +260,77 @@ def test_scd2_fold_is_chunk_order_independent():
         rows, state = run(chunking)
         assert rows == base_rows, chunking
         assert state == base_state, chunking
+
+
+def test_corpus_filter_stream_matches_batch_decisions(spark, tmp_path):
+    """Streaming curation funnel == q_corpus_filter's batch decisions
+    when arrival order follows doc_id (the batch keeper rule)."""
+    import os
+    import time as _time
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        corpus_filter_stream,
+    )
+
+    registry.load_all_modules()
+    long_good = " ".join(["the quick brown fox jumps of and a"] * 5)
+    docs = [
+        (1, long_good),
+        (2, long_good),                               # duplicate of 1
+        (3, "tiny short doc"),                        # too_short
+        (4, " ".join(f"w{i}" for i in range(40))),    # low_quality
+        (5, "tiny short doc"),                        # duplicate (cross-batch)
+    ]
+    # batch fixture for the oracle decision
+    fixture = tmp_path / "fx"
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .selectExpr(
+            "doc_id", "text", "'en' AS lang", "'t' AS source",
+            "CAST(length(text) AS BIGINT) AS n_chars",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(fixture / "documents.parquet"))
+    )
+    expect = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in registry.QUERIES["q_corpus_filter"](
+            spark, str(fixture)
+        ).collect()
+    }
+
+    # stream the same docs in doc_id order, duplicate pair split across
+    # micro-batches so the cross-batch state is exercised
+    import json as _json
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    now = _time.time()
+    for k, chunk in enumerate([docs[:3], docs[3:]]):
+        p = d / f"b{k}.json"
+        with open(p, "w") as fh:
+            for doc_id, text in chunk:
+                fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(p, (now - 20 + 10 * k,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    q = (
+        corpus_filter_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cfs")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["reason"], r["keep"])
+        for r in spark.sql("SELECT * FROM cfs").collect()
+    }
+    assert got == expect
+    assert got[5] == ("duplicate", False)  # cross-batch duplicate memory
