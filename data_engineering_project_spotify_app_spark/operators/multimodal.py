@@ -243,21 +243,72 @@ def _payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_frames")  # rows-only: mapInPandas fan-out
+# Oracle note (both multimodal queries): the payload is the UTF-8
+# encoding of documents.text, and the fixture text is pure ASCII, so
+# byte values == code points and byte length == char length — which
+# makes the deterministic fake decode EXPRESSIBLE in SQL (ord/substr
+# per position). What the oracle then verifies end-to-end is the Spark
+# side's real plumbing: binary encode, Arrow batching, mapInPandas
+# batch shapes, and the fan-out row accounting.
+@query(
+    "q_multimodal_frames",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text, n,
+             unnest([x for x in
+                     generate_series(0, CAST(ceil(n / 256.0) AS BIGINT) - 1)
+                     if x % 4 = 0]) AS k
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS frame_idx,
+           CAST(ceil(n / 256.0) AS INT) AS n_frames,
+           CAST(list_sum([ord(substr(text, CAST(i AS INT), 1)) for i in
+                          generate_series(k * 256 + 1,
+                                          least(n, k * 256 + 256))])
+                + least(256, n - k * 256) AS BIGINT) AS frame_checksum
+    FROM f
+    """,
+)
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over synthesized binary payloads (video stand-in):
     every 4th 256-byte chunk becomes a typed frame row."""
     return sample_frames(_payloads(spark, sf_dir))
 
 
-@query("q_multimodal_features")  # rows-only: mapInPandas, not SQL-expressible
+@query(
+    "q_multimodal_features",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, 'fake/text' AS fmt, text,
+             CAST(length(text) AS BIGINT) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, fmt, n,
+             CAST(list_sum([ord(substr(text, CAST(i AS INT), 1)) for i in
+                            generate_series(1, least(n, 64))])
+                  + n AS BIGINT) AS checksum
+      FROM b
+    )
+    SELECT doc_id, fmt, n AS byte_len,
+           CAST(n % 640 + 1 AS INT) AS width,
+           CAST(checksum % 480 + 1 AS INT) AS height,
+           checksum
+    FROM c
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal pipeline over synthesized binary payloads.
 
     documents.text → binary payload (stand-in for an image/audio blob) →
-    mapInPandas decode → typed features. Driver records a rows-only
-    check; tests/test_multimodal.py asserts the decode determinism and
-    batch shapes.
+    mapInPandas decode → typed features. Fully oracle-checked (see the
+    oracle note above); tests/test_multimodal.py asserts the decode
+    determinism and batch shapes.
     """
     d = table(spark, sf_dir, "documents")
     binary_df = d.select(
