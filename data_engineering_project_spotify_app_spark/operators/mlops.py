@@ -222,3 +222,49 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chars_per_token"
         ),
     )
+
+
+@query(
+    "q_embedding_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ex AS (
+      SELECT label,
+             unnest(generate_series(1, len(v))) - 1 AS dim,
+             unnest(v) AS x
+      FROM e
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           round(avg(x), 4) AS centroid,
+           count(*) AS n_vectors
+    FROM ex GROUP BY label, dim
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (mean-pool), one row per
+    (label, dimension) — the class-prototype table that backs
+    nearest-centroid classification, domain-drift monitoring, and
+    k-means-style coarse-quantizer seeding.
+
+    Emitted as (label, dim, centroid) rows rather than reassembled
+    arrays: the hash compare stays element-exact without array-order
+    plumbing, and downstream consumers (centroid joins) want the
+    exploded layout anyway. avg is rounded to 4 — cross-engine float
+    summation order differs in the last ulps (the established toolkit
+    for unstable double aggregates).
+
+    Scale: posexplode (linear), then ONE hash aggregation on
+    (label, dim) — K×DIM groups, map-side combined; no joins, no
+    windows, no broadcast. The centroid table is tiny by construction
+    and re-enters downstream plans as a broadcast side.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "label", _as_double().alias("v")
+    )
+    ex = e.select("label", F.posexplode("v").alias("dim", "x"))
+    return ex.groupBy("label", "dim").agg(
+        F.round(F.avg("x"), 4).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )
