@@ -259,3 +259,40 @@ def test_lcs_overlap_cap_is_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_lcs_overlap")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "partitionBy=[da#" in plan.replace(" ", "") or "da" in plan
+
+
+def test_corpus_filter_single_scan_pair_and_pushdown(spark, sf_dir):
+    """q_corpus_filter reads documents for signals and for the keeper
+    aggregate (the accepted two-consumer pattern) — but nothing else:
+    no windows, and the only joins are the keeper join."""
+    plan = plan_of(spark, sf_dir, "q_corpus_filter")
+    tree = plan.split("\n(1)")[0]
+    assert "Window" not in tree, plan
+    assert _n_ops(plan, "Scan parquet") <= 2, plan
+
+
+def test_bigram_logprob_no_forced_broadcast_of_big_sides(spark, sf_dir):
+    """Only the vocab-size SCALAR is hint-broadcast in q_bigram_logprob;
+    the bigram/context count joins carry no broadcast HINT (AQE may
+    still choose broadcast at this SF — that's allowed; a hint would
+    force it at 100 TB where both sides are huge)."""
+    from data_engineering_project_spotify_app_spark.operators import (
+        textops,
+    )
+    import inspect
+
+    src = inspect.getsource(textops.q_bigram_logprob)
+    assert src.count("F.broadcast") == 1  # the 1-row vocab scalar only
+
+
+def test_remove_overlaps_windows_partition_by_doc_keys(spark, sf_dir):
+    """q_remove_overlaps' windows partition on doc-scoped keys (doc_id
+    for the interval merge, (da, db, diag) upstream) — never an
+    unpartitioned global window, which would serialize the corpus."""
+    plan = plan_of(spark, sf_dir, "q_remove_overlaps")
+    for line in plan.splitlines():
+        if "Window" in line and "partitionBy" in line.replace(" ", ""):
+            assert "partitionBy=[]" not in line.replace(" ", ""), line
+    # and the per-doc reassembly is an aggregate, not a global sort
+    tree = plan.split("\n(1)")[0]
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
