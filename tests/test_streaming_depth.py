@@ -241,3 +241,54 @@ def test_interval_join_stream_matches_batch_twin(spark, tmp_path):
 
     stream_counts = Counter(c for c, _ in got)
     assert batch == {(c, n) for c, n in stream_counts.items()}
+
+
+def test_chained_stateful_join_then_windowed_agg(spark, tmp_path):
+    """Multiple stateful operators in ONE streaming query: the
+    stream-stream interval join feeds a downstream tumbling-window
+    aggregation (per-window pair counts). Append mode only emits
+    windows the watermark has CLOSED — the sentinel batch advances
+    event time on both sides, closing the 10:00 window; the sentinel's
+    own window stays open and must NOT emit."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.streaming.stream_ops import (
+        interval_join_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _drop(
+        src,
+        "b0.json",
+        [
+            _ev(1, 1, "click", 10, 0),
+            _ev(2, 1, "error", 10, 3),   # pairs with click 1 (3') + click 3 (5')
+            _ev(3, 1, "click", 10, 8),
+            _ev(4, 1, "error", 10, 6),   # pairs with click 3 (2'); click 1 is 6' away
+        ],
+    )
+    _drop(src, "b1.json", [_ev(90, 1, "click", 20, 0), _ev(91, 1, "error", 20, 0)])
+    now = time.time()
+    os.utime(os.path.join(src, "b0.json"), (now - 20,) * 2)
+    os.utime(os.path.join(src, "b1.json"), (now - 10,) * 2)
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    pairs = interval_join_stream(stream, stream, watermark="10 seconds")
+    counts = (
+        pairs.groupBy(F.window("c_ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n_pairs"))
+        .select(F.col("w.start").alias("ws"), "n_pairs")
+    )
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chained")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        str(r["ws"]): r["n_pairs"]
+        for r in spark.sql("SELECT * FROM chained").collect()
+    }
+    assert got == {"2024-01-01 10:00:00": 3}, got
