@@ -598,3 +598,36 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
         )
     )
+
+
+@query(
+    "q_url_decode",
+    oracle="""
+    SELECT p_partkey,
+           replace(p_name, ' ', '%20') AS encoded,
+           p_name AS decoded,
+           'Hello, World!' AS probe
+    FROM part
+    """,
+)
+def q_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: URL percent-decoding as an engine function (SURVEY §2.8 —
+    the reference quotes artist names into request URLs, app.py:140;
+    the engine-side inverse is F.url_decode). The oracle states the
+    EXPECTED plaintext directly (this DuckDB build has no url_decode),
+    so the hash compare proves Spark's decoder actually inverts the
+    encoding: per-row space decoding plus a constant all-hex probe
+    ('%48%65%6C%6C%6F%2C%20%57%6F%72%6C%64%21' → 'Hello, World!').
+    Codegen scalar function — no UDF, no shuffle.
+    """
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("%20")).alias("encoded"),
+        F.url_decode(
+            F.replace(F.col("p_name"), F.lit(" "), F.lit("%20"))
+        ).alias("decoded"),
+        F.url_decode(
+            F.lit("%48%65%6C%6C%6F%2C%20%57%6F%72%6C%64%21")
+        ).alias("probe"),
+    )
