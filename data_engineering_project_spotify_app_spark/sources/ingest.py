@@ -97,6 +97,61 @@ def load_entity(
     return spark.read.parquet(target)
 
 
+def load_entity_quarantine(
+    spark: SparkSession,
+    staging_dir: str,
+    entity: str,
+    warehouse_dir: str,
+) -> tuple[DataFrame, DataFrame]:
+    """S7 with bad-record QUARANTINE instead of fail-or-corrupt.
+
+    The reference's load either hard-fails the whole `bq load` or lets
+    BigQuery drop bad rows (README.md:185–204 gives no bad-record
+    story). The production pattern at 100 TB: PERMISSIVE read with
+    ``columnNameOfCorruptRecord`` — malformed lines land whole in a
+    quarantine column instead of killing the job — then split the
+    frame: clean rows land in the warehouse table, corrupt raw lines
+    land in ``{entity}__quarantine`` for replay/inspection. Returns
+    (clean, quarantined).
+
+    One pass over the staging files; the split is two filters over the
+    same cached read (corrupt rows are the rare side, so the second
+    scan is cheap and keeps the path declarative).
+    """
+    from pyspark.sql import types as T
+
+    schema = ENTITY_SCHEMAS[entity]
+    with_cr = T.StructType(
+        schema.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(with_cr)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(f"{staging_dir}/{entity}")
+        # cache REQUIRED: Spark disallows queries that reference only
+        # the internal corrupt-record column of a raw JSON read
+        # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the
+        # parsed result must be materialized before the split
+        .cache()
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw")
+    )
+    clean = coalesce_repeated(
+        df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record"),
+        schema,
+    )
+    clean.write.mode("overwrite").parquet(f"{warehouse_dir}/{entity}")
+    bad.write.mode("overwrite").json(f"{warehouse_dir}/{entity}__quarantine")
+    quarantined = spark.read.json(
+        f"{warehouse_dir}/{entity}__quarantine",
+        schema="raw string",
+    )
+    df.unpersist()  # both sinks are durable; drop the split cache
+    return (spark.read.parquet(f"{warehouse_dir}/{entity}"), quarantined)
+
+
 def load_all_entities(
     spark: SparkSession, staging_dir: str, warehouse_dir: str
 ) -> dict[str, DataFrame]:

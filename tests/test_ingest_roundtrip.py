@@ -177,3 +177,35 @@ def test_staging_retention_ttl(spark, tmp_path):
         now="2026-08-13T00:00:00",
     )
     assert [r["id"] for r in kept.select("id").collect()] == ["ar002"]
+
+
+def test_corrupt_records_quarantined_not_dropped(spark, tmp_path):
+    """load_entity_quarantine: malformed NDJSON lines land whole in the
+    quarantine sink; clean rows load normally; nothing silently
+    disappears (clean + quarantined == staged lines)."""
+    from data_engineering_project_spotify_app_spark.sources.ingest import (
+        load_entity_quarantine,
+    )
+
+    stage = tmp_path / "stage" / "artists"
+    os.makedirs(stage)
+    good = [artist(i) for i in range(5)]
+    bad_lines = ['{"id": "broken', "not json at all"]
+    with open(stage / "part-0.json", "w") as fh:
+        for r in good[:3]:
+            fh.write(json.dumps(r) + "\n")
+        fh.write(bad_lines[0] + "\n")
+        for r in good[3:]:
+            fh.write(json.dumps(r) + "\n")
+        fh.write(bad_lines[1] + "\n")
+    clean, bad = load_entity_quarantine(
+        spark, str(tmp_path / "stage"), "artists", str(tmp_path / "wh")
+    )
+    assert sorted(r["id"] for r in clean.collect()) == sorted(
+        r["id"] for r in good
+    )
+    quarantined = sorted(r["raw"] for r in bad.collect())
+    assert quarantined == sorted(bad_lines)
+    # quarantine is durable: re-readable from the warehouse sink
+    replay = spark.read.json(str(tmp_path / "wh" / "artists__quarantine"))
+    assert replay.count() == 2
