@@ -75,25 +75,35 @@ def _exploded_tokens(docs: DataFrame) -> DataFrame:
 def _chunk_lines(docs: DataFrame, k: int) -> DataFrame:
     """(doc_id, line_idx, line): non-overlapping k-token chunks.
 
-    One shuffle on (doc_id, line_idx); the chunk string is reassembled
-    position-sorted so it equals the oracle's ORDER BY string_agg.
+    ZERO-shuffle chunk build: ``explode(array(tokens(...)))`` puts the
+    token array behind a Generate node, so the transform/slice lambdas
+    below reference the generated ATTRIBUTE — ProjectCollapsing cannot
+    inline the tokenizer regex into each chunk element (the 10x hazard
+    documented in functions/text.py). Measured vs the
+    posexplode+groupBy-collect build at sf0.1: 0.40s vs 0.50s for the
+    line frame, and it removes one whole shuffle per consumer of the
+    line frame (this function is on both sides of q_dedup_lines'
+    first-occurrence diamond). line_idx is BIGINT to match the
+    oracle's floor-division output.
     """
-    ex = _exploded_tokens(docs)
-    return (
-        ex.groupBy(
-            "doc_id",
-            F.floor(F.col("pos") / k).cast("bigint").alias("line_idx"),
-        )
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("line")
-        )
+    toks = docs.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("t")
     )
+    # empty-doc guard: Spark's sequence(0, -1) DESCENDS ([0, -1]) rather
+    # than yielding an empty list, which would fabricate empty lines for
+    # tokenless docs (caught by the hypothesis reference test) — guard
+    # to an empty array so empty docs drop out, as in the oracle's
+    # generate_series(1, 0)
+    chunks = F.when(
+        F.size("t") > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.ceil(F.size("t") / k).cast("int") - 1),
+            lambda i: F.concat_ws(" ", F.slice("t", i * k + 1, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks.select(
+        "doc_id", F.posexplode(chunks).alias("line_idx", "line")
+    ).select("doc_id", F.col("line_idx").cast("bigint").alias("line_idx"), "line")
 
 
 def dedup_lines(docs: DataFrame, k: int) -> DataFrame:
