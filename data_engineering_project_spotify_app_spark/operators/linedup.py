@@ -281,24 +281,23 @@ def _diag_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     span starts at pa0 - diag); ``run`` its gram count (span length in
     tokens = run + LCS_GRAM - 1)."""
     docs = table_parallel(spark, sf_dir, "documents")
-    ex = _exploded_tokens(docs)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    g = (
-        ex.select(
-            "doc_id",
-            "pos",
-            F.concat_ws(
-                " ",
-                "tok",
-                F.lead("tok", 1).over(w),
-                F.lead("tok", 2).over(w),
-                F.lead("tok", 3).over(w),
-            ).alias("gram"),
-            F.lead("tok", 3).over(w).alias("_chk"),
-        )
-        .filter(F.col("_chk").isNotNull())
-        .select("doc_id", "pos", F.md5("gram").alias("h"))
+    # sliding k-grams built ARRAY-SIDE behind a Generate barrier (same
+    # trick as _chunk_lines): zero shuffle — the lead-window form this
+    # replaces needed an Exchange(doc_id) + Sort of the whole token
+    # table before the first gram existed. Verified row-identical.
+    toks = docs.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("t")
     )
+    grams = F.when(
+        F.size("t") >= LCS_GRAM,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - LCS_GRAM),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, F.lit(LCS_GRAM))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", F.md5("gram").alias("h"))
     # bucket-collect with in-plan cap (cheap scalar from the base table)
     cap = docs.agg(_auto_cap(F.count("*")).alias("df_cap"))
     buckets = (
