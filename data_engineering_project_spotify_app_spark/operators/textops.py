@@ -566,3 +566,117 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("reason"),
         ok.alias("keep"),
     )
+
+
+@query(
+    "q_ccnet_buckets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ),
+    tot AS (
+      SELECT sum(CAST(len({_TOK}) AS BIGINT)) AS n FROM documents
+    ),
+    lp AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             round(avg(ln(CAST(v.c AS DOUBLE) / tot.n)), 4) AS lp4
+      FROM tok t
+      JOIN vocab v ON v.tok = t.tok
+      CROSS JOIN tot
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, n_tokens, lp4,
+             row_number() OVER (ORDER BY lp4 DESC, doc_id) AS rn,
+             count(*) OVER () AS n
+      FROM lp
+    )
+    SELECT CASE WHEN rn * 3 <= n THEN 'head'
+                WHEN rn * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(lp4), 4) AS avg_logprob
+    FROM ranked GROUP BY 1
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020, §4.3):
+    rank every document by its corpus-unigram LM score and cut the
+    corpus into thirds — head (best-scoring, cleanest), middle, tail
+    (likely boilerplate/garbage) — reporting per-bucket document and
+    token budgets. The standard first decision of a pretraining data
+    run: which tercile(s) to train on.
+
+    Scale: the global ranking does NOT use a global-order window (one
+    task holding the corpus). Same two-phase trick as q_pack_shards:
+    range-partition by the (already tiny) per-doc score frame's sort
+    key, count per range (one row per partition), broadcast the
+    running offsets back, and add them to each range's LOCAL
+    row_number. The score frame itself is the q_unigram_logprob
+    pipeline: token-partitioned co-located join, no broadcast of the
+    vocab. Ranks are tie-free ((lp4, doc_id) is a total order), so the
+    bucket cut is deterministic in both engines.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = (
+        table(spark, sf_dir, "documents")
+        .select(F.size(tokens(F.col("text"))).cast("bigint").alias("k"))
+        .agg(F.sum("k").alias("n"))
+    )
+    lp = (
+        toks.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("n"))), 4
+            ).alias("lp4"),
+        )
+    )
+    # two-phase exact global rank over (lp4 DESC, doc_id):
+    n_ranges = max(8, spark.sparkContext.defaultParallelism)
+    ranged = lp.repartitionByRange(
+        n_ranges, F.col("lp4").desc(), F.col("doc_id")
+    ).select("doc_id", "n_tokens", "lp4", F.spark_partition_id().alias("pid"))
+    part_counts = ranged.groupBy("pid").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window as W
+
+    # offsets accumulate in pid order: repartitionByRange assigns
+    # partition i the i-th range of the (lp4 DESC, doc_id) sort, so pid
+    # IS the global range order — ordering by a per-range aggregate
+    # (e.g. max score) could misorder adjacent ranges that tie on it
+    off_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = part_counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off"),
+        F.sum("cnt").over(
+            W.orderBy(F.lit(1)).rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    local_w = W.partitionBy("pid").orderBy(F.col("lp4").desc(), "doc_id")
+    ranked = ranged.join(F.broadcast(offsets), "pid").select(
+        "n_tokens",
+        "lp4",
+        (F.col("off") + F.row_number().over(local_w)).alias("rn"),
+        "n",
+    )
+    bucket = (
+        F.when(F.col("rn") * 3 <= F.col("n"), "head")
+        .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+    )
+    return ranked.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("lp4"), 4).alias("avg_logprob"),
+    )
