@@ -214,3 +214,76 @@ def test_dedup_lines_matches_pure_python_reference(spark, corpus):
         for r in dedup_lines(df, 4).collect()
     }
     assert got == _dedup_lines_py(corpus)
+
+
+_phrase_a = "p one p two p three p four p five".split()  # planted, 10 toks
+_phrase_b = "q uno q dos q tres q cuatro q cinco".split()
+_filler = st.lists(
+    st.sampled_from([f"f{i}" for i in range(50)]), min_size=0, max_size=15
+)
+
+
+@st.composite
+def _overlap_corpus(draw):
+    docs = []
+    for _ in range(draw(st.integers(2, 4))):
+        toks = list(draw(_filler))
+        if draw(st.booleans()):
+            ins = draw(st.integers(0, len(toks)))
+            phrase = _phrase_a if draw(st.booleans()) else _phrase_b
+            toks[ins:ins] = phrase
+        docs.append(toks)
+    return docs
+
+
+def _remove_overlaps_py(corpus, k=4, min_run=8):
+    """Brute-force reference: per (a < b) pair, walk every diagonal of
+    the token match matrix; maximal runs >= min_run mark positions of
+    the LATER doc for removal (identical semantics to the k-gram
+    island construction for any run >= k)."""
+    out = {}
+    for b_id, b in enumerate(corpus):
+        covered = set()
+        for a_id in range(b_id):
+            a = corpus[a_id]
+            for d in range(-len(b) + 1, len(a)):
+                run = 0
+                for j in range(len(b)):
+                    i = j + d
+                    if 0 <= i < len(a) and a[i] == b[j]:
+                        run += 1
+                    else:
+                        if run >= min_run:
+                            covered.update(range(j - run, j))
+                        run = 0
+                if run >= min_run:
+                    covered.update(range(len(b) - run, len(b)))
+        if b:
+            kept = [t for j, t in enumerate(b) if j not in covered]
+            out[b_id] = (" ".join(kept), len(covered))
+    return out
+
+
+@given(corpus=_overlap_corpus())
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_remove_overlaps_matches_bruteforce_reference(spark, corpus):
+    """q_remove_overlaps' capped k-gram-diagonal construction == an
+    uncapped brute-force diagonal walk (gram frequencies stay under
+    the cap by construction: planted phrases appear <= 4 times)."""
+    import tempfile
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    rows = [(i, " ".join(t)) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in registry.QUERIES["q_remove_overlaps"](spark, d).collect()
+        }
+    assert got == _remove_overlaps_py(corpus)
