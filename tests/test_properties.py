@@ -287,3 +287,46 @@ def test_remove_overlaps_matches_bruteforce_reference(spark, corpus):
             for r in registry.QUERIES["q_remove_overlaps"](spark, d).collect()
         }
     assert got == _remove_overlaps_py(corpus)
+
+
+def _lcs_pairs_py(corpus, min_run=8):
+    """Max shared run per (a < b) pair, >= min_run only."""
+    out = {}
+    for b_id, b in enumerate(corpus):
+        for a_id in range(b_id):
+            a = corpus[a_id]
+            best = 0
+            for d in range(-len(b) + 1, len(a)):
+                run = 0
+                for j in range(len(b)):
+                    i = j + d
+                    if 0 <= i < len(a) and a[i] == b[j]:
+                        run += 1
+                        best = max(best, run)
+                    else:
+                        run = 0
+            if best >= min_run:
+                out[(a_id, b_id)] = best
+    return out
+
+
+@given(corpus=_overlap_corpus())
+@settings(max_examples=8, deadline=None, derandomize=True)
+def test_lcs_overlap_matches_bruteforce_reference(spark, corpus):
+    import tempfile
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    rows = [(i, " ".join(t)) for i, t in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["lcs_tokens"]
+            for r in registry.QUERIES["q_lcs_overlap"](spark, d).collect()
+        }
+    assert got == _lcs_pairs_py(corpus)
