@@ -63,10 +63,12 @@ MIN_LCS_TOKENS = 8
 def _exploded_tokens(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, tok) rows, pos 0-based in document order.
 
-    posexplode of a pre-materialized token array — building chunks with
-    transform(sequence(...), i -> slice(tok, ...)) instead would let
-    ProjectCollapsing inline the tokenizer regex into every lambda
-    element (measured 10x on the shingle path, functions/text.py).
+    NOTE on the inlining hazard: transform/slice lambdas over a tokens()
+    EXPRESSION let ProjectCollapsing inline the tokenizer regex into
+    every lambda element (measured 10x, functions/text.py); referencing
+    a Generate-produced attribute instead (explode(array(tokens(...))),
+    as _chunk_lines and _diag_islands do) blocks the inlining. This
+    helper is for consumers that want one row per token.
     """
     toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
     return toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
@@ -257,12 +259,13 @@ def q_lcs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for every overlap >= K tokens, and fully SQL-expressible, unlike
     the suffix-array formulation it replaces.
 
-    Scale: sliding k-grams come from lead() windows partitioned by
-    doc_id (uniform); candidate pairs come from bucket-collect on the
-    gram digest with posting lists capped at max(16, n_docs/200)
-    occurrences BEFORE the C(df,2) explosion — stop-grams are dropped,
-    bounding the largest task. Island detection windows partition on
-    (doc_a, doc_b, diag), bounded by document length.
+    Scale: sliding k-grams are built array-side behind a Generate
+    barrier (zero shuffle — see _diag_islands); candidate pairs come
+    from bucket-collect on the gram digest with posting lists capped
+    at max(16, n_docs/200) occurrences BEFORE the C(df,2) explosion —
+    stop-grams are dropped, bounding the largest task. Island
+    detection windows partition on (doc_a, doc_b, diag), bounded by
+    document length.
     """
     islands = _diag_islands(spark, sf_dir)
     return (
