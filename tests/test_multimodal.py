@@ -177,3 +177,27 @@ def test_ppm_payloads_flow_through_feature_pipeline(spark):
     for i in range(6):
         assert (got[i]["width"], got[i]["height"]) == (4 + i, 3 + i)
         assert got[i]["byte_len"] == len(_ppm(4 + i, 3 + i))
+
+
+def test_fixture_text_is_ascii_oracle_precondition(spark, sf_dir):
+    """The multimodal oracles equate UTF-8 bytes with code points
+    (ord/substr), valid ONLY while documents.text is pure ASCII. If a
+    regenerated fixture ever breaks this, fail HERE with the reason
+    rather than as an opaque driver hash mismatch — the fix would be
+    scoping the two multimodal oracles back to rows-only."""
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    from pyspark.sql import functions as F
+
+    non_ascii = (
+        table(spark, sf_dir, "documents")
+        .where(
+            F.octet_length(F.encode(F.col("text"), "UTF-8"))
+            != F.length(F.col("text"))
+        )
+        .count()
+    )
+    assert non_ascii == 0, (
+        "documents.text contains non-ASCII — multimodal oracles assume "
+        "byte == code point; re-scope q_multimodal_* to rows-only"
+    )
