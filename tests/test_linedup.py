@@ -168,3 +168,25 @@ def test_remove_overlaps_cuts_span_from_later_doc_only(spark):
     assert got[3] == ("prefix extra suffix", 11)
     # disjoint doc untouched
     assert got[5][1] == 0
+
+
+def test_mega_duplicated_line_exact_at_scale(spark):
+    """The motivating C4 case at meaningful size: ONE boilerplate line
+    in 5,000 documents. The min-aggregate + join formulation must stay
+    exact (counts verified against the closed form) — and this is the
+    input shape where a digest-partitioned window would pile all 5,000
+    occurrences into one task."""
+    n = 5000
+    boiler = "please enable java script"
+    rows = [(i, f"{boiler} unique token tail{i}") for i in range(n)]
+    out = dedup_lines(_docs(spark, rows), LINE_TOKENS).collect()
+    assert len(out) == n
+    kept_total = sum(r["n_kept"] for r in out)
+    dropped_total = sum(r["n_dropped"] for r in out)
+    # each doc: 2 lines (4-token boiler + 4-token tail with unique token);
+    # boiler kept once, its other n-1 copies dropped; tails all unique
+    assert kept_total == n + 1
+    assert dropped_total == n - 1
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["clean_text"] == f"{boiler} unique token tail0"
+    assert by_id[n - 1]["clean_text"] == f"unique token tail{n - 1}"
