@@ -190,3 +190,49 @@ def test_mega_duplicated_line_exact_at_scale(spark):
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[0]["clean_text"] == f"{boiler} unique token tail0"
     assert by_id[n - 1]["clean_text"] == f"unique token tail{n - 1}"
+
+
+def test_degenerate_docs_cross_engine_parity(spark):
+    """Empty and 1-token documents — shapes absent from the driver
+    fixtures — must agree between Spark and DuckDB for every new
+    round-3 oracle that consumes documents."""
+    import tempfile
+
+    import duckdb
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    rows = [
+        (1, ""),                       # tokenless
+        (2, "single"),                 # 1 token: no bigrams, 1 line
+        (3, "a b c"),                  # < LINE_TOKENS chunk
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+        (5, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = _docs(spark, rows).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    )
+    names = (
+        "q_dedup_lines", "q_dedup_paragraphs", "q_lcs_overlap",
+        "q_remove_overlaps", "q_bigram_logprob", "q_corpus_filter",
+        "q_ccnet_buckets",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"parquet_scan('{d}/documents.parquet/*.parquet')"
+        )
+        for name in names:
+            sdf = registry.QUERIES[name](spark, d)
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                tuple(r[c] for c in scols) for r in sdf.collect()
+            )
+            rel = con.sql(registry.ORACLES[name])
+            idx = [rel.columns.index(c) for c in scols]
+            drows = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
+            assert srows == drows, (name, srows, drows)
