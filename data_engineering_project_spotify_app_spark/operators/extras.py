@@ -631,3 +631,95 @@ def q_url_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("%48%65%6C%6C%6F%2C%20%57%6F%72%6C%64%21")
         ).alias("probe"),
     )
+
+
+KMV_K = 256
+_KMV_HEX2INT = (
+    "("
+    + " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(d, {1 + k}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    + ")"
+)
+
+
+@query(
+    "q_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+      SELECT l_returnflag,
+             {_KMV_HEX2INT} AS hv
+      FROM (
+        SELECT l_returnflag, md5(CAST(l_partkey AS VARCHAR)) AS d
+        FROM lineitem
+      )
+    ),
+    ranked AS (
+      SELECT l_returnflag, hv,
+             dense_rank() OVER (
+               PARTITION BY l_returnflag ORDER BY hv
+             ) AS dr
+      FROM h
+    ),
+    kmin AS (
+      SELECT l_returnflag,
+             max(hv) AS kth,
+             count(DISTINCT hv) AS m
+      FROM ranked WHERE dr <= {KMV_K}
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(m AS BIGINT) AS n_kmin,
+           round(CASE WHEN m < {KMV_K} THEN CAST(m AS DOUBLE)
+                      ELSE ({KMV_K} - 1) * 4294967296.0 / kth END,
+                 1) AS est_distinct
+    FROM kmin
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch — the approximate
+    sketch that IS exactly oracle-checkable, unlike HLL
+    (q_approx_distinct stays rows-only because engines implement
+    different HLL variants): both engines derive the same md5-based
+    hash space, so the k smallest hash values — and therefore the
+    estimate (k-1)/m_k — are bit-identical. Beyer et al. 2007
+    ("On synopses for distinct-value estimation"); expected relative
+    error ~ 1/sqrt(k-2) ≈ 6% at k=256 (pinned in tests).
+
+    Scale: dense_rank <= k over (group, hv) is optimized by
+    InferWindowGroupLimit into a per-partition group-limit — each map
+    task forwards at most k distinct hashes per group, so the shuffle
+    carries O(groups × k × partitions) rows no matter how many
+    billions of raw rows scan; duplicates collapse via dense_rank
+    (KMV needs the k smallest DISTINCT hashes, so no pre-distinct
+    pass is needed). Groups with fewer than k distinct values return
+    the exact count (m < k ⇒ estimate = m).
+    """
+    k = KMV_K
+    h = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(l_partkey AS STRING)), 1, 8), "
+            "16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("hv")
+    kmin = (
+        h.withColumn("dr", F.dense_rank().over(w))
+        .filter(F.col("dr") <= k)
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("hv").alias("kth"),
+            F.count_distinct("hv").alias("m"),
+        )
+    )
+    est = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(F.lit((k - 1) * 4294967296.0) / F.col("kth"))
+    return kmin.select(
+        "l_returnflag",
+        F.col("m").cast("bigint").alias("n_kmin"),
+        F.round(est, 1).alias("est_distinct"),
+    )

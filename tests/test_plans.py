@@ -296,3 +296,11 @@ def test_remove_overlaps_windows_partition_by_doc_keys(spark, sf_dir):
     # and the per-doc reassembly is an aggregate, not a global sort
     tree = plan.split("\n(1)")[0]
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_kmv_window_is_group_limited(spark, sf_dir):
+    """q_kmv_distinct's scale claim: the dense_rank <= k window must be
+    optimized into WindowGroupLimit (per-partition top-k prune before
+    the shuffle) — otherwise every raw row shuffles to the rank stage."""
+    plan = plan_of(spark, sf_dir, "q_kmv_distinct")
+    assert "WindowGroupLimit" in plan, plan

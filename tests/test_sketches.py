@@ -141,3 +141,26 @@ def test_approx_quantile_error_bound(spark, sf_dir):
         p50e, p95e = exact[flag]
         assert abs(p50a - p50e) / p50e < 0.02
         assert abs(p95a - p95e) / p95e < 0.02
+
+
+def test_kmv_distinct_error_bound(spark, sf_dir):
+    """KMV at k=256: expected relative error ~ 1/sqrt(k-2) ≈ 6%; pin a
+    2-sigma bound (13%) per group against the exact distinct count."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    est = {
+        r["l_returnflag"]: r["est_distinct"]
+        for r in registry.QUERIES["q_kmv_distinct"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for flag, e in est.items():
+        assert abs(e - exact[flag]) / exact[flag] < 0.13, (flag, e, exact[flag])
