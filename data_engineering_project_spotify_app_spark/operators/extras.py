@@ -723,3 +723,134 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("bigint").alias("n_kmin"),
         F.round(est, 1).alias("est_distinct"),
     )
+
+
+@query(
+    "q_kmv_set_ops",
+    oracle=f"""
+    WITH hv_all AS (
+      SELECT event_type,
+             {_KMV_HEX2INT} AS hv
+      FROM (
+        SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS d FROM events
+        WHERE event_type IN ('click', 'purchase')
+      )
+    ),
+    ka AS (
+      SELECT hv FROM (
+        SELECT hv, dense_rank() OVER (ORDER BY hv) AS dr
+        FROM hv_all WHERE event_type = 'click'
+      ) WHERE dr <= {KMV_K} GROUP BY hv
+    ),
+    kb AS (
+      SELECT hv FROM (
+        SELECT hv, dense_rank() OVER (ORDER BY hv) AS dr
+        FROM hv_all WHERE event_type = 'purchase'
+      ) WHERE dr <= {KMV_K} GROUP BY hv
+    ),
+    sa AS (SELECT max(hv) AS kth_a, count(*) AS m_a FROM ka),
+    sb AS (SELECT max(hv) AS kth_b, count(*) AS m_b FROM kb),
+    ab AS (
+      SELECT *,
+             CASE WHEN m_a < {KMV_K} THEN 4294967296
+                  ELSE kth_a + 1 END AS theta_a,
+             CASE WHEN m_b < {KMV_K} THEN 4294967296
+                  ELSE kth_b + 1 END AS theta_b
+      FROM sa CROSS JOIN sb
+    ),
+    ab2 AS (SELECT *, least(theta_a, theta_b) AS theta_s FROM ab),
+    ci AS (
+      SELECT count(*) AS c_inter
+      FROM ka JOIN kb USING (hv) CROSS JOIN ab2
+      WHERE hv < theta_s
+    )
+    SELECT
+      round(CASE WHEN m_a < {KMV_K} THEN CAST(m_a AS DOUBLE)
+                 ELSE ({KMV_K} - 1) * 4294967296.0 / kth_a END, 1)
+        AS est_clickers,
+      round(CASE WHEN m_b < {KMV_K} THEN CAST(m_b AS DOUBLE)
+                 ELSE ({KMV_K} - 1) * 4294967296.0 / kth_b END, 1)
+        AS est_purchasers,
+      round(c_inter * 4294967296.0 / theta_s, 1) AS est_both,
+      round(CASE WHEN m_a < {KMV_K} THEN CAST(m_a AS DOUBLE)
+                 ELSE ({KMV_K} - 1) * 4294967296.0 / kth_a END
+            + CASE WHEN m_b < {KMV_K} THEN CAST(m_b AS DOUBLE)
+                   ELSE ({KMV_K} - 1) * 4294967296.0 / kth_b END
+            - c_inter * 4294967296.0 / theta_s, 1) AS est_either
+    FROM ab2 CROSS JOIN ci
+    """,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA over KMV/theta sketches: distinct clickers,
+    distinct purchasers, and — without ever materializing either set —
+    the intersection and union cardinalities, from the two k-min
+    sketches alone (the theta-sketch estimators: θ* = min θ_A θ_B,
+    |A∩B| ≈ |retained_A ∩ retained_B ∩ [0,θ*)| / θ*, union by
+    inclusion-exclusion). This mergeability is the whole point of
+    sketches at 100 TB: per-partition sketches union by keeping the k
+    smallest of each merge, so overlap questions across huge sets
+    resolve from O(k) state.
+
+    Same shared md5 hash space as q_kmv_distinct ⇒ bit-identical
+    estimates in both engines — fully hash-checked despite being an
+    approximate operator. Accuracy vs exact overlap pinned in
+    tests/test_sketches.py.
+    """
+    k = KMV_K
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    hv_all = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), "
+            "16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+
+    def kmin(tag: str) -> DataFrame:
+        w = Window.orderBy("hv")
+        return (
+            hv_all.filter(F.col("event_type") == tag)
+            .select("hv")
+            .withColumn("dr", F.dense_rank().over(w))
+            .filter(F.col("dr") <= k)
+            .select("hv")
+            .distinct()
+        )
+
+    ka, kb = kmin("click"), kmin("purchase")
+    sa = ka.agg(F.max("hv").alias("kth_a"), F.count("*").alias("m_a"))
+    sb = kb.agg(F.max("hv").alias("kth_b"), F.count("*").alias("m_b"))
+    full = F.lit(4294967296)
+    ab = (
+        sa.crossJoin(sb)
+        .withColumn(
+            "theta_a",
+            F.when(F.col("m_a") < k, full).otherwise(F.col("kth_a") + 1),
+        )
+        .withColumn(
+            "theta_b",
+            F.when(F.col("m_b") < k, full).otherwise(F.col("kth_b") + 1),
+        )
+        .withColumn("theta_s", F.least("theta_a", "theta_b"))
+    )
+    ci = (
+        ka.join(kb, "hv")
+        .crossJoin(F.broadcast(ab.select("theta_s")))
+        .filter(F.col("hv") < F.col("theta_s"))
+        .agg(F.count("*").alias("c_inter"))
+    )
+    est_a = F.when(F.col("m_a") < k, F.col("m_a").cast("double")).otherwise(
+        F.lit((k - 1) * 4294967296.0) / F.col("kth_a")
+    )
+    est_b = F.when(F.col("m_b") < k, F.col("m_b").cast("double")).otherwise(
+        F.lit((k - 1) * 4294967296.0) / F.col("kth_b")
+    )
+    est_i = F.col("c_inter") * F.lit(4294967296.0) / F.col("theta_s")
+    return ab.crossJoin(ci).select(
+        F.round(est_a, 1).alias("est_clickers"),
+        F.round(est_b, 1).alias("est_purchasers"),
+        F.round(est_i, 1).alias("est_both"),
+        F.round(est_a + est_b - est_i, 1).alias("est_either"),
+    )

@@ -164,3 +164,28 @@ def test_kmv_distinct_error_bound(spark, sf_dir):
     assert set(est) == set(exact)
     for flag, e in est.items():
         assert abs(e - exact[flag]) / exact[flag] < 0.13, (flag, e, exact[flag])
+
+
+def test_kmv_set_ops_error_bound(spark, sf_dir):
+    """Theta-style intersection/union estimates from two KMV sketches:
+    each within 2-sigma (13% at k=256) of the exact overlap counts."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    row = registry.QUERIES["q_kmv_set_ops"](spark, sf_dir).first()
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    a = ev.filter("event_type = 'click'").select("user_id").distinct().count()
+    b = (
+        ev.filter("event_type = 'purchase'").select("user_id").distinct()
+        .count()
+    )
+    u = ev.select("user_id").distinct().count()
+    exact = {"est_clickers": a, "est_purchasers": b,
+             "est_both": a + b - u, "est_either": u}
+    for col, want in exact.items():
+        if want == 0:
+            continue
+        assert abs(row[col] - want) / want < 0.13, (col, row[col], want)
