@@ -241,3 +241,60 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+DEBOUNCE_SECONDS = 60
+
+
+@query(
+    "q_debounce",
+    oracle=f"""
+    SELECT user_id, event_type,
+           count(*) AS n_raw,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(1 - keep) AS BIGINT) AS n_collapsed
+    FROM (
+      SELECT user_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w
+                          > INTERVAL '{DEBOUNCE_SECONDS} seconds'
+                  THEN 1 ELSE 0 END AS keep
+      FROM (SELECT user_id, event_type, event_id,
+                   CAST(ts AS TIMESTAMP) AS ts FROM events)
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    GROUP BY user_id, event_type
+    """,
+)
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce / click-spam collapse: an event closer than 60s to the
+    PREVIOUS event of the same (user, type) is collapsed into it — the
+    standard rapid-duplicate filter for interaction logs (repeated
+    clicks, double-submits) before funnel/retention analysis. Reports
+    raw/kept/collapsed counts per (user, type).
+
+    Predecessor-gap semantics (each event compares to its immediate
+    predecessor), which is one lag window — the keep-only-after-last-
+    KEPT variant is a sequential fold (not SQL-expressible without
+    recursion) and belongs on the streaming path as stateful logic.
+
+    Scale: one shuffle on (user_id, event_type); window partitions are
+    bounded by per-user-per-type volume. µs-precision gap comparison
+    (see q_sessionize's truncation note).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    keep = (
+        F.when(gap.isNull() | (gap > DEBOUNCE_SECONDS * 1_000_000), 1)
+        .otherwise(0)
+    )
+    return (
+        e.select("user_id", "event_type", keep.alias("keep"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").alias("n_raw"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.sum(1 - F.col("keep")).cast("bigint").alias("n_collapsed"),
+        )
+    )
