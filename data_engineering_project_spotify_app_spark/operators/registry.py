@@ -55,6 +55,7 @@ def load_all_modules() -> None:
         dedup,
         extras,
         funnel,
+        graphs,
         incremental,
         ivf,
         ivf_adc,
@@ -63,6 +64,7 @@ def load_all_modules() -> None:
         pq,
         quality,
         scale_ops,
+        search,
         similarity,
         textops,
         multimodal,

@@ -1,0 +1,349 @@
+"""Text retrieval over the documents corpus: inverted index, BM25,
+collocation statistics, and RAG-style chunking.
+
+The reference's query surface is key/attribute lookup (SURVEY.md §2);
+a training-data pipeline additionally needs *content* retrieval — find
+the documents matching a term query, rank them, index them, split them
+into retrieval units. These operators are that surface, each fully
+SQL-expressible so the DuckDB oracle hash-checks values:
+
+- ``q_inverted_index`` — term → document-frequency + sorted posting
+  list (the search-index build as a query).
+- ``q_bm25_search``   — Okapi BM25 top-10 for a data-derived query (the
+  three rarest corpus terms), k1=1.2, b=0.75, the Robertson/Sparck
+  Jones "+1" idf so weights stay positive.
+- ``q_cooccurrence_pmi`` — document-level pointwise mutual information
+  for term pairs (collocation mining / topic signal).
+- ``q_chunk_documents`` — overlapping fixed-width token windows
+  (32-token chunks, stride 24), the standard RAG segmentation.
+
+Scale design (100 TB posture):
+
+- Everything is built from ONE exploded (doc_id, term) frame shape:
+  tokenize behind a Generate barrier (the ProjectCollapsing hazard
+  documented in functions/text.py), aggregate on the term key —
+  map-side partial aggregation makes stop-terms shuffle one row per
+  task, not one row per occurrence.
+- BM25's per-query state (3 terms + corpus stats) is a broadcast; the
+  scan side is the tf frame only. Ranking sorts the ROUNDED score with
+  a doc_id tie-break, so top-k is deterministic cross-engine, and Spark
+  executes it as TakeOrderedAndProject (no global sort).
+- PMI pairs explode C(distinct-terms, 2) per document — bounded by the
+  vocabulary actually present in a doc. On an open-vocab corpus this
+  path must be preceded by a vocabulary threshold (min-df / top-V cap,
+  exactly the stop-feature cap the dedup ladder uses, dedup.py); the
+  synthetic corpus's vocab is already small, so the cap is not wired
+  into the registered query.
+- Chunking emits ~n_tokens/stride rows per doc with no shuffle at all:
+  token array → window starts → posexplode, all inside one stage.
+- Posting lists are per-term rows (collect_list on the term key); a
+  stop-term's list is one wide row, the accepted layout for index
+  *construction* — serving systems shard it downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.functions.text import (
+    TOKENS_SQL,
+    tokens,
+)
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table_parallel
+
+_TOK = TOKENS_SQL.format(col="text")
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = 3
+BM25_TOP_K = 10
+
+PMI_MIN_PAIRS = 25
+PMI_TOP = 100
+
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def _doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, term) one row per occurrence, Generate-barrier tokenize."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("t")
+    )
+    return toks.select("doc_id", F.explode("t").alias("term"))
+
+
+@query(
+    "q_inverted_index",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM d GROUP BY term
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term → document frequency + sorted posting
+    list. The distinct (doc, term) pass partial-aggregates map-side, so
+    a term occurring 10^6 times in one document still shuffles one row
+    per map task; collect_list then groups once on the term key."""
+    docs = table_parallel(spark, sf_dir, "documents")
+    d = _doc_terms(docs).distinct()
+    return d.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+
+
+@query(
+    "q_bm25_search",
+    oracle=f"""
+    WITH ex AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM ex GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    q AS (SELECT term, df FROM df ORDER BY df, term LIMIT {BM25_QUERY_TERMS}),
+    dl AS (
+      SELECT doc_id, CAST(len({_TOK}) AS DOUBLE) AS dl FROM documents
+    ),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len({_TOK}) AS DOUBLE)) AS avgdl
+      FROM documents
+    ),
+    sc AS (
+      SELECT tf.doc_id,
+             ln((st.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1}
+                    * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl)) AS w
+      FROM tf
+      JOIN q USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN st
+    )
+    SELECT doc_id,
+           round(sum(w), 4) AS score,
+           CAST(count(*) AS BIGINT) AS n_terms_hit
+    FROM sc GROUP BY doc_id
+    ORDER BY score DESC, doc_id
+    LIMIT {BM25_TOP_K}
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{BM25_TOP_K}: query = the {BM25_QUERY_TERMS}
+    rarest corpus terms (df asc, term asc — fully deterministic), score
+    = Σ idf·tf·(k1+1)/(tf + k1·(1-b+b·dl/avgdl)) with the "+1" idf.
+
+    Plan: tf is the only corpus-sized frame; the query terms (with
+    their df) and the corpus stats (N, avgdl) are broadcast onto it, so
+    scoring is a broadcast-join + map over one scan, and the final
+    top-k is ordered by the ROUNDED score with a doc_id tie-break —
+    deterministic cross-engine, and executed as TakeOrderedAndProject
+    rather than a global sort.
+    """
+    docs = table_parallel(spark, sf_dir, "documents")
+    ex = _doc_terms(docs)
+    tf = ex.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = df.orderBy(F.col("df").asc(), F.col("term").asc()).limit(
+        BM25_QUERY_TERMS
+    )
+    dl = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("double").alias("dl")
+    )
+    st = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size(tokens(F.col("text"))).cast("double")).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    w = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .select("doc_id", w.alias("w"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("w"), 4).alias("score"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+    )
+
+
+@query(
+    "q_cooccurrence_pmi",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    tdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM d GROUP BY term),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+      FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    )
+    SELECT term_a, term_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln(n_ab * nd.n / (fa.df * fb.df)), 4) AS pmi
+    FROM pairs
+    JOIN tdf fa ON fa.term = term_a
+    JOIN tdf fb ON fb.term = term_b
+    CROSS JOIN nd
+    WHERE n_ab >= {PMI_MIN_PAIRS}
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT {PMI_TOP}
+    """,
+)
+def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level collocations: for every term pair co-occurring in
+    ≥ {PMI_MIN_PAIRS} documents, PMI = ln(P(a,b) / (P(a)·P(b))) with
+    document-frequency probabilities; top {PMI_TOP} by (rounded) PMI
+    with a lexicographic tie-break.
+
+    Pair generation is a self-join of the distinct (doc, term) frame
+    co-partitioned on doc_id (one shuffle, sort-merge); fanout per doc
+    is C(|vocab ∩ doc|, 2). On an open-vocabulary corpus, precede this
+    with a min-df / top-V vocabulary cap (the dedup ladder's
+    stop-feature cap) — the registered query omits it because the
+    fixture vocabulary is already bounded. The per-term df and corpus
+    size are broadcast onto the pair aggregate for the PMI arithmetic.
+    """
+    docs = table_parallel(spark, sf_dir, "documents")
+    d = _doc_terms(docs).distinct()
+    nd = docs.agg(F.count("*").cast("double").alias("n"))
+    tdf = d.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.term") < F.col("b.term")),
+        )
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_PAIRS)
+    )
+    fa = tdf.select(
+        F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    fb = tdf.select(
+        F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "term_a")
+        .join(F.broadcast(fb), "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.col("n") / (F.col("df_a") * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(PMI_TOP)
+    )
+
+
+@query(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    w AS (
+      SELECT doc_id, len(t) AS n, t,
+             unnest(generate_series(
+               0, CAST(floor((len(t) - 1) / {CHUNK_STRIDE}) AS BIGINT)
+             )) AS i
+      FROM tok WHERE len(t) > 0
+    )
+    SELECT doc_id,
+           i AS chunk_id,
+           CAST(least({CHUNK_TOKENS}, n - i * {CHUNK_STRIDE}) AS BIGINT)
+             AS n_tokens,
+           array_to_string(
+             t[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_TOKENS})],
+             ' '
+           ) AS chunk_text
+    FROM w
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG segmentation: overlapping {CHUNK_TOKENS}-token windows at
+    stride {CHUNK_STRIDE} (8-token overlap); the final window per doc
+    may be shorter. Chunk starts run while start < n_tokens, so every
+    token lands in ≥ 1 chunk and chunk_id is dense from 0.
+
+    Zero-shuffle: the token array sits behind a Generate barrier (the
+    _chunk_lines trick — lambdas reference the generated attribute, so
+    ProjectCollapsing cannot inline the tokenizer regex per element),
+    window starts are a sequence(), and posexplode emits the chunks —
+    all in one stage, ~n/stride output rows per document.
+    """
+    docs = table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("t")
+    )
+    chunks = F.when(
+        F.size("t") > 0,
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.size("t") - 1) / CHUNK_STRIDE).cast("int"),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice("t", i * CHUNK_STRIDE + 1, F.lit(CHUNK_TOKENS))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        toks.select(
+            "doc_id",
+            F.size("t").alias("n"),
+            F.posexplode(chunks).alias("chunk_id", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.least(
+                F.lit(CHUNK_TOKENS),
+                F.col("n") - F.col("chunk_id") * CHUNK_STRIDE,
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+            "chunk_text",
+        )
+    )

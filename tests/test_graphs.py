@@ -1,0 +1,122 @@
+"""Graph operators: pure-Python references + plan-shape pins.
+
+The oracle-parity test already hash-checks q_bfs_hops / q_pagerank
+against DuckDB; these tests check the SEMANTICS against an independent
+sequential implementation (so a matching-but-wrong recurrence in both
+engines would still be caught) and pin the scale-critical plan shape.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+
+from data_engineering_project_spotify_app_spark.operators import graphs, registry
+
+registry.load_all_modules()
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def edge_list(spark):
+    rows = graphs.copurchase_edges(spark, SF).collect()
+    return [(r["src"], r["dst"]) for r in rows]
+
+
+def test_edges_symmetric_and_loop_free(edge_list):
+    s = set(edge_list)
+    assert len(s) == len(edge_list), "duplicate edges"
+    assert all((d, a) in s for a, d in s), "missing reverse orientation"
+    assert all(a != d for a, d in s), "self-loop"
+
+
+def test_bfs_matches_sequential_reference(spark, edge_list):
+    adj = defaultdict(set)
+    for a, d in edge_list:
+        adj[a].add(d)
+    parts = {
+        r["p_partkey"]
+        for r in spark.read.parquet(f"{SF}/part.parquet")
+        .select("p_partkey")
+        .collect()
+    }
+    seeds = sorted(p for p in parts if p % graphs.SEED_MOD == 0)
+    assert seeds, "fixture lost its seed parts"
+    dist = {p: 0 for p in seeds}
+    frontier = list(seeds)
+    for h in range(1, graphs.MAX_HOPS + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    got = {
+        r["part_key"]: r["hops"]
+        for r in registry.QUERIES["q_bfs_hops"](spark, SF).collect()
+    }
+    assert got == dist
+
+
+def test_pagerank_matches_sequential_reference(spark, edge_list):
+    parts = sorted(
+        r["p_partkey"]
+        for r in spark.read.parquet(f"{SF}/part.parquet")
+        .select("p_partkey")
+        .collect()
+    )
+    n = float(len(parts))
+    out = defaultdict(list)
+    for a, d in edge_list:
+        out[a].append(d)
+    r = {p: 1.0 / n for p in parts}
+    for _ in range(graphs.PR_ITERS):
+        contrib = defaultdict(float)
+        for u, vs in out.items():
+            share = r[u] / len(vs)
+            for v in vs:
+                contrib[v] += share
+        r = {
+            p: (1.0 - graphs.PR_DAMPING) / n
+            + graphs.PR_DAMPING * contrib.get(p, 0.0)
+            for p in parts
+        }
+    got = {
+        row["part_key"]: row["rank_norm"]
+        for row in registry.QUERIES["q_pagerank"](spark, SF).collect()
+    }
+    assert set(got) == set(parts)
+    for p in parts:
+        assert math.isclose(got[p], r[p] * n, abs_tol=2e-4), (
+            p,
+            got[p],
+            r[p] * n,
+        )
+
+
+def test_pagerank_rank_bounds(spark):
+    """Teleport floor: every node's normalized rank ≥ (1-d); isolated
+    nodes sit exactly at the floor (no incoming mass)."""
+    rows = registry.QUERIES["q_pagerank"](spark, SF).collect()
+    floor = round(1.0 - graphs.PR_DAMPING, 4)
+    assert all(r["rank_norm"] >= floor for r in rows)
+
+
+def test_bfs_plan_is_one_unrolled_dag(spark):
+    """The fixed-depth BFS is ONE declarative plan: every hop's
+    left_anti frontier prune appears in the physical plan (no
+    driver-side convergence loop materializing intermediates)."""
+    import io
+    import contextlib
+
+    df = registry.QUERIES["q_bfs_hops"](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert plan.count("LeftAnti") >= graphs.MAX_HOPS, plan
+    assert "InMemoryRelation" not in plan, plan
