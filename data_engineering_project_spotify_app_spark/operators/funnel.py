@@ -174,3 +174,61 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
+
+
+@query(
+    "q_markov_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS prev_type
+      FROM events
+    ),
+    t AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             count(*) AS n
+      FROM e WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, sum(n) AS total FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n,
+           round(t.n / CAST(tot.total AS DOUBLE), 4) AS p
+    FROM t JOIN tot USING (from_type)
+    """,
+)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of event types, how often does `to` immediately follow
+    `from` within one user's timeline, and what fraction of all
+    transitions out of `from` is that (row-normalized probability,
+    rounded to 4). The sequence-model view of the event stream — the
+    aggregate q_funnel's state machine is a path through exactly this
+    matrix.
+
+    Scale: ONE shuffle on user_id for the lag window (ordering is
+    (ts, event_id) — a strict total order, so both engines see the same
+    predecessor under timestamp ties); the transition counts and row
+    totals are tiny (|types|²) and the normalizing join broadcasts.
+    """
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = trans.groupBy("from_type").agg(F.sum("n").alias("total"))
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("total").cast("double"), 4).alias("p"),
+    )

@@ -209,3 +209,84 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("part").alias("part_key"),
         F.round(F.col("r") * F.col("n"), 4).alias("rank_norm"),
     )
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    e AS (SELECT src AS a, dst AS b FROM e0 WHERE src < dst),
+    tri AS (
+      SELECT ab.a AS x, ab.b AS y, ac.b AS z
+      FROM e ab
+      JOIN e ac ON ac.a = ab.a AND ac.b > ab.b
+      JOIN e bc ON bc.a = ab.b AND bc.b = ac.b
+    ),
+    pernode AS (
+      SELECT unnest([x, y, z]) AS part_key FROM tri
+    )
+    SELECT part_key, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pernode GROUP BY part_key
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count over the co-purchase graph (the local
+    clustering signal — parts that form tight co-purchase cliques).
+
+    Spark side uses DEGREE-ORDERED orientation (Cohen 2009 / the
+    MapReduce triangle-counting standard): each undirected edge points
+    from its lower-(degree, id) endpoint to the higher one, wedges are
+    enumerated only at each edge's LOW endpoint, and a wedge closes iff
+    the oriented edge between its two high endpoints exists. Wedge
+    fanout per node is C(outdeg, 2), and degree orientation bounds
+    outdeg at O(√|E|) — a hub of degree 10⁶ generates ~none of its
+    wedges instead of 10¹² of them. The triangle SET is orientation-
+    invariant, so the oracle can use the simple id-ordered a<b<c
+    enumeration: identical triangles, identical per-node counts.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    # oriented edge (s -> d): rank(s) < rank(d), rank = (deg, id)
+    und = edges.filter(F.col("src") < F.col("dst"))
+    ds = deg.select(
+        F.col("node").alias("src"), F.col("deg").alias("deg_s")
+    )
+    dd = deg.select(
+        F.col("node").alias("dst"), F.col("deg").alias("deg_d")
+    )
+    ranked = und.join(ds, "src").join(dd, "dst")
+    fwd = F.struct(F.col("deg_s"), F.col("src")) < F.struct(
+        F.col("deg_d"), F.col("dst")
+    )
+    o = ranked.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("s"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("d"),
+        F.when(
+            fwd,
+            F.struct(
+                F.col("deg_d").alias("deg"), F.col("dst").alias("id")
+            ),
+        )
+        .otherwise(
+            F.struct(F.col("deg_s").alias("deg"), F.col("src").alias("id"))
+        )
+        .alias("rank_d"),
+    )
+    o1 = o.select(
+        F.col("s"), F.col("d").alias("x"), F.col("rank_d").alias("rx")
+    )
+    o2 = o.select(
+        F.col("s"), F.col("d").alias("y"), F.col("rank_d").alias("ry")
+    )
+    wedges = o1.join(o2, "s").filter(F.col("rx") < F.col("ry"))
+    closing = o.select(F.col("s").alias("x"), F.col("d").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("s", "x", "y")
+    return (
+        tri.select(
+            F.explode(F.array("s", "x", "y")).alias("part_key")
+        )
+        .groupBy("part_key")
+        .agg(F.count("*").alias("n_triangles"))
+    )
