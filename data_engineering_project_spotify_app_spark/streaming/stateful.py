@@ -380,3 +380,79 @@ def corpus_filter_stream(docs: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+LINEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("line_idx", T.LongType()),
+        T.StructField("line", T.StringType()),
+        T.StructField("keep", T.BooleanType()),
+    ]
+)
+LINEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.LongType())])
+
+
+def _dedup_lines_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Grouped by line hash: the first arrival (min (doc_id, line_idx)
+    within the batch, flag-state across batches) keeps its line; every
+    later occurrence anywhere in the stream is dropped. Concat-then-sort
+    — Arrow chunk order is not contractual."""
+    seen = state.exists
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    batch = (
+        pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    ).sort_values(["doc_id", "line_idx"])
+    keeps = []
+    for _ in range(len(batch)):
+        keeps.append(not seen)
+        seen = True
+    state.update((1,))
+    yield pd.DataFrame(
+        {
+            "doc_id": batch["doc_id"].astype("int64"),
+            "line_idx": batch["line_idx"].astype("int64"),
+            "line": batch["line"],
+            "keep": keeps,
+        }
+    )
+
+
+def dedup_lines_stream(docs: DataFrame, k: int = 4) -> DataFrame:
+    """Streaming twin of q_dedup_lines (operators/linedup.py): every
+    arriving document is segmented into k-token lines in a stateless
+    codegen projection (the same zero-shuffle Generate-barrier chunk
+    build as the batch operator), then an applyInPandasWithState stage
+    keyed on the line hash keeps only the FIRST corpus occurrence of
+    each distinct line — across micro-batches. When arrival order
+    follows doc_id, the kept set equals the batch operator's
+    min-(doc_id, line_idx) keeper rule (equivalence pinned in
+    tests/test_stateful_streaming.py, duplicates split across batches).
+
+    State is one long per distinct line hash — the same unbounded-
+    vocabulary caveat as corpus_filter_stream: production streams bound
+    it with an event-time TTL at the horizon where re-admitting an old
+    boilerplate line is acceptable.
+
+    ``docs`` must carry (doc_id, text). Output is per-line (update
+    mode); consumers reassemble documents downstream exactly like the
+    batch operator's final groupBy(doc_id) sorted concat.
+    """
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators.linedup import (
+        _chunk_lines,
+    )
+
+    lines = _chunk_lines(docs, k).withColumn("h", F.md5("line"))
+    return lines.groupBy("h").applyInPandasWithState(
+        _dedup_lines_fn,
+        outputStructType=LINEDUP_OUT_SCHEMA,
+        stateStructType=LINEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

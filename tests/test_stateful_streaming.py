@@ -334,3 +334,82 @@ def test_corpus_filter_stream_matches_batch_decisions(spark, tmp_path):
     }
     assert got == expect
     assert got[5] == ("duplicate", False)  # cross-batch duplicate memory
+
+
+def test_dedup_lines_stream_matches_batch_keeps(spark, tmp_path):
+    """Streaming line dedup == q_dedup_lines' reassembled documents when
+    arrival order follows doc_id; the boilerplate line is split across
+    micro-batches so the cross-batch line memory is exercised."""
+    import json as _json
+    import os
+    import time as _time
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        dedup_lines_stream,
+    )
+
+    registry.load_all_modules()
+    boiler = "enable java script and cookies now please ok"  # 8 tokens = 2 lines
+    docs = [
+        (1, boiler + " unique tail one two"),
+        (2, "fresh words only in doc two here yes"),
+        (3, boiler + " different ending entirely"),   # cross-batch dup lines
+        (4, "fresh words only in doc two here yes"),  # full dup of 2
+    ]
+    fixture = tmp_path / "fx"
+    (
+        spark.createDataFrame(docs, "doc_id long, text string")
+        .selectExpr(
+            "doc_id", "text", "'en' AS lang", "'t' AS source",
+            "CAST(length(text) AS BIGINT) AS n_chars",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(str(fixture / "documents.parquet"))
+    )
+    expect = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+        for r in registry.QUERIES["q_dedup_lines"](spark, str(fixture)).collect()
+    }
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    now = _time.time()
+    for k, chunk in enumerate([docs[:2], docs[2:]]):
+        p = d / f"b{k}.json"
+        with open(p, "w") as fh:
+            for doc_id, text in chunk:
+                fh.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(p, (now - 20 + 10 * k,) * 2)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    q = (
+        dedup_lines_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("dls")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM dls").collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    got = {}
+    for doc_id, lines in by_doc.items():
+        lines.sort(key=lambda r: r["line_idx"])
+        got[doc_id] = (
+            " ".join(x["line"] for x in lines if x["keep"]),
+            sum(1 for x in lines if x["keep"]),
+            sum(1 for x in lines if not x["keep"]),
+        )
+    assert got == expect
+    # the cross-batch duplicate actually crossed batches: doc 3 shares
+    # boilerplate lines with doc 1 (batch 0) and must have dropped them
+    assert got[3][2] >= 2
+    assert got[4] == ("", 0, 2)  # doc 4 is a full duplicate of doc 2
