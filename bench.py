@@ -80,6 +80,11 @@ HEADLINE = [
     # round-3 additions: line-level dedup + substring overlap
     "q_dedup_lines",
     "q_lcs_overlap",
+    # round-3 additions: graph + retrieval paths (iterative join plans,
+    # degree-ordered wedge join, broadcast-scored BM25 top-k)
+    "q_pagerank",
+    "q_triangle_count",
+    "q_bm25_search",
 ]
 
 

@@ -185,11 +185,13 @@ def test_markov_rows_sum_to_one(spark):
         assert abs(v - 1.0) < 1e-3
 
 
-def test_triangle_plan_orients_by_degree(spark):
-    """The oriented wedge join must exist (three joins over the oriented
-    edge frame), and the raw undirected edge frame must never self-join
-    without the orientation filter — pinned by requiring the struct
-    rank comparison to appear in the plan."""
+def test_triangle_plan_is_edge_iterator(spark):
+    """The counting step must be the codegen array_intersect over
+    adjacency arrays, never a join over materialized wedges (the
+    wedge-join form shuffled Σ C(outdeg,2) rows — measured 2.4× slower
+    at sf0.1), and the lineage must be truncated at the oriented edge
+    list (localCheckpoint → the expensive edge derivation appears as a
+    scanned RDD, not as a recomputed join subtree per reference)."""
     import io
     import contextlib
 
@@ -198,4 +200,5 @@ def test_triangle_plan_orients_by_degree(spark):
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    assert "rank_d" in plan or "rx" in plan, plan
+    assert "array_intersect" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
