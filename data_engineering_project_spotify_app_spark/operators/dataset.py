@@ -155,3 +155,64 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         < SAMPLE_BAND
     )
     return d.filter(keep).select("doc_id", "lang")
+
+
+WSAMPLE_K = 50
+
+# Portable uniform in (0, 1) from the doc_id's md5 — the same
+# instr/substr hex→int arithmetic as the MinHash family (dedup.py), so
+# Spark SQL and DuckDB evaluate the identical expression text.
+def _wsample_key_sql() -> str:
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        _hex2int_sql,
+    )
+
+    u = (
+        f"(({_hex2int_sql('md5(CAST(doc_id AS VARCHAR))', 1)} + 1.0) "
+        "/ 4294967297.0)"
+    )
+    return f"(-ln({u}) / n_chars)"
+
+
+@query(
+    "q_weighted_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS weight,
+           round({_wsample_key_sql()}, 6) AS sample_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY {_wsample_key_sql()}, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    the exponential-race / A-ES form): each document draws a
+    deterministic uniform u from its key's md5 and races with key
+    -ln(u)/weight (weight = n_chars); the {WSAMPLE_K} smallest keys ARE
+    a weighted sample without replacement. The standard primitive for
+    source-weighted corpus mixing when per-source quotas must be one
+    distributed pass.
+
+    Scale: a pure per-row projection (no shuffle) followed by a
+    TakeOrderedAndProject top-k — no global sort, no rand() (the
+    uniform is a pure function of the key: stable across runs,
+    machines, retries, and engines — the same determinism discipline as
+    q_dataset_split). The ORDER BY races on the UNROUNDED key (both
+    engines evaluate the identical expression text; only the emitted
+    column is rounded, the registry-wide double convention).
+    """
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    key = F.expr(_wsample_key_sql().replace("VARCHAR", "STRING"))
+    return (
+        d.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.round(key, 6).alias("sample_key"),
+            key.alias("_k"),
+        )
+        .orderBy(F.col("_k").asc(), F.col("doc_id").asc())
+        .limit(WSAMPLE_K)
+        .drop("_k")
+    )

@@ -99,3 +99,48 @@ def test_pii_patterns_redact_crafted_text(spark):
     assert (rows[1]["e"], rows[1]["i"], rows[1]["p"]) == (2, 1, 1)
     assert rows[1]["s"] == "mail <EMAIL> or <EMAIL>, host <IP>, tel <PHONE>"
     assert rows[2]["s"] == "no pii here"
+
+
+def test_weighted_sample_matches_sequential_reference(spark):
+    """A-ES race recomputed in pure Python (hashlib md5, same hex→int
+    arithmetic) must select the same K docs in the same order."""
+    import hashlib
+    import math
+
+    from data_engineering_project_spotify_app_spark.operators import (
+        dataset as ds,
+        registry,
+    )
+
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    keyed = []
+    for r in rows:
+        if r["n_chars"] <= 0:
+            continue
+        h = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        u = (int(h[:8], 16) + 1.0) / 4294967297.0
+        keyed.append((-math.log(u) / r["n_chars"], r["doc_id"], r["n_chars"]))
+    keyed.sort()
+    expect = [
+        (d, n, round(k, 6)) for k, d, n in keyed[: ds.WSAMPLE_K]
+    ]
+    got = [
+        (r["doc_id"], r["weight"], r["sample_key"])
+        for r in registry.QUERIES["q_weighted_sample"](spark, sf).collect()
+    ]
+    assert got == expect
+
+
+def test_weighted_sample_plan_is_topk(spark):
+    from data_engineering_project_spotify_app_spark.operators import registry
+    from tests.test_plans import plan_of
+
+    registry.load_all_modules()
+    plan = plan_of(spark, "/root/testdata/sf0.001", "q_weighted_sample")
+    assert "TakeOrderedAndProject" in plan, plan
