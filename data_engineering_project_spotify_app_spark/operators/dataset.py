@@ -10,6 +10,8 @@ and exactly oracle-checked:
   machines, and engine versions), never rand().
 - q_stratified_sample: per-stratum deterministic downsampling by hash
   band — the scalable form of "sample 25% of every language".
+- q_weighted_sample: Efraimidis–Spirakis weighted sampling without
+  replacement via a deterministic md5-derived exponential race.
 """
 
 from __future__ import annotations
