@@ -346,3 +346,159 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
         "n_events",
     )
+
+
+# --- Bloom-filter semi-join pruning -----------------------------------
+# 62-bit words: DuckDB's BIGINT << raises on a 1 << 63 overflow, so the
+# portable word layout never shifts past bit 61.
+BLOOM_WORD_BITS = 62
+BLOOM_WORDS = 32
+BLOOM_NBITS = BLOOM_WORD_BITS * BLOOM_WORDS  # 1984
+BLOOM_K = 3  # hash functions = three 8-hex slices of one md5
+BLOOM_ACCTBAL = 9000.0  # "high-value customer" build-side predicate
+
+
+def _bloom_bits_sql(key_expr: str) -> list[str]:
+    """K bit positions for a key — three disjoint 8-hex md5 slices via
+    the portable instr/substr hex→int arithmetic (dedup._hex2int_sql),
+    identical text in Spark SQL and DuckDB."""
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        _hex2int_sql,
+    )
+
+    return [
+        f"({_hex2int_sql(f'md5(CAST({key_expr} AS VARCHAR))', start)}"
+        f" % {BLOOM_NBITS})"
+        for start in (1, 9, 17)
+    ]
+
+
+@query(
+    "q_bloom_prune",
+    oracle=f"""
+    WITH hv AS (
+      SELECT c_custkey AS key FROM customer WHERE c_acctbal > {BLOOM_ACCTBAL}
+    ),
+    kb AS (
+      {" UNION ALL ".join(f"SELECT key, {b} AS bit FROM hv" for b in _bloom_bits_sql("key"))}
+    ),
+    bloom AS (
+      SELECT bit // {BLOOM_WORD_BITS} AS w,
+             bit_or(CAST(1 AS BIGINT) << (bit % {BLOOM_WORD_BITS})) AS bits
+      FROM kb GROUP BY 1
+    ),
+    pb AS (
+      {" UNION ALL ".join(f"SELECT o_orderkey, o_custkey, {b} AS bit FROM orders" for b in _bloom_bits_sql("o_custkey"))}
+    ),
+    probe AS (
+      SELECT pb.o_orderkey, pb.o_custkey,
+             min(CASE WHEN bloom.bits IS NOT NULL
+                       AND (bloom.bits & (CAST(1 AS BIGINT)
+                                          << (pb.bit % {BLOOM_WORD_BITS})))
+                           = (CAST(1 AS BIGINT)
+                              << (pb.bit % {BLOOM_WORD_BITS}))
+                      THEN 1 ELSE 0 END) AS pass
+      FROM pb
+      LEFT JOIN bloom ON bloom.w = pb.bit // {BLOOM_WORD_BITS}
+      GROUP BY 1, 2
+    ),
+    classed AS (
+      SELECT CASE WHEN probe.pass = 0 AND hv.key IS NULL THEN 'pruned'
+                  WHEN probe.pass = 1 AND hv.key IS NOT NULL THEN 'hit'
+                  WHEN probe.pass = 1 THEN 'false_positive'
+                  ELSE 'missed' END AS outcome
+      FROM probe LEFT JOIN hv ON hv.key = probe.o_custkey
+    )
+    SELECT outcome, CAST(count(*) AS BIGINT) AS n_orders
+    FROM classed GROUP BY outcome
+    """,
+)
+def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning with EXACT false-positive
+    accounting: build a {BLOOM_NBITS}-bit / {BLOOM_K}-hash Bloom filter
+    over high-value customer keys, probe every order's custkey against
+    it, and classify each order as pruned / hit / false_positive (a
+    'missed' class exists to prove the no-false-negative invariant —
+    it must always count zero, pinned in tests).
+
+    The technique is how a 100 TB join avoids shuffling the fact side:
+    the filter is a few KB of bit_or-aggregated words, broadcast to
+    every probe task, and only bloom-passing rows continue to the real
+    join. Because the bit positions are md5-derived (the portable
+    hex→int arithmetic of the MinHash family), the filter contents —
+    and therefore the exact set of false positives — are deterministic
+    and identical in both engines, so the oracle hash-checks the
+    pruning decision itself, not just its effect.
+
+    Plan: build side is one hash aggregate over ≤ {BLOOM_K}·|keys|
+    rows into ≤ {BLOOM_WORDS} words (broadcast); probe side explodes
+    each order into {BLOOM_K} (word, mask) probes, joins the broadcast
+    words, and min-folds back to one verdict per order — no shuffle of
+    the orders table beyond the per-order fold.
+    """
+    word = F.expr(f"bit div {BLOOM_WORD_BITS}")
+    mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), bit % {BLOOM_WORD_BITS})")
+
+    hv = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > BLOOM_ACCTBAL)
+        .select(F.col("c_custkey").alias("key"))
+    )
+    kb = hv.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(b.replace("VARCHAR", "STRING"))
+                    for b in _bloom_bits_sql("key")
+                ]
+            )
+        ).alias("bit")
+    )
+    bloom = kb.select(word.alias("w"), mask.alias("m")).groupBy("w").agg(
+        F.bit_or("m").alias("bits")
+    )
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pb = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(
+            F.array(
+                *[
+                    F.expr(b.replace("VARCHAR", "STRING"))
+                    for b in _bloom_bits_sql("o_custkey")
+                ]
+            )
+        ).alias("bit"),
+    )
+    probe = (
+        pb.join(F.broadcast(bloom), word == F.col("w"), "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(mask) == mask),
+                1,
+            )
+            .otherwise(0)
+            .alias("p"),
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.min("p").alias("pass"))
+    )
+    member = hv.withColumn("is_m", F.lit(1))
+    classed = probe.join(
+        member, probe["o_custkey"] == member["key"], "left"
+    ).select(
+        F.when(
+            (F.col("pass") == 0) & F.col("is_m").isNull(), "pruned"
+        )
+        .when((F.col("pass") == 1) & F.col("is_m").isNotNull(), "hit")
+        .when(F.col("pass") == 1, "false_positive")
+        .otherwise("missed")
+        .alias("outcome")
+    )
+    return classed.groupBy("outcome").agg(
+        F.count("*").alias("n_orders")
+    )

@@ -184,3 +184,68 @@ def test_runtime_bloom_filter_injection(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_prune_matches_sequential_reference(spark):
+    """Filter contents and every per-order verdict recomputed in pure
+    Python (hashlib md5, same slice/mod arithmetic) — the exact
+    false-positive SET must match, and false negatives are impossible."""
+    import hashlib
+
+    from data_engineering_project_spotify_app_spark.operators import (
+        registry,
+        scale_ops as so,
+    )
+
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.001"
+
+    def bits(key: int) -> list[int]:
+        h = hashlib.md5(str(key).encode()).hexdigest()
+        return [
+            int(h[s - 1 : s + 7], 16) % so.BLOOM_NBITS for s in (1, 9, 17)
+        ]
+
+    cust = spark.read.parquet(f"{sf}/customer.parquet").select(
+        "c_custkey", "c_acctbal"
+    ).collect()
+    hv = {r["c_custkey"] for r in cust if r["c_acctbal"] > so.BLOOM_ACCTBAL}
+    words = [0] * so.BLOOM_WORDS
+    for k in hv:
+        for b in bits(k):
+            words[b // so.BLOOM_WORD_BITS] |= 1 << (b % so.BLOOM_WORD_BITS)
+    orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    from collections import Counter
+
+    expect = Counter()
+    for r in orders:
+        ok = all(
+            words[b // so.BLOOM_WORD_BITS] >> (b % so.BLOOM_WORD_BITS) & 1
+            for b in bits(r["o_custkey"])
+        )
+        member = r["o_custkey"] in hv
+        if not ok and not member:
+            expect["pruned"] += 1
+        elif ok and member:
+            expect["hit"] += 1
+        elif ok:
+            expect["false_positive"] += 1
+        else:
+            expect["missed"] += 1
+    got = {
+        r["outcome"]: r["n_orders"]
+        for r in registry.QUERIES["q_bloom_prune"](spark, sf).collect()
+    }
+    assert got == dict(expect)
+    assert "missed" not in got, "Bloom filters cannot have false negatives"
+
+
+def test_bloom_build_side_broadcasts(spark):
+    from data_engineering_project_spotify_app_spark.operators import registry
+    from tests.test_plans import plan_of
+
+    registry.load_all_modules()
+    plan = plan_of(spark, "/root/testdata/sf0.001", "q_bloom_prune")
+    assert "BroadcastHashJoin" in plan, plan
