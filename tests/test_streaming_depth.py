@@ -292,3 +292,51 @@ def test_chained_stateful_join_then_windowed_agg(spark, tmp_path):
         for r in spark.sql("SELECT * FROM chained").collect()
     }
     assert got == {"2024-01-01 10:00:00": 3}, got
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Built-in streaming dedup: dropDuplicatesWithinWatermark keeps the
+    first arrival of each event_id and suppresses re-deliveries within
+    the watermark horizon — the engine-native rung below the custom
+    stateful dedup twins (dedup_lines_stream / corpus_filter_stream).
+    Cross-batch: the duplicate arrives in a LATER micro-batch and must
+    still be suppressed, because its key is inside the state horizon."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _drop(
+        src,
+        "b0.json",
+        [
+            _ev(1, 1, "click", 10, 0),
+            _ev(1, 1, "click", 10, 0),  # same-batch re-delivery
+            _ev(2, 2, "view", 10, 1),
+        ],
+    )
+    now = time.time()
+    os.utime(os.path.join(src, "b0.json"), (now - 20, now - 20))
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    deduped = stream.withWatermark(
+        "ts", "30 minutes"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ddww")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # cross-batch re-delivery of event 1, plus a fresh event
+        _drop(
+            src,
+            "b1.json",
+            [_ev(1, 1, "click", 10, 0), _ev(4, 3, "view", 10, 2)],
+        )
+        os.utime(os.path.join(src, "b1.json"), (now - 10, now - 10))
+        time.sleep(0.1)
+        q.processAllAvailable()
+        rows = spark.sql("SELECT event_id FROM ddww").collect()
+        ids = sorted(r["event_id"] for r in rows)
+        assert ids == [1, 2, 4], ids  # each id exactly once
+    finally:
+        q.stop()
