@@ -121,9 +121,16 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p_partkey") % SEED_MOD == 0)
         .select(F.col("p_partkey").alias("part"))
     )
+    return bfs_hops(seeds, edges, MAX_HOPS)
+
+
+def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
+    """DataFrame-level BFS: seeds (part) × directed edges (src, dst) →
+    (part_key, hops). Property-tested on hypothesis-generated random
+    graphs against a sequential reference (test_graph_properties.py)."""
     visited = seeds.withColumn("hops", F.lit(0))
     frontier = seeds
-    for h in range(1, MAX_HOPS + 1):
+    for h in range(1, max_hops + 1):
         nbrs = (
             frontier.join(edges, frontier["part"] == edges["src"])
             .select(F.col("dst").alias("part"))
@@ -189,6 +196,18 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("part")
     )
+    return pagerank(nodes, edges, PR_ITERS, PR_DAMPING)
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = PR_DAMPING,
+) -> DataFrame:
+    """DataFrame-level power iteration: nodes (part) × directed edges
+    (src, dst) → (part_key, rank_norm). Property-tested on random
+    graphs against a sequential reference (test_graph_properties.py)."""
     nc = nodes.agg(F.count("*").cast("double").alias("n"))
     outdeg = edges.groupBy("src").agg(
         F.count("*").cast("double").alias("deg")
@@ -197,7 +216,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = nodes.crossJoin(F.broadcast(nc)).select(
         "part", (F.lit(1.0) / F.col("n")).alias("r")
     )
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         contrib = (
             pr.join(ec, pr["part"] == ec["src"])
             .groupBy("dst")
@@ -209,8 +228,8 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "part",
                 (
-                    (1.0 - PR_DAMPING) / F.col("n")
-                    + PR_DAMPING * F.coalesce(F.col("s"), F.lit(0.0))
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
             )
         )
@@ -265,7 +284,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant, so the oracle uses the simple id-ordered a<b<c
     wedge-join enumeration: identical triangles, identical counts.
     """
-    edges = copurchase_edges(spark, sf_dir)
+    return triangle_counts(copurchase_edges(spark, sf_dir))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """DataFrame-level edge-iterator triangle counting: both-direction
+    distinct edges (src, dst) → (part_key, n_triangles), only nodes in
+    ≥ 1 triangle. Property-tested on random graphs against a
+    sequential reference (test_graph_properties.py)."""
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("deg")
     )
