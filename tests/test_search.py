@@ -146,3 +146,55 @@ def test_chunking_has_no_shuffle(spark):
 def test_bm25_query_side_broadcasts(spark):
     plan = plan_of(spark, SF, "q_bm25_search")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_degenerate_docs_cross_engine_parity_retrieval(spark):
+    """Empty / 1-token / duplicate documents — shapes absent from the
+    driver fixtures — must agree between Spark and DuckDB for every
+    retrieval/sampling oracle that consumes documents."""
+    import tempfile
+
+    import duckdb
+
+    rows = [
+        (1, ""),                       # tokenless (n_chars = 0)
+        (2, "single"),                 # 1 token
+        (3, "a b c"),                  # < chunk width
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+        (5, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    )
+    names = (
+        "q_inverted_index", "q_bm25_search", "q_cooccurrence_pmi",
+        "q_chunk_documents", "q_weighted_sample",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        con = duckdb.connect()
+        con.sql(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"parquet_scan('{d}/documents.parquet/*.parquet')"
+        )
+        for name in names:
+            sdf = registry.QUERIES[name](spark, d)
+            scols = sorted(sdf.columns)
+            srows = sorted(
+                tuple(
+                    tuple(v) if isinstance(v, list) else v
+                    for v in (r[c] for c in scols)
+                )
+                for r in sdf.collect()
+            )
+            rel = con.sql(registry.ORACLES[name])
+            idx = [rel.columns.index(c) for c in scols]
+            drows = sorted(
+                tuple(
+                    tuple(v) if isinstance(v, list) else v
+                    for v in (r[i] for i in idx)
+                )
+                for r in rel.fetchall()
+            )
+            assert srows == drows, (name, srows, drows)
