@@ -651,8 +651,9 @@ def _simhash_vote_sql(bit: int) -> str:
     return f"sum(2 * (({d} >> {shift}) & 1) - 1)"
 
 
-_SIMHASH_ORACLE = f"""
-    WITH tok_table AS (
+# The simhash CTE chain, reusable by downstream oracles (hamming pairs):
+# ends with `sighs` (doc_id, simhash).
+SIMHASH_CTES = f"""tok_table AS (
       SELECT doc_id, unnest(list_distinct({_TOK})) AS tok FROM documents
     ),
     votes AS (
@@ -662,9 +663,15 @@ _SIMHASH_ORACLE = f"""
                  for b in range(64)
              )}
       FROM tok_table GROUP BY doc_id
-    )
-    SELECT doc_id, {" || ".join(f"b{b}" for b in range(64))} AS simhash
-    FROM votes
+    ),
+    sighs AS (
+      SELECT doc_id, {" || ".join(f"b{b}" for b in range(64))} AS simhash
+      FROM votes
+    )"""
+
+_SIMHASH_ORACLE = f"""
+    WITH {SIMHASH_CTES}
+    SELECT doc_id, simhash FROM sighs
     """
 
 
@@ -682,10 +689,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded tokens; zero pairwise computation. The standard choice when
     even LSH candidate joins are too hot.
     """
-    d = table_parallel(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens(F.col("text")).alias("tok_arr")).select(
+    return simhash_signatures_df(table_parallel(spark, sf_dir, "documents"))
+
+
+def simhash_signatures_df(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per (doc_id, text) row — see q_simhash."""
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tok_arr")).select(
         "doc_id", F.explode(F.array_distinct(F.col("tok_arr"))).alias("tok")
     )
+
     def vote(b: int) -> F.Column:
         # identical arithmetic to _simhash_vote_sql(b), Spark-SQL spelled
         digit = f"(instr('{_HEX}', substring(md5(tok), {b // 4 + 1}, 1)) - 1)"
@@ -704,4 +716,144 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.concat(*[F.col(f"b{b}") for b in range(64)]).alias("simhash"),
         )
+    )
+
+
+# SimHash Hamming pairing: 4 blocks of 16 bits; by pigeonhole, any pair
+# within Hamming distance <= HAMMING_MAX (= blocks - 1) shares at least
+# one untouched block, so multi-index blocking finds ALL such pairs.
+N_SIMHASH_BLOCKS = 4
+SIMHASH_BLOCK_BITS = 64 // N_SIMHASH_BLOCKS
+HAMMING_MAX = N_SIMHASH_BLOCKS - 1
+
+_SIMHASH_HAMMING_ORACLE = f"""
+    WITH {SIMHASH_CTES},
+    blocks AS (
+      SELECT doc_id, simhash, bl.block AS block,
+             substr(simhash, bl.block * {SIMHASH_BLOCK_BITS} + 1,
+                    {SIMHASH_BLOCK_BITS}) AS bkey
+      FROM sighs
+      CROSS JOIN (
+        SELECT unnest([{",".join(str(b) for b in range(N_SIMHASH_BLOCKS))}])
+               AS block
+      ) bl
+    ),
+    kept AS (
+      SELECT block, bkey FROM blocks
+      GROUP BY 1, 2
+      HAVING count(*) <= greatest({CAP_FLOOR},
+                                  (SELECT count(*) FROM documents)
+                                    // {CAP_DIVISOR})
+    ),
+    bk AS (
+      SELECT blocks.* FROM blocks JOIN kept USING (block, bkey)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bk a
+      JOIN bk b
+        ON a.block = b.block AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             CAST(len(list_filter(range(1, 65),
+                                  i -> substr(sa, i, 1) <> substr(sb, i, 1)))
+                  AS INT) AS hamming
+      FROM cand
+    )
+    SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {HAMMING_MAX}
+    """
+
+
+@query("q_simhash_hamming", oracle=_SIMHASH_HAMMING_ORACLE)
+def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS within Hamming distance {HAMMING_MAX} —
+    the pair-generation half of the SimHash dedup mode (q_simhash emits
+    only fingerprints; group-by-fingerprint catches distance 0 only).
+
+    Multi-index pigeonhole blocking (Manku et al., WWW'07 — the
+    web-scale simhash dedup design): the 64-bit fingerprint splits into
+    {N_SIMHASH_BLOCKS} blocks of {SIMHASH_BLOCK_BITS} bits; a pair
+    within Hamming distance {HAMMING_MAX} differs in at most
+    {HAMMING_MAX} blocks, so it collides on at least one block key —
+    candidate generation is exhaustive for the threshold, never
+    quadratic in the corpus. Candidates are verified with the exact
+    64-position Hamming distance, computed array-side (codegen
+    ``filter(sequence(...))`` — no UDF).
+
+    Scale: the same bucket-collect + auto skew cap discipline as the
+    capped LSH variants (a block key shared by > max({CAP_FLOOR},
+    n/{CAP_DIVISOR}) docs is an uninformative quarter-fingerprint —
+    its pairs re-surface via their other blocks); one shuffle of
+    (block, bkey, doc_id, simhash), pairs generated array-side inside
+    capped buckets, then an exact verify on 128 chars per pair.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    cap = table(spark, sf_dir, "documents").agg(
+        _auto_cap(F.count("*")).alias("bucket_cap")
+    )
+    return simhash_hamming_pairs_df(d, cap_df=cap)
+
+
+def simhash_hamming_pairs_df(
+    docs: DataFrame, cap_df: DataFrame | None = None
+) -> DataFrame:
+    """SimHash Hamming pairs from a (doc_id, text) frame — see
+    q_simhash_hamming. ``cap_df`` is an optional 1-row (bucket_cap)
+    frame; None disables the skew cap (tests / pre-capped inputs)."""
+    sig = simhash_signatures_df(docs)
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.substring(
+                            "simhash",
+                            b * SIMHASH_BLOCK_BITS + 1,
+                            SIMHASH_BLOCK_BITS,
+                        ).alias("bkey"),
+                    )
+                    for b in range(N_SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.block", "bk.bkey")
+    buckets = (
+        blocks.groupBy("block", "bkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    if cap_df is not None:
+        buckets = buckets.crossJoin(F.broadcast(cap_df)).filter(
+            F.size("ds") <= F.col("bucket_cap")
+        )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "x.simhash AS sa, y.simhash AS sb))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.*")
+        .distinct()
+    )
+    hamming = F.expr(
+        "size(filter(sequence(1, 64), "
+        "i -> substring(sa, i, 1) <> substring(sb, i, 1)))"
+    ).cast("int")
+    return (
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
     )
