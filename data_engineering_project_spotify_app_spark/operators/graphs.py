@@ -273,18 +273,37 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``array_intersect``, NOT a join over materialized wedges (the
     wedge-join form shuffled Σ C(outdeg,2) rows — measured 10.8 s vs
     ~4 s for this form at sf0.1's 1.2 M-edge / 1.9 M-triangle graph).
-    The oriented edge list (2 bigints × |E|) is localCheckpoint-ed
-    before being referenced by both the adjacency build and the
-    per-edge probe — the same lineage-truncation discipline as the
-    connected-components loop (clusters.py); without it the
-    lineitem self-join + distinct would recompute per reference.
-    Per-node counts: the edge's endpoints each gain |common|, every
-    apex gains 1 — the explode is |triangles| rows, the output floor
-    for any exact per-node count. The triangle SET is orientation-
-    invariant, so the oracle uses the simple id-ordered a<b<c
-    wedge-join enumeration: identical triangles, identical counts.
+
+    Unlike the shared ``copurchase_edges`` consumers (BFS, PageRank),
+    this skips the global pair ``distinct()`` entirely: the per-order
+    arrays emit src<dst pairs WITH multiplicity, and dedup folds into
+    the two aggregations that must run anyway (``count_distinct`` for
+    degrees, ``collect_set`` for the oriented adjacency) — one less
+    1.2 M-row shuffle. See _triangle_counts_from_pairs for the
+    remaining plan discipline (checkpoint placement, carried
+    neighbor arrays, single-explode contributions).
+
+    The triangle SET is orientation-invariant, so the oracle uses the
+    simple id-ordered a<b<c wedge-join enumeration: identical
+    triangles, identical counts.
     """
-    return triangle_counts(copurchase_edges(spark, sf_dir))
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    grp = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list("l_partkey")).alias("ps")
+    )
+    pairs = (
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> "
+                    "transform(filter(ps, y -> y > x), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.src", "pr.dst")
+    )
+    return _triangle_counts_from_pairs(pairs)
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -292,47 +311,77 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     distinct edges (src, dst) → (part_key, n_triangles), only nodes in
     ≥ 1 triangle. Property-tested on random graphs against a
     sequential reference (test_graph_properties.py)."""
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count("*").alias("deg")
+    return _triangle_counts_from_pairs(
+        edges.filter(F.col("src") < F.col("dst"))
     )
-    # oriented edge (s -> d): rank(s) < rank(d), rank = (deg, id);
-    # deg is |V|-sized — broadcast onto the undirected edge list
-    und = edges.filter(F.col("src") < F.col("dst"))
-    ds = deg.select(
-        F.col("node").alias("src"), F.col("deg").alias("deg_s")
+
+
+def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Edge-iterator triangle counting from src<dst pairs (multiplicity
+    allowed — dedup folds into the degree/adjacency aggregations).
+
+    Plan discipline, each choice A/B-measured at sf0.1 (1.2 M edges,
+    1.9 M triangles):
+
+    - ``pairs`` is localCheckpoint-ed: it feeds the degree pass and the
+      orientation join — without truncation the upstream derivation
+      recomputes per consumer (the same lineage discipline as
+      clusters.py).
+    - Degrees come from one ``count_distinct`` aggregation over both
+      directions; the |V|-sized result is broadcast onto the pair list
+      for the (deg, id) orientation.
+    - The oriented adjacency (collect_set — dedups multiplicity) is
+      checkpointed, then each edge CARRIES its source neighbor array
+      out of the adjacency explode instead of joining back on s — one
+      broadcast join (on d) instead of two.
+    - Per-edge contributions ((s, m), (d, m), (c, 1) per apex) are
+      built array-side and exploded ONCE: the earlier two-branch union
+      (ends ⊎ apexes) referenced the probe twice, recomputing the
+      whole intersection stage per branch — measured 1.56 s → 0.9 s
+      for the counting stage alone.
+    """
+    pairs = pairs.localCheckpoint()
+    both = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    dd = deg.select(
-        F.col("node").alias("dst"), F.col("deg").alias("deg_d")
-    )
-    ranked = und.join(F.broadcast(ds), "src").join(F.broadcast(dd), "dst")
+    degs = both.groupBy("src").agg(F.count_distinct("dst").alias("deg"))
+    ds = degs.select("src", F.col("deg").alias("deg_s"))
+    dd = degs.select(F.col("src").alias("dst"), F.col("deg").alias("deg_d"))
+    ranked = pairs.join(F.broadcast(ds), "src").join(F.broadcast(dd), "dst")
     fwd = F.struct(F.col("deg_s"), F.col("src")) < F.struct(
         F.col("deg_d"), F.col("dst")
     )
     o = ranked.select(
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("s"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("d"),
-    ).localCheckpoint()
-    adj = o.groupBy("s").agg(F.collect_list("d").alias("ns"))
-    e_s = o.join(adj, "s").select("s", "d", F.col("ns").alias("ns_s"))
-    adj_d = adj.select(F.col("s").alias("d"), F.col("ns").alias("ns_d"))
-    e_sd = e_s.join(adj_d, "d", "left").select(
+    )
+    oadj = (
+        o.groupBy("s").agg(F.collect_set("d").alias("ons")).localCheckpoint()
+    )
+    e = oadj.select("s", F.explode("ons").alias("d"), F.col("ons").alias("ns_s"))
+    oadj_d = oadj.select(F.col("s").alias("d"), F.col("ons").alias("ns_d"))
+    e_sd = e.join(F.broadcast(oadj_d), "d", "left").select(
         "s",
         "d",
         F.array_intersect(
             "ns_s", F.coalesce("ns_d", F.array().cast("array<bigint>"))
         ).alias("common"),
     )
-    per_edge = e_sd.withColumn("m", F.size("common")).filter(F.col("m") > 0)
-    ends = per_edge.select(
-        F.explode(F.array("s", "d")).alias("part_key"),
-        F.col("m").cast("bigint").alias("cnt"),
+    contrib = (
+        e_sd.filter(F.size("common") > 0)
+        .select(
+            F.explode(
+                F.expr(
+                    "concat("
+                    "array(struct(s AS part_key, "
+                    "CAST(size(common) AS BIGINT) AS cnt), "
+                    "struct(d AS part_key, "
+                    "CAST(size(common) AS BIGINT) AS cnt)), "
+                    "transform(common, c -> "
+                    "struct(c AS part_key, CAST(1 AS BIGINT) AS cnt)))"
+                )
+            ).alias("pc")
+        )
+        .select("pc.part_key", "pc.cnt")
     )
-    apexes = per_edge.select(
-        F.explode("common").alias("part_key"),
-        F.lit(1).cast("bigint").alias("cnt"),
-    )
-    return (
-        ends.unionByName(apexes)
-        .groupBy("part_key")
-        .agg(F.sum("cnt").alias("n_triangles"))
-    )
+    return contrib.groupBy("part_key").agg(F.sum("cnt").alias("n_triangles"))
