@@ -304,3 +304,92 @@ def test_kmv_window_is_group_limited(spark, sf_dir):
     the shuffle) — otherwise every raw row shuffles to the rank stage."""
     plan = plan_of(spark, sf_dir, "q_kmv_distinct")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_triangle_count_intersection_is_array_side(spark, sf_dir):
+    """q_triangle_count's scale claim: the per-edge neighborhood
+    intersection is a codegen array_intersect over carried adjacency
+    arrays, NEVER a join over materialized wedges (Σ C(outdeg,2) rows
+    shuffled — measured 2.4× slower), and every join in the plan is a
+    broadcast (degrees, oriented adjacency)."""
+    plan = plan_of(spark, sf_dir, "q_triangle_count")
+    assert "array_intersect" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pagerank_scalar_broadcast_no_global_window(spark, sf_dir):
+    """q_pagerank: the node count rides as a broadcast 1-row frame
+    (BroadcastNestedLoopJoin), the contribution join is NOT
+    hint-broadcast (both sides are corpus-sized at 100 TB), and no
+    iteration introduces a global window or cartesian product."""
+    plan = plan_of(spark, sf_dir, "q_pagerank")
+    tree = plan.split("\n(1)")[0]
+    assert "Window" not in tree, plan
+    assert "CartesianProduct" not in plan, plan
+    import inspect
+
+    from data_engineering_project_spotify_app_spark.operators import graphs
+
+    src = inspect.getsource(graphs.pagerank)
+    # only the 1-row node-count frame is ever hint-broadcast
+    assert src.count("F.broadcast(") == src.count("F.broadcast(nc)")
+
+
+def test_ccnet_rank_is_two_phase_range_partitioned(spark, sf_dir):
+    """q_ccnet_buckets' global ranking must be the two-phase form:
+    an Exchange rangepartitioning on the sort key, per-range local
+    row_number windows (partitionBy=[pid…]), broadcast offsets — the
+    only unpartitioned windows run over the per-partition count frame
+    (one row per range), never over document rows."""
+    plan = plan_of(spark, sf_dir, "q_ccnet_buckets")
+    assert "rangepartitioning" in plan, plan
+    assert "windowspecdefinition(pid#" in plan, plan
+
+
+@pytest.mark.parametrize("name", ["q_bm25_search", "q_weighted_sample"])
+def test_retrieval_topk_is_take_ordered(spark, sf_dir, name):
+    """Final top-k stages (BM25 ranking, the A-ES sampling race) must
+    be TakeOrderedAndProject — per-partition top-k + k-merge — not a
+    global sort of the corpus."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "TakeOrderedAndProject" in plan, plan
+    tree = plan.split("\n(1)")[0]
+    assert "\n+- Sort" not in tree, plan
+
+
+def test_weighted_sample_has_no_shuffle(spark, sf_dir):
+    """The A-ES race is a pure per-row projection + top-k: zero
+    hash/range exchanges (the only data movement is the k-row merge
+    inside TakeOrderedAndProject)."""
+    plan = plan_of(spark, sf_dir, "q_weighted_sample")
+    assert _n_ops(plan, "Exchange") == 0, plan
+
+
+def test_bloom_prune_filter_is_scalar_broadcast(spark, sf_dir):
+    """q_bloom_prune ships the whole Bloom filter as ONE broadcast map
+    row (BroadcastNestedLoopJoin); the probe side is scalar expressions
+    over the orders scan — no explode, no per-order re-aggregation
+    join, no shuffle of orders before the verdict fold."""
+    plan = plan_of(spark, sf_dir, "q_bloom_prune")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_simhash_hamming_pairs_are_bucket_collected(spark, sf_dir):
+    """q_simhash_hamming generates candidate pairs array-side inside
+    capped block buckets (collect_list + transform), never via a
+    self-join or cartesian product of the signature frame."""
+    plan = plan_of(spark, sf_dir, "q_simhash_hamming")
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_chunk_documents_is_single_stage(spark, sf_dir):
+    """RAG chunking is a pure per-document array pipeline (Generate
+    barrier + sequence + posexplode): no hash/range repartitioning —
+    the only allowed exchange is table_parallel's round-robin input
+    spread (small-file parallelism; a no-op on a real multi-split
+    scan)."""
+    plan = plan_of(spark, sf_dir, "q_chunk_documents")
+    assert "hashpartitioning" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
