@@ -456,3 +456,93 @@ def dedup_lines_stream(docs: DataFrame, k: int = 4) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEBOUNCE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+# last KEPT event's timestamp (µs since epoch) per (user, type)
+DEBOUNCE_STATE_SCHEMA = T.StructType([T.StructField("last_kept_us", T.LongType())])
+
+
+def _debounce_fn(gap_us: int):
+    def debounce(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Keyed by (user_id, event_type): keep an event iff it is more
+        than ``gap_us`` after the last KEPT event — the sequential fold
+        the batch q_debounce deliberately does NOT implement (its
+        predecessor-gap lag window is SQL-expressible; this recurrence
+        is not, because each keep decision depends on the previous keep
+        decision, not the previous row). Same concat-then-sort
+        discipline as _scd2_fn — Arrow chunk order is not contractual.
+        """
+        user_id, event_type = key
+        last = state.get[0] if state.exists else None
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            return
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values(["ts", "event_id"])
+        kept: list[tuple[int, int]] = []
+        for ts, eid in zip(
+            batch["ts"].astype("int64") // 1000, batch["event_id"]
+        ):
+            ts, eid = int(ts), int(eid)
+            if last is None or ts - last > gap_us:
+                kept.append((eid, ts))
+                last = ts
+        if last is not None:
+            state.update((last,))
+        if kept:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(kept),
+                    "event_type": [event_type] * len(kept),
+                    "event_id": [k[0] for k in kept],
+                    "ts": [pd.to_datetime(k[1], unit="us") for k in kept],
+                }
+            )
+
+    return debounce
+
+
+def debounce_stream(
+    events: DataFrame, gap_seconds: int = 60
+) -> DataFrame:
+    """Streaming debounce with keep-after-last-KEPT semantics: an event
+    is kept iff it arrives more than ``gap_seconds`` after the last
+    event that was KEPT for the same (user_id, event_type) — a burst of
+    rapid events collapses into its FIRST member no matter how long the
+    burst lasts, unlike the batch q_debounce's predecessor-gap window,
+    where a chain of sub-gap events keeps none after the first but
+    RESETS its clock on every arrival. The recurrence (each decision
+    feeds the next) is exactly the sequential fold the batch docstring
+    scopes to the streaming path.
+
+    PRECONDITION — in-order arrival across micro-batches, same as
+    scd2_stream: events sort by (ts, event_id) within a batch, but an
+    event arriving late in a later batch is judged against state that
+    already advanced past it.
+
+    Scale: state is ONE long per (user, type) — O(active key space),
+    not O(events); the shuffle key matches the batch twin's window
+    partitioning. Append mode: each kept event emits exactly once.
+    """
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        _debounce_fn(gap_seconds * 1_000_000),
+        outputStructType=DEBOUNCE_OUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -413,3 +413,136 @@ def test_dedup_lines_stream_matches_batch_keeps(spark, tmp_path):
     # boilerplate lines with doc 1 (batch 0) and must have dropped them
     assert got[3][2] >= 2
     assert got[4] == ("", 0, 2)  # doc 4 is a full duplicate of doc 2
+
+
+def _db_ev(eid, user, etype, sec):
+    return {
+        "event_id": eid,
+        "ts": f"2024-01-01T00:{sec // 60:02d}:{sec % 60:02d}.000Z",
+        "user_id": user,
+        "event_type": etype,
+        "value": 1.0,
+        "props": "{}",
+    }
+
+
+def _debounce_reference(events, gap_s=60):
+    """Sequential keep-after-last-KEPT fold: the semantics
+    debounce_stream implements (NOT the batch q_debounce lag window)."""
+    kept = set()
+    last: dict[tuple, int] = {}
+    for sec, eid, user, etype in sorted(
+        (e["sec"], e["eid"], e["user"], e["etype"]) for e in events
+    ):
+        k = (user, etype)
+        if k not in last or sec - last[k] > gap_s:
+            kept.add(eid)
+            last[k] = sec
+    return kept
+
+
+def test_debounce_stream_keep_after_last_kept(spark, tmp_path):
+    """Cross-batch stateful debounce == the sequential reference fold —
+    including the case that SEPARATES it from the batch q_debounce's
+    predecessor-gap window: a chain of sub-gap events whose total span
+    exceeds the gap (40 s steps, 60 s gap) re-keeps at +80 s because
+    the clock anchors on the last KEPT event, while the lag window
+    would reset its clock on every arrival and keep only the first."""
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        debounce_stream,
+    )
+
+    evs = [
+        # user 7 click: chain at 0/40/80/120 s → kept {1, 3}
+        dict(eid=1, user=7, etype="click", sec=0),
+        dict(eid=2, user=7, etype="click", sec=40),
+        dict(eid=3, user=7, etype="click", sec=80),
+        dict(eid=4, user=7, etype="click", sec=120),
+        # user 7 view: independent key, far apart → both kept
+        dict(eid=5, user=7, etype="view", sec=10),
+        dict(eid=6, user=7, etype="view", sec=200),
+        # user 8 click: tie-breaks on event_id at equal ts
+        dict(eid=7, user=8, etype="click", sec=30),
+        dict(eid=8, user=8, etype="click", sec=30),
+        dict(eid=9, user=8, etype="click", sec=95),
+    ]
+    expect = _debounce_reference(evs)
+    assert expect == {1, 3, 5, 6, 7, 9}  # the reference itself, pinned
+
+    import os
+    import time as _time
+
+    d = tmp_path / "stream_debounce"
+    d.mkdir()
+    rows = [_db_ev(e["eid"], e["user"], e["etype"], e["sec"]) for e in evs]
+    now = _time.time()
+    # in-(ts)-order slicing, bursts split across micro-batches
+    for k, (name, chunk) in enumerate(
+        [("b0.json", rows[:3]), ("b1.json", rows[3:6]), ("b2.json", rows[6:])]
+    ):
+        _write_batch(d, name, chunk)
+        os.utime(d / name, (now - 30 + 10 * k, now - 30 + 10 * k))
+    q = (
+        debounce_stream(stream_events(spark, str(d), max_files_per_trigger=1))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("debounced")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.event_id for r in spark.sql("SELECT * FROM debounced").collect()}
+    assert got == expect
+
+
+def test_debounce_fold_is_chunk_order_independent():
+    """Arrow chunk order is not contractual: shuffled chunkings of one
+    micro-batch must fold to the identical kept set and final state."""
+    import pandas as pd
+
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        _debounce_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    def mk(rows):
+        return pd.DataFrame(
+            {
+                "ts": pd.to_datetime([r[0] for r in rows], unit="s"),
+                "event_id": [r[1] for r in rows],
+            }
+        )
+
+    fn = _debounce_fn(60 * 1_000_000)
+    events = [(0, 1), (40, 2), (80, 3), (120, 4), (130, 5), (200, 6)]
+
+    def run(chunking):
+        st = FakeState()
+        out = list(fn((7, "click"), [mk(c) for c in chunking], st))
+        rows = []
+        for pdf in out:
+            rows += [tuple(r) for r in pdf.itertuples(index=False)]
+        return rows, st._v
+
+    base_rows, base_state = run([events])
+    assert [r[2] for r in base_rows] == [1, 3, 6]  # eids kept
+    for chunking in (
+        [events[:2], events[2:]],
+        [events[4:], events[:4]],
+        [[e] for e in reversed(events)],
+    ):
+        rows, state = run(chunking)
+        assert rows == base_rows, chunking
+        assert state == base_state, chunking
