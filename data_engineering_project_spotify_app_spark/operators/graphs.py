@@ -328,12 +328,17 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
       recomputes per consumer (the same lineage discipline as
       clusters.py).
     - Degrees come from one ``count_distinct`` aggregation over both
-      directions; the |V|-sized result is broadcast onto the pair list
-      for the (deg, id) orientation.
+      directions; the |V|-sized result joins onto the pair list for the
+      (deg, id) orientation WITHOUT a broadcast hint — the degree table
+      is O(|V|) and the adjacency below is O(|E|), so a forced
+      broadcast would be impossible at cluster scale. AQE converts
+      both joins to broadcast at runtime while the build side is small
+      (asserted on the executed plan in tests/test_plans.py); at 100 TB
+      they degrade gracefully to co-partitioned shuffle joins.
     - The oriented adjacency (collect_set — dedups multiplicity) is
       checkpointed, then each edge CARRIES its source neighbor array
       out of the adjacency explode instead of joining back on s — one
-      broadcast join (on d) instead of two.
+      join (on d) instead of two.
     - Per-edge contributions ((s, m), (d, m), (c, 1) per apex) are
       built array-side and exploded ONCE: the earlier two-branch union
       (ends ⊎ apexes) referenced the probe twice, recomputing the
@@ -347,7 +352,7 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
     degs = both.groupBy("src").agg(F.count_distinct("dst").alias("deg"))
     ds = degs.select("src", F.col("deg").alias("deg_s"))
     dd = degs.select(F.col("src").alias("dst"), F.col("deg").alias("deg_d"))
-    ranked = pairs.join(F.broadcast(ds), "src").join(F.broadcast(dd), "dst")
+    ranked = pairs.join(ds, "src").join(dd, "dst")
     fwd = F.struct(F.col("deg_s"), F.col("src")) < F.struct(
         F.col("deg_d"), F.col("dst")
     )
@@ -360,7 +365,7 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
     )
     e = oadj.select("s", F.explode("ons").alias("d"), F.col("ons").alias("ns_s"))
     oadj_d = oadj.select(F.col("s").alias("d"), F.col("ons").alias("ns_d"))
-    e_sd = e.join(F.broadcast(oadj_d), "d", "left").select(
+    e_sd = e.join(oadj_d, "d", "left").select(
         "s",
         "d",
         F.array_intersect(

@@ -237,8 +237,10 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. On an open-vocabulary corpus, precede this with a min-df /
     top-V vocabulary cap (the dedup ladder's stop-feature cap) — the
     registered query omits it because the fixture vocabulary is already
-    bounded. The per-term df and corpus size are broadcast onto the
-    pair aggregate for the PMI arithmetic.
+    bounded. The per-term df table is O(vocab), so it joins onto the
+    pair aggregate WITHOUT a broadcast hint (AQE broadcasts it at
+    runtime while it fits; an open-vocabulary corpus shuffle-joins);
+    only the 1-row corpus size is hint-broadcast.
     """
     docs = table_parallel(spark, sf_dir, "documents")
     toks = docs.select(
@@ -273,8 +275,8 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("term").alias("term_b"), F.col("df").alias("df_b")
     )
     return (
-        pairs.join(F.broadcast(fa), "term_a")
-        .join(F.broadcast(fb), "term_b")
+        pairs.join(fa, "term_a")
+        .join(fb, "term_b")
         .crossJoin(F.broadcast(nd))
         .select(
             "term_a",

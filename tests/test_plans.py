@@ -310,11 +310,21 @@ def test_triangle_count_intersection_is_array_side(spark, sf_dir):
     """q_triangle_count's scale claim: the per-edge neighborhood
     intersection is a codegen array_intersect over carried adjacency
     arrays, NEVER a join over materialized wedges (Σ C(outdeg,2) rows
-    shuffled — measured 2.4× slower), and every join in the plan is a
-    broadcast (degrees, oriented adjacency)."""
+    shuffled — measured 2.4× slower). The degree/adjacency joins carry
+    no broadcast hint (both sides are graph-sized at 100 TB); AQE must
+    convert them to broadcast at runtime while they fit."""
     plan = plan_of(spark, sf_dir, "q_triangle_count")
     assert "array_intersect" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
+    import inspect
+
+    from data_engineering_project_spotify_app_spark.operators import graphs
+
+    src = inspect.getsource(graphs._triangle_counts_from_pairs)
+    assert "F.broadcast" not in src  # no forced broadcast of O(V)/O(E) frames
+    df = registry.QUERIES["q_triangle_count"](spark, sf_dir)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final, final  # AQE converted at this SF
 
 
 def test_pagerank_scalar_broadcast_no_global_window(spark, sf_dir):
