@@ -60,16 +60,19 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k characteristic terms per document by tf-idf.
 
     Scale: tf is one explode+groupBy (map-side combined); df is a
-    second small aggregate joined back broadcast (vocabulary ≪ corpus);
-    the idf join never shuffles the corpus-side rows by value. The
-    smoothed idf ln((N+1)/(df+1)) keeps everything finite.
+    second aggregate joined back WITHOUT a broadcast hint — vocabulary
+    ≪ corpus, but an open web corpus's vocabulary (hapax-heavy) is
+    still too large to pin as a mandatory broadcast; AQE broadcasts it
+    at runtime while it fits and shuffle-joins co-partitioned on term
+    beyond that. The smoothed idf ln((N+1)/(df+1)) keeps everything
+    finite.
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.count()  # scalar; driver-side by design (one number)
-    scored = tf.join(F.broadcast(df), "term").select(
+    scored = tf.join(df, "term").select(
         "doc_id",
         "term",
         F.round(
