@@ -330,3 +330,96 @@ def test_lcs_overlap_matches_bruteforce_reference(spark, corpus):
             for r in registry.QUERIES["q_lcs_overlap"](spark, d).collect()
         }
     assert got == _lcs_pairs_py(corpus)
+
+
+@given(
+    data=st.data(),
+    evs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=400),  # ts seconds
+            st.sampled_from(["click", "view"]),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+)
+@settings(**_SETTINGS)
+def test_debounce_stream_fold_matches_sequential_reference(data, evs):
+    """debounce_stream's keep-after-last-KEPT fold == the sequential
+    reference for ANY event stream, ANY in-order micro-batch slicing,
+    and ANY Arrow chunking within a batch. Drives _debounce_fn directly
+    (no Spark session): state carries across invocations exactly like
+    applyInPandasWithState carries it across micro-batches."""
+    import pandas as pd
+
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        _debounce_fn,
+    )
+
+    gap_s = 60
+    events = sorted(
+        (ts, eid, etype) for eid, (ts, etype) in enumerate(evs)
+    )
+
+    # sequential reference, per (type,) key
+    last: dict[str, int] = {}
+    expect: set[int] = set()
+    for ts, eid, etype in events:
+        if etype not in last or ts - last[etype] > gap_s:
+            expect.add(eid)
+            last[etype] = ts
+
+    # random in-order slicing into micro-batches, random chunking inside
+    n = len(events)
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=n), max_size=4
+            ),
+            label="batch_cuts",
+        )
+    )
+    batches = [
+        events[a:b] for a, b in zip([0] + cuts, cuts + [n]) if events[a:b]
+    ]
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = _debounce_fn(gap_s * 1_000_000)
+    got: set[int] = set()
+    states: dict[str, FakeState] = {}
+    for batch in batches:
+        by_key: dict[str, list] = {}
+        for ts, eid, etype in batch:
+            by_key.setdefault(etype, []).append((ts, eid))
+        for etype, rows in by_key.items():
+            k = data.draw(
+                st.integers(min_value=1, max_value=max(1, len(rows))),
+                label="n_chunks",
+            )
+            chunks = [rows[i::k] for i in range(k) if rows[i::k]]
+            pdfs = [
+                pd.DataFrame(
+                    {
+                        "ts": pd.to_datetime([r[0] for r in c], unit="s"),
+                        "event_id": [r[1] for r in c],
+                    }
+                )
+                for c in chunks
+            ]
+            st_ = states.setdefault(etype, FakeState())
+            for pdf in fn((7, etype), pdfs, st_):
+                got.update(int(e) for e in pdf["event_id"])
+
+    assert got == expect
