@@ -85,6 +85,12 @@ HEADLINE = [
     "q_pagerank",
     "q_triangle_count",
     "q_bm25_search",
+    # round-3 late additions: the curation/sketch/near-dup tail
+    "q_weighted_sample",
+    "q_bloom_prune",
+    "q_simhash_hamming",
+    "q_kmv_distinct",
+    "q_ccnet_buckets",
 ]
 
 
