@@ -819,9 +819,27 @@ def simhash_hamming_pairs_df(
     q_simhash_hamming. ``cap_df`` is an optional 1-row (bucket_cap)
     frame; None disables the skew cap (tests / pre-capped inputs)."""
     sig = simhash_signatures_df(docs)
-    blocks = sig.select(
+    # Convert the 64-char bit string ONCE PER DOC into two bigint
+    # halves (each ≤ 2^32 — no signed-overflow risk) so the per-PAIR
+    # verify below is two xor+popcounts instead of 64 substring
+    # comparisons. The halves ride through the bucket-collect in place
+    # of the string; mathematically hamming(sa, sb) ==
+    # bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b), so the emitted
+    # integer — and the oracle hash — is unchanged (the DuckDB oracle
+    # keeps the positional substr form; measured 1.78 → 1.0 s at
+    # sf0.1, the verify was the dominant per-pair cost).
+    halves = sig.select(
         "doc_id",
         "simhash",
+        F.expr("CAST(conv(substring(simhash, 1, 32), 2, 10) AS BIGINT)")
+        .alias("hi"),
+        F.expr("CAST(conv(substring(simhash, 33, 32), 2, 10) AS BIGINT)")
+        .alias("lo"),
+    )
+    blocks = halves.select(
+        "doc_id",
+        "hi",
+        "lo",
         F.explode(
             F.array(
                 *[
@@ -837,12 +855,12 @@ def simhash_hamming_pairs_df(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", "bk.block", "bk.bkey")
+    ).select("doc_id", "hi", "lo", "bk.block", "bk.bkey")
     buckets = (
         blocks.groupBy("block", "bkey")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("doc_id", "simhash"))
+                F.collect_list(F.struct("doc_id", "hi", "lo"))
             ).alias("ds")
         )
         .filter(F.size("ds") > 1)
@@ -858,16 +876,15 @@ def simhash_hamming_pairs_df(
                     "flatten(transform(ds, (x, i) -> "
                     "transform(slice(ds, i + 2, size(ds) - i - 1), "
                     "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                    "x.simhash AS sa, y.simhash AS sb))))"
+                    "x.hi AS ha, x.lo AS la, y.hi AS hb, y.lo AS lb))))"
                 )
             ).alias("pr")
         )
         .select("pr.*")
         .distinct()
     )
-    hamming = F.expr(
-        "size(filter(sequence(1, 64), "
-        "i -> substring(sa, i, 1) <> substring(sb, i, 1)))"
+    hamming = (
+        F.bit_count(F.expr("ha ^ hb")) + F.bit_count(F.expr("la ^ lb"))
     ).cast("int")
     return (
         pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
