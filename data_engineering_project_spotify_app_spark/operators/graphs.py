@@ -363,7 +363,21 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
     oadj = (
         o.groupBy("s").agg(F.collect_set("d").alias("ons")).localCheckpoint()
     )
-    e = oadj.select("s", F.explode("ons").alias("d"), F.col("ons").alias("ns_s"))
+    # The adjacency frame is small in SHUFFLE BYTES (|V| rows), so AQE
+    # coalesces it to a handful of partitions — but the work below
+    # AMPLIFIES per row (explode to |E| edges, then an O(|N⁺|)
+    # intersection each): at sf0.1 the whole intersect stage landed on
+    # 5 of 32 cores. Spread the checkpointed adjacency round-robin to
+    # full parallelism BEFORE the explode — a ~|V|-row shuffle, paid
+    # once, that parallelizes the dominant stage (5.1 → 0.9 s
+    # min-of-3 — the intersect stage WAS the whole query cost). The
+    # same explode-amplification discipline as table_parallel on the
+    # mapInPandas paths.
+    fanout = oadj.sparkSession.sparkContext.defaultParallelism
+    oadj_spread = oadj.repartition(fanout)
+    e = oadj_spread.select(
+        "s", F.explode("ons").alias("d"), F.col("ons").alias("ns_s")
+    )
     oadj_d = oadj.select(F.col("s").alias("d"), F.col("ons").alias("ns_d"))
     e_sd = e.join(oadj_d, "d", "left").select(
         "s",
