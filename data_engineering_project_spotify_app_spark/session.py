@@ -52,6 +52,14 @@ def get_spark(
         # fixture events.parquet stores TIMESTAMP(NANOS); read as long and
         # convert in tables.py (Spark has no ns timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed-table warehouse (bucketed landings — sources/bucketed.py)
+        # off the repo tree; static conf, so set before the first session
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
