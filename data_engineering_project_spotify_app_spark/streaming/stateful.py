@@ -546,3 +546,125 @@ def debounce_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RESERVOIR_K = 10
+
+RESERVOIR_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("weight", T.LongType()),
+        T.StructField("sample_key", T.DoubleType()),
+        T.StructField("version", T.LongType()),
+    ]
+)
+# the k smallest race keys seen so far, as parallel arrays, plus a
+# monotonically increasing version stamped on every emission
+RESERVOIR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("keys", T.ArrayType(T.DoubleType())),
+        T.StructField("ids", T.ArrayType(T.LongType())),
+        T.StructField("weights", T.ArrayType(T.LongType())),
+        T.StructField("version", T.LongType()),
+    ]
+)
+
+
+def _reservoir_fn(k: int):
+    def fold(
+        key: tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        """Keyed by source: merge this batch's pre-computed race keys
+        into the k-smallest reservoir. The merge is a plain sort of
+        (stored ∪ batch) — order-insensitive, so Arrow chunk order and
+        micro-batch slicing cannot change the result (A-ES reservoirs
+        are mergeable: min-k(A ∪ B) == min-k(min-k(A) ∪ min-k(B)))."""
+        (source,) = key
+        if state.exists:
+            keys, ids, weights, version = state.get
+            pool = list(zip(keys, ids, weights))
+        else:
+            pool, version = [], 0
+        for pdf in pdfs:
+            pool.extend(
+                zip(
+                    pdf["sample_key"].astype("float64"),
+                    pdf["doc_id"].astype("int64"),
+                    pdf["weight"].astype("int64"),
+                )
+            )
+        pool = [(float(sk), int(i), int(w)) for sk, i, w in pool]
+        pool.sort(key=lambda t: (t[0], t[1]))
+        pool = pool[:k]
+        version += 1
+        state.update(
+            (
+                [t[0] for t in pool],
+                [t[1] for t in pool],
+                [t[2] for t in pool],
+                version,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "source": [source] * len(pool),
+                "doc_id": [t[1] for t in pool],
+                "weight": [t[2] for t in pool],
+                "sample_key": [t[0] for t in pool],
+                "version": [version] * len(pool),
+            }
+        )
+
+    return fold
+
+
+def weighted_reservoir_stream(
+    docs: DataFrame, k: int = RESERVOIR_K
+) -> DataFrame:
+    """Per-source weighted reservoir sampling WITHOUT replacement over
+    a document stream — the streaming form of q_weighted_sample, and
+    the setting Efraimidis–Spirakis 2006 was designed for: each
+    arriving document draws its deterministic race key -ln(u)/weight
+    (u from the doc_id's md5, weight = n_chars — the IDENTICAL
+    expression text as the batch query, computed in the stateless
+    projection so the stateful fold is arithmetic-free), and the state
+    keeps the k smallest keys per source. At any instant the reservoir
+    IS a weighted sample without replacement of everything seen.
+
+    Exactly-mergeable, so NO arrival-order precondition (unlike
+    scd2/debounce): min-k is associative and commutative over batches
+    and chunks — any slicing yields the reservoir batch A-ES would
+    pick on the union (equivalence pinned in tests, including the
+    deterministic tie-break on (key, doc_id)).
+
+    Scale: state is O(k) per source; emission tags a per-source
+    ``version`` so downstream consumers (and tests) can select each
+    source's latest reservoir from an update-mode sink. The shuffle
+    key is ``source`` — the same per-source mixing quota the batch
+    curation path uses (q_source_weights / q_weighted_sample).
+
+    ``docs`` must carry (doc_id, source, n_chars).
+    """
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators.dataset import (
+        _wsample_key_sql,
+    )
+
+    key_expr = F.expr(_wsample_key_sql().replace("VARCHAR", "STRING"))
+    scored = docs.filter(F.col("n_chars") > 0).select(
+        "source",
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        key_expr.alias("sample_key"),
+    )
+    return scored.groupBy("source").applyInPandasWithState(
+        _reservoir_fn(k),
+        outputStructType=RESERVOIR_OUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

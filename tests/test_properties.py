@@ -423,3 +423,84 @@ def test_debounce_stream_fold_matches_sequential_reference(data, evs):
                 got.update(int(e) for e in pdf["event_id"])
 
     assert got == expect
+
+
+@given(
+    data=st.data(),
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),  # weight
+        ),
+        min_size=0,
+        max_size=30,
+    ),
+)
+@settings(**_SETTINGS)
+def test_weighted_reservoir_fold_is_mergeable(data, docs):
+    """A-ES reservoirs are mergeable: for ANY batch slicing and ANY
+    chunking, folding the stream == top-k of the union. Drives
+    _reservoir_fn directly with deterministic race keys."""
+    import pandas as pd
+
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        _reservoir_fn,
+    )
+
+    K = 5
+    rows = [
+        # race key derived deterministically from the doc_id so the
+        # reference is exact; ties on key exercised via identical weights
+        (doc_id, w[0], ((doc_id * 2654435761) % 97) / (97.0 * w[0]))
+        for doc_id, w in enumerate(docs)
+    ]
+    expect = sorted(rows, key=lambda t: (t[2], t[0]))[:K]
+    expect_set = {(t[0], t[1]) for t in expect}
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    n = len(rows)
+    cuts = sorted(
+        data.draw(
+            st.lists(st.integers(min_value=0, max_value=n), max_size=3),
+            label="cuts",
+        )
+    )
+    batches = [rows[a:b] for a, b in zip([0] + cuts, cuts + [n]) if rows[a:b]]
+
+    fn = _reservoir_fn(K)
+    state = FakeState()
+    last = None
+    for batch in batches:
+        nch = data.draw(
+            st.integers(min_value=1, max_value=max(1, len(batch))),
+            label="n_chunks",
+        )
+        chunks = [batch[i::nch] for i in range(nch) if batch[i::nch]]
+        pdfs = [
+            pd.DataFrame(
+                {
+                    "doc_id": [r[0] for r in c],
+                    "weight": [r[1] for r in c],
+                    "sample_key": [r[2] for r in c],
+                }
+            )
+            for c in chunks
+        ]
+        for out in fn(("web",), pdfs, state):
+            last = out
+    if not batches:
+        assert last is None
+        return
+    got = {(int(i), int(w)) for i, w in zip(last["doc_id"], last["weight"])}
+    assert got == expect_set

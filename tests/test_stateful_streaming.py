@@ -546,3 +546,99 @@ def test_debounce_fold_is_chunk_order_independent():
         rows, state = run(chunking)
         assert rows == base_rows, chunking
         assert state == base_state, chunking
+
+
+def test_weighted_reservoir_stream_matches_batch_race(spark, tmp_path):
+    """The per-source streaming reservoir == batch A-ES top-k per
+    source over the UNION of all micro-batches, for an arbitrary
+    slicing — min-k is mergeable, so unlike scd2/debounce there is no
+    arrival-order precondition to respect. Expected side computed with
+    the IDENTICAL race-key expression on a batch frame."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators.dataset import (
+        _wsample_key_sql,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        weighted_reservoir_stream,
+    )
+
+    K = 3
+    docs = [
+        # (doc_id, source, n_chars) — two sources, deliberately
+        # interleaved and sliced mid-source; one zero-weight doc that
+        # must be excluded from the race entirely
+        (101, "web", 500), (102, "web", 40), (103, "books", 900),
+        (104, "web", 7), (105, "books", 1200), (106, "web", 3000),
+        (107, "books", 2), (108, "web", 64), (109, "books", 0),
+        (110, "web", 850), (111, "books", 77), (112, "web", 12),
+    ]
+
+    d = tmp_path / "stream_reservoir"
+    d.mkdir()
+    now = _time.time()
+    for k, chunk in enumerate([docs[:4], docs[4:8], docs[8:]]):
+        p = d / f"b{k}.json"
+        with open(p, "w") as fh:
+            for doc_id, source, n_chars in chunk:
+                fh.write(
+                    _json.dumps(
+                        {"doc_id": doc_id, "source": source, "n_chars": n_chars}
+                    )
+                    + "\n"
+                )
+        os.utime(p, (now - 30 + 10 * k,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    q = (
+        weighted_reservoir_stream(stream, k=K)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("reservoir")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        """SELECT source, doc_id, weight, sample_key FROM reservoir r
+           WHERE version = (SELECT max(version) FROM reservoir
+                            WHERE source = r.source)"""
+    ).collect()
+    got = {(r.source, r.doc_id, r.weight, round(r.sample_key, 9)) for r in rows}
+
+    batch = spark.createDataFrame(
+        docs, "doc_id long, source string, n_chars long"
+    )
+    key_expr = F.expr(_wsample_key_sql().replace("VARCHAR", "STRING"))
+    from pyspark.sql import Window as W
+
+    ranked = (
+        batch.filter(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            key_expr.alias("k"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.col("k").asc(), "doc_id")
+            ),
+        )
+        .filter(F.col("rn") <= K)
+    )
+    want = {
+        (r.source, r.doc_id, r.weight, round(r.k, 9)) for r in ranked.collect()
+    }
+    assert got == want
+    assert len({s for s, *_ in want}) == 2  # both sources present
+    assert not any(i == 109 for _, i, *_ in got)  # zero-weight excluded
