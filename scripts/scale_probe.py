@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Scale-law probe: do the heavy operators scale LINEARLY in corpus size?
+
+Blows the sf0.1 fixtures up M× by unioning key-offset copies (8 disjoint
+shards — the same growth shape as adding corpus shards at 100 TB) and
+compares wall time against the 1× run. A bucketed/capped operator should
+scale ~linearly (ratio ≈ M on a saturated box, < M while cores are still
+idle at 1×); a quadratic candidate-explosion or a serialized stage shows
+up as ratio >> M. This is an internal posture probe — the driver-checked
+correctness fixtures stay the only correctness inputs.
+
+Usage: python scripts/scale_probe.py [M] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_engineering_project_spotify_app_spark.operators import (  # noqa: E402
+    registry,
+)
+from data_engineering_project_spotify_app_spark.operators.dedup import (  # noqa: E402
+    ngram_jaccard_pairs,
+    simhash_hamming_pairs_df,
+)
+from data_engineering_project_spotify_app_spark.operators.graphs import (  # noqa: E402
+    triangle_counts,
+)
+from data_engineering_project_spotify_app_spark.session import (  # noqa: E402
+    get_spark,
+)
+from data_engineering_project_spotify_app_spark.tables import (  # noqa: E402
+    table,
+    table_parallel,
+)
+
+registry.load_all_modules()
+
+
+def blow_up_docs(docs, m: int):
+    """m disjoint shard copies; doc_ids offset so every copy is distinct
+    content-wise for the bucketing keys that include doc_id, while the
+    text duplication factor grows like a real multi-shard crawl's."""
+    off = 10_000_000
+    out = docs
+    for i in range(1, m):
+        out = out.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + off * i)
+        )
+    return out
+
+
+def blow_up_edges(li, m: int):
+    off = 10_000_000
+    parts = [
+        li.select(
+            (F.col("l_orderkey") + off * i).alias("l_orderkey"),
+            (F.col("l_partkey") + off * i).alias("l_partkey"),
+        )
+        for i in range(m)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def pairs_from_lineitem(li):
+    grp = li.groupBy("l_orderkey").agg(
+        F.array_distinct(F.collect_list("l_partkey")).alias("ps")
+    )
+    return (
+        grp.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, x -> "
+                    "transform(filter(ps, y -> y > x), "
+                    "y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.src", "pr.dst")
+    )
+
+
+def best_of(n, fn):
+    best = 1e18
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    m = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark(app_name="scale_probe")
+
+    docs1 = table_parallel(spark, sf_dir, "documents")
+    docsM = blow_up_docs(docs1, m)
+    li1 = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    liM = blow_up_edges(li1, m)
+
+    probes = [
+        (
+            "ngram_jaccard (capped)",
+            lambda d=docs1: ngram_jaccard_pairs(d, df_cap="auto").count(),
+            lambda d=docsM: ngram_jaccard_pairs(d, df_cap="auto").count(),
+        ),
+        (
+            "simhash_hamming (capped)",
+            lambda d=docs1: simhash_hamming_pairs_df(
+                d, cap_df=d.agg(F.lit(64).alias("bucket_cap"))
+            ).count(),
+            lambda d=docsM: simhash_hamming_pairs_df(
+                d, cap_df=d.agg(F.lit(64).alias("bucket_cap"))
+            ).count(),
+        ),
+        (
+            "triangle_counts",
+            lambda l=li1: triangle_counts(
+                pairs_from_lineitem(l).select(
+                    F.col("src"), F.col("dst")
+                ).unionByName(
+                    pairs_from_lineitem(l).select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                )
+            ).count(),
+            lambda l=liM: triangle_counts(
+                pairs_from_lineitem(l).select(
+                    F.col("src"), F.col("dst")
+                ).unionByName(
+                    pairs_from_lineitem(l).select(
+                        F.col("dst").alias("src"), F.col("src").alias("dst")
+                    )
+                )
+            ).count(),
+        ),
+    ]
+    print(f"M = {m}  (linear scaling => ratio <= {m})")
+    for name, one, big in probes:
+        one()  # warm
+        t1 = best_of(2, one)
+        tm = best_of(2, big)
+        print(
+            f"{name:28s} 1x {t1:6.2f}s   {m}x {tm:6.2f}s   "
+            f"ratio {tm / max(t1, 1e-9):5.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
