@@ -25,8 +25,13 @@ from data_engineering_project_spotify_app_spark.operators import (  # noqa: E402
     registry,
 )
 from data_engineering_project_spotify_app_spark.operators.dedup import (  # noqa: E402
+    minhash_candidate_pairs_df,
+    minhash_signatures_df,
     ngram_jaccard_pairs,
     simhash_hamming_pairs_df,
+)
+from data_engineering_project_spotify_app_spark.operators.linedup import (  # noqa: E402
+    dedup_lines,
 )
 from data_engineering_project_spotify_app_spark.operators.graphs import (  # noqa: E402
     triangle_counts,
@@ -121,6 +126,20 @@ def main() -> None:
             lambda d=docsM: simhash_hamming_pairs_df(
                 d, cap_df=d.agg(F.lit(64).alias("bucket_cap"))
             ).count(),
+        ),
+        (
+            "minhash_lsh (capped)",
+            lambda d=docs1: minhash_candidate_pairs_df(
+                minhash_signatures_df(d), bucket_cap="auto", cap_df=d
+            ).count(),
+            lambda d=docsM: minhash_candidate_pairs_df(
+                minhash_signatures_df(d), bucket_cap="auto", cap_df=d
+            ).count(),
+        ),
+        (
+            "dedup_lines (k=4)",
+            lambda d=docs1: dedup_lines(d, 4).count(),
+            lambda d=docsM: dedup_lines(d, 4).count(),
         ),
         (
             "triangle_counts",
