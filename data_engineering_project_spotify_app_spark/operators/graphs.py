@@ -281,7 +281,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two aggregations that must run anyway (``count_distinct`` for
     degrees, ``collect_set`` for the oriented adjacency) — one less
     1.2 M-row shuffle. See _triangle_counts_from_pairs for the
-    remaining plan discipline (checkpoint placement, carried
+    remaining plan discipline (cache placement, carried
     neighbor arrays, single-explode contributions).
 
     The triangle SET is orientation-invariant, so the oracle uses the
