@@ -67,9 +67,19 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond that. The smoothed idf ln((N+1)/(df+1)) keeps everything
     finite.
     """
+    from pyspark.storagelevel import StorageLevel
+
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf has two consumers (df aggregate + idf scoring join): lazy
+    # persist shares the tokenize+explode+aggregate instead of
+    # replaying it per consumer (0.86 → 0.71 s min-of-3 at sf0.1 —
+    # same diamond discipline as q_bm25_search)
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.count()  # scalar; driver-side by design (one number)
     scored = tf.join(df, "term").select(
