@@ -83,7 +83,8 @@ def _doc_terms(docs: DataFrame) -> DataFrame:
     )
     SELECT term,
            CAST(count(*) AS BIGINT) AS df,
-           list(doc_id ORDER BY doc_id) AS postings
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+             AS postings
     FROM d GROUP BY term
     """,
 )
@@ -91,12 +92,23 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build: term → document frequency + sorted posting
     list. The distinct (doc, term) pass partial-aggregates map-side, so
     a term occurring 10^6 times in one document still shuffles one row
-    per map task; collect_list then groups once on the term key."""
+    per map task; collect_list then groups once on the term key.
+
+    Output shape: the posting list is serialized to a comma-joined
+    string (the same reassembly idiom linedup.py uses) — the driver's
+    canonicalizer hashes scalar columns only, and an ArrayType column
+    is unhashable in pandas (the round-3 failure mode)."""
     docs = table_parallel(spark, sf_dir, "documents")
     d = _doc_terms(docs).distinct()
     return d.groupBy("term").agg(
         F.count("*").alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 

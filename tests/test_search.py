@@ -35,10 +35,12 @@ def test_inverted_index_matches_reference(spark, corpus):
         for t in set(corpus[doc_id]):
             ref.setdefault(t, []).append(doc_id)
     got = {
-        r["term"]: (r["df"], list(r["postings"]))
+        r["term"]: (r["df"], r["postings"])
         for r in registry.QUERIES["q_inverted_index"](spark, SF).collect()
     }
-    assert got == {t: (len(ps), ps) for t, ps in ref.items()}
+    assert got == {
+        t: (len(ps), ",".join(str(p) for p in ps)) for t, ps in ref.items()
+    }
 
 
 def test_bm25_matches_reference(spark, corpus):
