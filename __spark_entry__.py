@@ -86,27 +86,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across the full registry; within each group, registration order.
     """
     seen = _checked_in_prior_rounds()
-    # round-3 refresh: front-load the 25 names that have never been in a
-    # driver sample (r01+r02 covered the other 99), so every registered
-    # oracle gets a CORRECTNESS row; then queries whose implementation
-    # changed this round (q_pack_shards parallelism derivation,
-    # q_ann_ivf_kmeans zero-norm guard). New registrations this round
-    # are unseen and sort into the front group automatically.
+    # round-5 refresh: every registered name has a green driver row
+    # (r01–r04 = 147/147 checked), so the sample window is all slack.
+    # Front-load queries whose IMPLEMENTATION changed this round (the
+    # two-phase global-rank rewrites + the shared-helper refactor) so
+    # the driver re-verifies them; new registrations this round are
+    # unseen and sort into the front group automatically.
     priority = [
-        # TPC-H tail (never driver-sampled)
-        "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
-        "q_tpch_q9", "q_tpch_q10", "q_tpch_q13", "q_tpch_q14",
-        "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
-        "q_tpch_q19", "q_tpch_q22",
-        # textops tail
-        "q_lang_id", "q_quality_score", "q_doc_fingerprint",
-        "q_pii_scrub", "q_repetition_ratio",
-        # frame windows trio
-        "q_running_total", "q_lag_delta", "q_sliding_window",
-        # multimodal pair (rows-only by design)
-        "q_multimodal_features", "q_multimodal_frames",
-        # changed implementations to re-verify
-        "q_pack_shards", "q_ann_ivf_kmeans",
+        "q_ntile", "q_rank_functions", "q_ccnet_buckets",
     ]
     reg_pos = {n: i for i, n in enumerate(registry.QUERIES)}
     pri_pos = {n: i for i, n in enumerate(priority)}

@@ -72,11 +72,36 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile quartiles by account balance (deterministic tie-break)."""
-    c = table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), "c_custkey")
-    return c.select(
-        "c_custkey", F.ntile(4).over(w).cast("bigint").alias("quartile")
+    """ntile quartiles by account balance (deterministic tie-break).
+
+    Scale: NOT ``F.ntile(4).over(Window.orderBy(...))`` — a global-order
+    window serializes the whole table through one task. The two-phase
+    range-partition rank (rankutil.py) yields the exact global
+    row_number in parallel; ntile's bucket assignment is then closed-
+    form arithmetic on (rn, n): the first ``n mod 4`` buckets hold
+    ``floor(n/4)+1`` rows, the rest ``floor(n/4)`` (the SQL-standard
+    split both engines implement).
+    """
+    from data_engineering_project_spotify_app_spark.operators.rankutil import two_phase_global_rank
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = two_phase_global_rank(
+        c,
+        [F.col("c_acctbal").desc(), F.col("c_custkey")],
+        max(8, spark.sparkContext.defaultParallelism),
+    )
+    q = F.floor(F.col("n") / 4)  # small-bucket size
+    r = F.col("n") % 4  # number of size-(q+1) buckets
+    big = r * (q + 1)  # rows covered by the larger buckets
+    # greatest(q,1): the otherwise-branch is unreachable when q=0
+    # (big = n then), but ANSI mode evaluates the divisor eagerly
+    tile = F.when(
+        F.col("rn") <= big, F.floor((F.col("rn") - 1) / (q + 1)) + 1
+    ).otherwise(
+        r + F.floor((F.col("rn") - big - 1) / F.greatest(q, F.lit(1))) + 1
+    )
+    return ranked.select(
+        "c_custkey", tile.cast("bigint").alias("quartile")
     )
 
 
@@ -517,15 +542,36 @@ def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ordering is on the ROUNDED balance so rank ties are identical in
     both engines regardless of last-ulp double differences.
+
+    Scale: no global-order window (one task holding the table). The
+    window's ORDER BY ends in the unique c_custkey, so the ordering is
+    a TOTAL order — rank == dense_rank == row_number, percent_rank ==
+    (rn-1)/(n-1), cume_dist == rn/n — all closed-form over the
+    two-phase parallel global row_number (rankutil.py). Same doubles
+    as the window functions compute internally, so round(,6) matches
+    the oracle bit-for-bit.
     """
-    c = table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.round("c_acctbal", 2).desc(), "c_custkey")
-    return c.select(
+    from data_engineering_project_spotify_app_spark.operators.rankutil import two_phase_global_rank
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.round("c_acctbal", 2).alias("_bal2")
+    )
+    ranked = two_phase_global_rank(
+        c,
+        [F.col("_bal2").desc(), F.col("c_custkey")],
+        max(8, spark.sparkContext.defaultParallelism),
+    )
+    # n == 1 guard: percent_rank is defined as 0 when there is a single
+    # row (both engines), and ANSI mode would otherwise error on 0/0
+    prnk = F.when(F.col("n") == 1, F.lit(0.0)).otherwise(
+        (F.col("rn") - 1).cast("double") / (F.col("n") - 1)
+    )
+    return ranked.select(
         "c_custkey",
-        F.rank().over(w).cast("bigint").alias("rnk"),
-        F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.round(F.percent_rank().over(w), 6).alias("prnk"),
-        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.col("rn").cast("bigint").alias("rnk"),
+        F.col("rn").cast("bigint").alias("drnk"),
+        F.round(prnk, 6).alias("prnk"),
+        F.round(F.col("rn").cast("double") / F.col("n"), 6).alias("cdist"),
     )
 
 

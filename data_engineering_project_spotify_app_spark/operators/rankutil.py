@@ -1,0 +1,60 @@
+"""Two-phase exact global ranking — the scale-safe replacement for
+``Window.orderBy(...)`` with no partition key.
+
+A global-order window funnels the ENTIRE input through one task (Spark
+plans a single-partition Exchange + one WindowExec); fine at sf0.1,
+fatal at 100 TB. The two-phase form keeps every stage parallel:
+
+1. ``repartitionByRange`` on the sort key — each partition holds one
+   contiguous range of the global order (Spark samples the key to pick
+   balanced boundaries, so skew is bounded by the sampler);
+2. count rows per range (one row per partition — tiny);
+3. broadcast the running offsets back and add each range's LOCAL
+   row_number (a windowspec partitioned by ``pid``) to its offset.
+
+The only unpartitioned windows run over the per-range count frame —
+``n_ranges`` rows, one per partition — never over data rows. Proven on
+``q_ccnet_buckets`` (textops.py) and ``q_pack_shards`` (curation.py);
+plan shape pinned in tests/test_plans.py.
+
+Requires the sort key to be a TOTAL order (add a unique tie-break
+column) so ranks are deterministic and rank == row_number.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def two_phase_global_rank(
+    df: DataFrame, order_cols: list[Column], n_ranges: int
+) -> DataFrame:
+    """Add ``rn`` (1-based exact global row_number over ``order_cols``)
+    and ``n`` (total row count) to ``df`` without a single-partition
+    window. ``order_cols`` must be a total order over ``df``'s rows.
+    """
+    ranged = df.repartitionByRange(n_ranges, *order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    part_counts = ranged.groupBy("pid").agg(F.count("*").alias("cnt"))
+    # offsets accumulate in pid order: repartitionByRange assigns
+    # partition i the i-th range of the sort, so pid IS the global range
+    # order — ordering by a per-range aggregate (e.g. max key) could
+    # misorder adjacent ranges that tie on it.
+    off_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    all_w = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    offsets = part_counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("_off"),
+        F.sum("cnt").over(all_w).alias("n"),
+    )
+    local_w = W.partitionBy("pid").orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(offsets), "pid")
+        .withColumn("rn", F.col("_off") + F.row_number().over(local_w))
+        .drop("pid", "_off")
+    )

@@ -641,35 +641,15 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lp4"),
         )
     )
-    # two-phase exact global rank over (lp4 DESC, doc_id):
-    n_ranges = max(8, spark.sparkContext.defaultParallelism)
-    ranged = lp.repartitionByRange(
-        n_ranges, F.col("lp4").desc(), F.col("doc_id")
-    ).select("doc_id", "n_tokens", "lp4", F.spark_partition_id().alias("pid"))
-    part_counts = ranged.groupBy("pid").agg(F.count("*").alias("cnt"))
-    from pyspark.sql import Window as W
+    # two-phase exact global rank over (lp4 DESC, doc_id) — shared
+    # range-partition + broadcast-offset form (rankutil.py)
+    from data_engineering_project_spotify_app_spark.operators.rankutil import two_phase_global_rank
 
-    # offsets accumulate in pid order: repartitionByRange assigns
-    # partition i the i-th range of the (lp4 DESC, doc_id) sort, so pid
-    # IS the global range order — ordering by a per-range aggregate
-    # (e.g. max score) could misorder adjacent ranges that tie on it
-    off_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = part_counts.select(
-        "pid",
-        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off"),
-        F.sum("cnt").over(
-            W.orderBy(F.lit(1)).rowsBetween(
-                W.unboundedPreceding, W.unboundedFollowing
-            )
-        ).alias("n"),
-    )
-    local_w = W.partitionBy("pid").orderBy(F.col("lp4").desc(), "doc_id")
-    ranked = ranged.join(F.broadcast(offsets), "pid").select(
-        "n_tokens",
-        "lp4",
-        (F.col("off") + F.row_number().over(local_w)).alias("rn"),
-        "n",
-    )
+    ranked = two_phase_global_rank(
+        lp,
+        [F.col("lp4").desc(), F.col("doc_id")],
+        max(8, spark.sparkContext.defaultParallelism),
+    ).select("n_tokens", "lp4", "rn", "n")
     bucket = (
         F.when(F.col("rn") * 3 <= F.col("n"), "head")
         .when(F.col("rn") * 3 <= 2 * F.col("n"), "middle")

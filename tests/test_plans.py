@@ -350,6 +350,20 @@ def test_pagerank_scalar_broadcast_no_global_window(spark, sf_dir):
     assert src.count("F.broadcast(") == src.count("F.broadcast(nc)")
 
 
+@pytest.mark.parametrize("name", ["q_ntile", "q_rank_functions"])
+def test_global_rank_analytics_two_phase(spark, sf_dir, name):
+    """q_ntile / q_rank_functions must NOT run a single-partition
+    global-order window over the customer table (the 100×-scale
+    serialization point). The two-phase form (rankutil.py): an
+    Exchange rangepartitioning on the sort key, local row_number
+    windows partitioned by pid, broadcast offsets. The only
+    unpartitioned windows run over the per-range count frame (one row
+    per range). Same pin as the ccnet test below."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "rangepartitioning" in plan, plan
+    assert "windowspecdefinition(pid#" in plan, plan
+
+
 def test_ccnet_rank_is_two_phase_range_partitioned(spark, sf_dir):
     """q_ccnet_buckets' global ranking must be the two-phase form:
     an Exchange rangepartitioning on the sort key, per-range local
