@@ -91,6 +91,10 @@ HEADLINE = [
     "q_simhash_hamming",
     "q_kmv_distinct",
     "q_ccnet_buckets",
+    # round-5 additions: the join-ladder third rung (write + co-located
+    # read, measured end-to-end) and the grouped A-ES reservoir
+    "q_bucketed_join",
+    "q_weighted_sample_per_source",
 ]
 
 
@@ -133,13 +137,22 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
-            # release Py4J DataFrame refs promptly so ContextCleaner can
-            # unpersist finished queries' localCheckpoint blocks — 60
-            # queries' worth of leaked checkpoint RDDs otherwise crowd
-            # the block manager and tax later checkpoint-heavy queries
-            # (measured ~0.4 s on q_triangle_count). Outside the timer:
-            # a long-lived production driver does the same housekeeping.
+            # Housekeeping between queries, outside the timer:
+            # - gc.collect() drops Py4J DataFrame refs so ContextCleaner
+            #   unpersists finished queries' localCheckpoint RDD blocks
+            #   (RDD-level caches ARE GC-freed; measured ~0.4 s on
+            #   q_triangle_count).
+            # - clearCache() is REQUIRED for df.persist() blocks: the
+            #   SQL CacheManager holds strong references, so GC alone
+            #   never frees them — without this, (a) cached blocks
+            #   accumulate across 120 executions, and (b) run 2 of a
+            #   persist-backed query can plan-match run 1's live cache,
+            #   making min-of-N partly a warm-cache read instead of a
+            #   cold execution. A long-lived production driver must
+            #   likewise unpersist() what it persists (see the
+            #   docstrings in graphs/search/dataset operators).
             gc.collect()
+            spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

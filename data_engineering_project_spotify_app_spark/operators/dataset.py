@@ -74,7 +74,9 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf has two consumers (df aggregate + idf scoring join): lazy
     # persist shares the tokenize+explode+aggregate instead of
     # replaying it per consumer (0.86 → 0.71 s min-of-3 at sf0.1 —
-    # same diamond discipline as q_bm25_search)
+    # same diamond discipline as q_bm25_search). CacheManager pins
+    # persist()-ed plans past GC: long-lived callers must unpersist()
+    # or clearCache() after consuming the result (bench.py does).
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
@@ -231,3 +233,68 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WSAMPLE_K)
         .drop("_k")
     )
+
+
+WSAMPLE_PER_SOURCE_K = 10  # == streaming/stateful.RESERVOIR_K
+
+
+def weighted_sample_per_source(docs: DataFrame, k: int) -> DataFrame:
+    """Grouped Efraimidis–Spirakis race: the k smallest -ln(u)/weight
+    keys PER SOURCE — the batch twin of weighted_reservoir_stream
+    (streaming/stateful.py), sharing the identical race-key expression
+    so batch and stream pick the same reservoirs (equivalence pinned in
+    tests/test_stateful_streaming.py).
+
+    Scale: one shuffle on ``source`` + a rank-limit window — Spark
+    plans the rn<=k filter as WindowGroupLimit (plan-pinned), so every
+    map task pre-prunes to its local top-k per source before the
+    shuffle: the exchange carries O(k·sources·tasks) rows, not the
+    corpus. ``docs`` must carry (doc_id, source, n_chars).
+    """
+    key = F.expr(_wsample_key_sql().replace("VARCHAR", "STRING"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("_k").asc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            key.alias("_k"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "source",
+            "doc_id",
+            "weight",
+            F.round(F.col("_k"), 6).alias("sample_key"),
+        )
+    )
+
+
+@query(
+    "q_weighted_sample_per_source",
+    oracle=f"""
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS weight,
+           round({_wsample_key_sql()}, 6) AS sample_key
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY source
+               ORDER BY {_wsample_key_sql()}, doc_id) AS rn
+      FROM documents WHERE n_chars > 0
+    )
+    WHERE rn <= {WSAMPLE_PER_SOURCE_K}
+    """,
+)
+def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted sampling without replacement: the A-ES race
+    of q_weighted_sample run as a PER-SOURCE quota — the one-pass
+    primitive for source-weighted corpus mixing ("10 docs from every
+    source, probability ∝ length"). Deterministic md5 uniforms, no
+    rand(); the races on the UNROUNDED key with a doc_id tie-break are
+    identical expression text in both engines.
+    """
+    d = table(spark, sf_dir, "documents")
+    return weighted_sample_per_source(d, WSAMPLE_PER_SOURCE_K)

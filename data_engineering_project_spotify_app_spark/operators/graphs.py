@@ -331,9 +331,11 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
       materialization pass per cached frame, and this operator has no
       iteration needing lineage truncation (unlike clusters.py's CC
       loop) — swapping both checkpoints for persists measured
-      3.63 → 1.71 s min-of-3 at sf0.1, identical results. The cached
-      blocks free when the DataFrame is collected (ContextCleaner via
-      GC; bench.py collects between queries).
+      3.63 → 1.71 s min-of-3 at sf0.1, identical results. NOTE: the
+      SQL CacheManager holds strong references to persist()-ed plans,
+      so GC does NOT free these blocks — long-lived callers must
+      unpersist() (or ``spark.catalog.clearCache()``) after consuming
+      the result; bench.py clears between queries.
     - Degrees come from one ``count_distinct`` aggregation over both
       directions; the |V|-sized result joins onto the pair list for the
       (deg, id) orientation WITHOUT a broadcast hint — the degree table
@@ -343,7 +345,7 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
       (asserted on the executed plan in tests/test_plans.py); at 100 TB
       they degrade gracefully to co-partitioned shuffle joins.
     - The oriented adjacency (collect_set — dedups multiplicity) is
-      checkpointed, then each edge CARRIES its source neighbor array
+      persisted, then each edge CARRIES its source neighbor array
       out of the adjacency explode instead of joining back on s — one
       join (on d) instead of two.
     - Per-edge contributions ((s, m), (d, m), (c, 1) per apex) are
@@ -376,7 +378,7 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
     # coalesces it to a handful of partitions — but the work below
     # AMPLIFIES per row (explode to |E| edges, then an O(|N⁺|)
     # intersection each): at sf0.1 the whole intersect stage landed on
-    # 5 of 32 cores. Spread the checkpointed adjacency round-robin to
+    # 5 of 32 cores. Spread the persisted adjacency round-robin to
     # full parallelism BEFORE the explode — a ~|V|-row shuffle, paid
     # once, that parallelizes the dominant stage (5.1 → 0.9 s
     # min-of-3 — the intersect stage WAS the whole query cost). The

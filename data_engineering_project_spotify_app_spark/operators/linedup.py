@@ -36,6 +36,7 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -46,6 +47,7 @@ from data_engineering_project_spotify_app_spark.functions.text import (
 from data_engineering_project_spotify_app_spark.operators.dedup import (
     CAP_DIVISOR,
     CAP_FLOOR,
+    MINHASH_CTES,
     _auto_cap,
 )
 from data_engineering_project_spotify_app_spark.operators.registry import query
@@ -449,4 +451,175 @@ def q_remove_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean_text"),
         F.count(F.when(F.col("s").isNotNull(), 1)).alias("n_removed"),
+    )
+
+
+def _lcs_token_len(a: list, b: list) -> int:
+    """Exact longest-common-substring length (in tokens) via a suffix
+    automaton of ``a`` traversed by ``b`` — O(|a|+|b|) states/steps,
+    the linear-time algorithm the k-gram diagonal form approximates
+    from below. Pure Python on token lists; called only inside the
+    Arrow-batched pandas UDF of q_lcs_overlap_short."""
+    if not a or not b:
+        return 0
+    # suffix-automaton construction over the token alphabet
+    nxt: list[dict] = [{}]
+    link = [-1]
+    length = [0]
+    last = 0
+    for ch in a:
+        cur = len(length)
+        length.append(length[last] + 1)
+        link.append(-1)
+        nxt.append({})
+        p = last
+        while p != -1 and ch not in nxt[p]:
+            nxt[p][ch] = cur
+            p = link[p]
+        if p == -1:
+            link[cur] = 0
+        else:
+            q = nxt[p][ch]
+            if length[p] + 1 == length[q]:
+                link[cur] = q
+            else:
+                clone = len(length)
+                length.append(length[p] + 1)
+                link.append(link[q])
+                nxt.append(dict(nxt[q]))
+                while p != -1 and nxt[p].get(ch) == q:
+                    nxt[p][ch] = clone
+                    p = link[p]
+                link[q] = clone
+                link[cur] = clone
+        last = cur
+    # traverse with b, tracking the longest match ending at each step
+    v = l = best = 0
+    for ch in b:
+        while v and ch not in nxt[v]:
+            v = link[v]
+            l = length[v]
+        if ch in nxt[v]:
+            v = nxt[v][ch]
+            l += 1
+            if l > best:
+                best = l
+        else:
+            v = l = 0
+    return best
+
+
+_LCS_SHORT_ORACLE = """
+    WITH {MINHASH_CTES},
+    kept AS (
+      SELECT band, band_key FROM bands
+      GROUP BY 1, 2
+      HAVING count(*) <= greatest({CAP_FLOOR},
+                                  (SELECT count(*) FROM documents)
+                                    // {CAP_DIVISOR})
+    ),
+    bk AS (
+      SELECT bands.* FROM bands JOIN kept USING (band, band_key)
+    ),
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bk a
+      JOIN bk b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    tok AS (SELECT doc_id, {TOK} AS t FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(t) AS tk,
+             unnest(generate_series(1, len(t))) - 1 AS pos
+      FROM tok
+    ),
+    m AS (
+      SELECT p.doc_a, p.doc_b, ta.pos AS pa, tb.pos AS pb
+      FROM prs p
+      JOIN toks ta ON ta.doc_id = p.doc_a
+      JOIN toks tb ON tb.doc_id = p.doc_b AND tb.tk = ta.tk
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, pa - pb AS diag, pa,
+             row_number() OVER (
+               PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa
+             ) AS rn
+      FROM m
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, max(cnt) AS best FROM (
+        SELECT doc_a, doc_b, count(*) AS cnt
+        FROM runs GROUP BY doc_a, doc_b, diag, pa - rn
+      ) GROUP BY doc_a, doc_b
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(coalesce(i.best, 0) AS BIGINT) AS lcs_tokens
+    FROM prs p LEFT JOIN isl i USING (doc_a, doc_b)
+"""
+
+
+@query(
+    "q_lcs_overlap_short",
+    oracle=_LCS_SHORT_ORACLE.format(
+        MINHASH_CTES=MINHASH_CTES,
+        CAP_FLOOR=CAP_FLOOR,
+        CAP_DIVISOR=CAP_DIVISOR,
+        TOK=_TOK,
+    ),
+)
+def q_lcs_overlap_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT longest common token-substring per near-dup candidate pair
+    — no length floor. q_lcs_overlap's k-gram diagonals are blind below
+    {LCS_GRAM} tokens by construction; this closes that blind spot for
+    the pairs that matter (MinHash-LSH capped candidates — the same
+    nomination stage the dedup ladder already trusts) by computing the
+    true LCS with a suffix automaton (O(|a|+|b|) per pair) instead of
+    k-gram seeds.
+
+    Spark-first split: candidate nomination, token extraction, and the
+    pair⋈docs joins are declarative (AQE-planned, capped buckets); only
+    the per-pair automaton is Python — an Arrow-batched pandas UDF,
+    the legitimate escape hatch since linear-time LCS is not
+    SQL-expressible (the oracle uses the O(n·m/vocab) single-token
+    diagonal-runs form, exact but quadratic — fine at oracle SF, wrong
+    at 100 TB). The pair frame is round-robin repartitioned before the
+    UDF: its shuffle BYTES are small but per-row work amplifies, the
+    AQE-coalesce trap measured on q_triangle_count.
+
+    Cross-engine exactness: LCS length == the longest consecutive run
+    of shared single tokens on one (pa - pb) diagonal — integer, no
+    rounding; property-tested against brute force and the automaton in
+    tests/test_linedup.py.
+    """
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    @F.pandas_udf("bigint")
+    def lcs_udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _lcs_token_len(
+                    list(x) if x is not None else [],
+                    list(y) if y is not None else [],
+                )
+                for x, y in zip(ta, tb)
+            ],
+            dtype="int64",
+        )
+
+    pairs = minhash_candidate_pairs(spark, sf_dir, bucket_cap="auto").select(
+        "doc_a", "doc_b"
+    )
+    docs = table_parallel(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    fanout = spark.sparkContext.defaultParallelism
+    return j.repartition(fanout).select(
+        "doc_a", "doc_b", lcs_udf("ta", "tb").alias("lcs_tokens")
     )

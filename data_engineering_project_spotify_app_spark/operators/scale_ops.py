@@ -504,3 +504,65 @@ def q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classed.groupBy("outcome").agg(
         F.count("*").alias("n_orders")
     )
+
+
+@query(
+    "q_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third rung of the join ladder: a recurring fact-to-fact join
+    (orders ⋈ lineitem on the order key) over CO-BUCKETED landed tables
+    — identical semantics to the plain join (the oracle IS the plain
+    join), with the partitioning shuffle paid once at write time.
+
+    Rungs: broadcast (small dim) → AQE-decided shuffle join (default)
+    → THIS, for joins that recur on the same key. land_bucketed writes
+    both sides bucketed+sorted on the key with matching bucket counts,
+    so the join itself reads co-located buckets with NO Exchange on
+    either side (plan pinned in tests/test_bucketed.py and
+    tests/test_plans.py). At 100 TB the landing is the nightly table
+    layout and every downstream join/groupBy on the key rides it free;
+    here the query performs the landing inline so the driver exercises
+    write → co-located read end-to-end. DECIMAL partials keep the
+    two-phase sum order-independent (q_salted_join convention).
+    """
+    from data_engineering_project_spotify_app_spark.sources.bucketed import (
+        bucketed_join,
+        land_bucketed,
+    )
+
+    # sanitize the sf token into the table names: one landing per SF,
+    # overwritten on re-run (idempotent), never cross-SF stale reads
+    tok = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    t_orders, t_lineitem = f"b_orders_{tok}", f"b_lineitem_{tok}"
+    n_buckets = max(8, spark.sparkContext.defaultParallelism)
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    land_bucketed(o, t_orders, "okey", n_buckets)
+    land_bucketed(li, t_lineitem, "okey", n_buckets)
+    joined = bucketed_join(spark, t_orders, t_lineitem, "okey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (1 - F.col("l_discount").cast("decimal(18,4)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_items"),
+    )

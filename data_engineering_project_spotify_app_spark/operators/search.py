@@ -165,8 +165,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     that derives the query, and the scoring join) — a lazy
     MEMORY_AND_DISK persist shares it instead of recomputing the
     tokenize+explode+aggregate per consumer (1.32 → 1.08 s same-window
-    min-of-3 at sf0.1; the cache frees via GC once the result is
-    collected).
+    min-of-3 at sf0.1). NOTE: the SQL CacheManager pins persist()-ed
+    plans — GC does not free them; long-lived callers must unpersist()
+    (or ``spark.catalog.clearCache()``) after consuming the result.
     """
     from pyspark.storagelevel import StorageLevel
 

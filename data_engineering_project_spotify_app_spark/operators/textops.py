@@ -660,3 +660,48 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("lp4"), 4).alias("avg_logprob"),
     )
+
+
+# C4-style blocklist (Raffel et al. 2020 filter the "List of Dirty,
+# Naughty, Obscene..." words; the PRINCIPLE is a fixed token blocklist).
+# Deterministic placeholder list drawn from the synthetic vocabulary so
+# the filter exercises real hit/miss paths at every SF.
+BADWORDS: tuple[str, ...] = ("slow", "dup", "skew")
+
+
+@query(
+    "q_badwords_filter",
+    oracle=f"""
+    SELECT doc_id,
+           {_lang_hits_sql(BADWORDS)} AS n_bad,
+           len({_TOK}) > 0
+             AND {_lang_hits_sql(BADWORDS)} = 0 AS keep
+    FROM documents
+    """,
+)
+def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 badwords/blocklist filter: drop any document containing a
+    blocklisted token (C4 §2.2 drops the whole page on one hit — the
+    blunt-but-standard hygiene pass before quality scoring); empty
+    documents are dropped too. Emits the hit count so downstream audits
+    can distinguish near-misses from saturated spam.
+
+    Scale: one codegen projection per document — the blocklist rides
+    inside the expression (a real deployment broadcasts a larger list
+    or maps it through a Bloom filter, q_bloom_prune's machinery); no
+    shuffle, no UDF, filter pushdown unaffected.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    t = d.select(
+        "doc_id",
+        F.size(F.filter(tok, lambda x: x.isin(*BADWORDS)))
+        .cast("bigint")
+        .alias("n_bad"),
+        F.size(tok).alias("_nt"),
+    )
+    return t.select(
+        "doc_id",
+        "n_bad",
+        ((F.col("_nt") > 0) & (F.col("n_bad") == 0)).alias("keep"),
+    )

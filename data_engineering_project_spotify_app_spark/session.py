@@ -53,11 +53,16 @@ def get_spark(
         # convert in tables.py (Spark has no ns timestamp type)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # managed-table warehouse (bucketed landings — sources/bucketed.py)
-        # off the repo tree; static conf, so set before the first session
+        # off the repo tree; static conf, so set before the first session.
+        # Per-user + per-process path: a shared fixed /tmp path collides
+        # across concurrent runs/users (two writers overwriting the same
+        # managed-table directory). The env override stays for callers
+        # that WANT a durable shared warehouse.
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"
+                "SPARK_GRAFT_WAREHOUSE",
+                f"/tmp/spark_graft_warehouse_{os.getuid()}_{os.getpid()}",
             ),
         )
         .config("spark.ui.enabled", "false")

@@ -236,3 +236,58 @@ def test_degenerate_docs_cross_engine_parity(spark):
             idx = [rel.columns.index(c) for c in scols]
             drows = sorted(tuple(r[i] for i in idx) for r in rel.fetchall())
             assert srows == drows, (name, srows, drows)
+
+
+# ---------------------------------------------------------------------------
+# suffix-automaton LCS: property tests against brute force
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _lcs_brute(a: list, b: list) -> int:
+    best = 0
+    for i in range(len(a)):
+        for j in range(len(b)):
+            k = 0
+            while (
+                i + k < len(a) and j + k < len(b) and a[i + k] == b[j + k]
+            ):
+                k += 1
+            if k > best:
+                best = k
+    return best
+
+
+_tok = st.sampled_from(["a", "b", "c", "dup"])
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(_tok, max_size=40),
+    st.lists(_tok, max_size=40),
+)
+def test_suffix_automaton_lcs_matches_brute_force(a, b):
+    """The automaton must equal the O(n·m) brute force on random
+    token sequences over a small (collision-heavy) alphabet —
+    including empty inputs and full-containment cases."""
+    from data_engineering_project_spotify_app_spark.operators.linedup import (
+        _lcs_token_len,
+    )
+
+    assert _lcs_token_len(a, b) == _lcs_brute(a, b)
+
+
+def test_suffix_automaton_lcs_edges():
+    from data_engineering_project_spotify_app_spark.operators.linedup import (
+        _lcs_token_len,
+    )
+
+    assert _lcs_token_len([], []) == 0
+    assert _lcs_token_len(["x"], []) == 0
+    assert _lcs_token_len(["x"], ["x"]) == 1
+    assert _lcs_token_len(["x", "y"], ["y", "x"]) == 1
+    assert _lcs_token_len(list("abcde"), list("cde")) == 3
+    # sub-4-token overlap the k-gram form (LCS_GRAM=4) cannot see
+    assert _lcs_token_len(["p", "q", "r", "s"], ["z", "q", "r", "w"]) == 2

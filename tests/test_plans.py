@@ -422,3 +422,31 @@ def test_chunk_documents_is_single_stage(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_chunk_documents")
     assert "hashpartitioning" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_bucketed_join_query_elides_join_exchange(spark, sf_dir):
+    """q_bucketed_join: after the landings, the fact-to-fact join reads
+    co-located buckets — NO Exchange on the join key on either side
+    (broadcast disabled so AQE can't mask the elision); the only
+    shuffle left is the final groupBy on o_orderpriority."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = registry.QUERIES["q_bucketed_join"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "hashpartitioning(okey" not in plan, plan
+    finally:
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_weighted_sample_per_source_uses_window_group_limit(spark, sf_dir):
+    """The per-source race must push rn<=k below the source shuffle
+    (WindowGroupLimit): each map task ships at most k rows per source,
+    never the corpus."""
+    plan = plan_of(spark, sf_dir, "q_weighted_sample_per_source")
+    assert "WindowGroupLimit" in plan, plan

@@ -642,3 +642,75 @@ def test_weighted_reservoir_stream_matches_batch_race(spark, tmp_path):
     assert got == want
     assert len({s for s, *_ in want}) == 2  # both sources present
     assert not any(i == 109 for _, i, *_ in got)  # zero-weight excluded
+
+
+def test_weighted_sample_per_source_batch_matches_stream(spark, tmp_path):
+    """The registered batch operator (dataset.weighted_sample_per_source)
+    == the streaming reservoir's final state on the same docs — the two
+    are twins sharing one race-key expression, so the sampled sets must
+    be identical (rounded to the emitted precision)."""
+    import json as _json
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators.dataset import (
+        weighted_sample_per_source,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        weighted_reservoir_stream,
+    )
+
+    K = 3
+    docs = [
+        (201, "web", 420), (202, "web", 11), (203, "books", 77),
+        (204, "web", 998), (205, "books", 5), (206, "web", 1),
+        (207, "books", 3200), (208, "web", 250), (209, "books", 0),
+        (210, "web", 66), (211, "books", 845), (212, "web", 19),
+    ]
+
+    d = tmp_path / "stream_reservoir_batch_twin"
+    d.mkdir()
+    now = _time.time()
+    for i, chunk in enumerate([docs[:5], docs[5:9], docs[9:]]):
+        p = d / f"b{i}.json"
+        with open(p, "w") as fh:
+            for doc_id, source, n_chars in chunk:
+                fh.write(
+                    _json.dumps(
+                        {"doc_id": doc_id, "source": source, "n_chars": n_chars}
+                    )
+                    + "\n"
+                )
+        os.utime(p, (now - 30 + 10 * i,) * 2)
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(d))
+    )
+    q = (
+        weighted_reservoir_stream(stream, k=K)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("reservoir_twin")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        """SELECT source, doc_id, weight, sample_key FROM reservoir_twin r
+           WHERE version = (SELECT max(version) FROM reservoir_twin
+                            WHERE source = r.source)"""
+    ).collect()
+    got = {(r.source, r.doc_id, r.weight, round(r.sample_key, 6)) for r in rows}
+
+    batch = spark.createDataFrame(
+        docs, "doc_id long, source string, n_chars long"
+    )
+    want = {
+        (r.source, r.doc_id, r.weight, r.sample_key)
+        for r in weighted_sample_per_source(batch, K).collect()
+    }
+    assert got == want
