@@ -900,3 +900,112 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est_i, 1).alias("est_both"),
         F.round(est_a + est_b - est_i, 1).alias("est_either"),
     )
+
+
+KMV_MERGE_K = 64
+KMV_MERGE_SHARDS = 8
+
+
+@query(
+    "q_kmv_merge",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             user_id % {KMV_MERGE_SHARDS} AS shard,
+             {_KMV_HEX2INT} AS hv
+      FROM (
+        SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS d
+        FROM events
+      )
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             dense_rank() OVER (
+               PARTITION BY event_type ORDER BY hv
+             ) AS dr
+      FROM h
+    ),
+    kmin AS (
+      SELECT event_type,
+             max(hv) AS kth,
+             count(DISTINCT hv) AS m
+      FROM ranked WHERE dr <= {KMV_MERGE_K}
+      GROUP BY event_type
+    ),
+    shards AS (
+      SELECT event_type, count(DISTINCT shard) AS n_shards FROM h GROUP BY 1
+    )
+    SELECT k.event_type,
+           CAST(s.n_shards AS BIGINT) AS n_shards,
+           CAST(k.m AS BIGINT) AS n_kmin,
+           round(CASE WHEN k.m < {KMV_MERGE_K} THEN CAST(k.m AS DOUBLE)
+                      ELSE ({KMV_MERGE_K} - 1) * 4294967296.0 / k.kth END,
+                 1) AS est_distinct
+    FROM kmin k JOIN shards s USING (event_type)
+    """,
+)
+def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch MERGE — the UDAF-shaped two-level aggregation that is
+    how every sketch actually runs on a cluster: each shard (standing in
+    for an executor/partition/day of data) builds its own k-min sketch
+    independently, the sketches are materialized as explicit O(k)
+    array<bigint> state, and a second-level merge unions them and
+    re-truncates to the k smallest distinct values. The oracle computes
+    the GLOBAL k-min directly — hash-equality of the two results is the
+    proof that KMV merge is lossless (the global k smallest distinct
+    hashes are a subset of the union of per-shard k smallest, because a
+    value in the global top-k has at most k-1 smaller values anywhere).
+
+    Shard assignment is pmod(user_id, 8) — deterministic, and since hv
+    is a function of user_id every duplicate lands in the same shard, so
+    per-shard distinctness is global distinctness. (spark_partition_id
+    would be nondeterministic under AQE and break the oracle.)
+
+    Scale: both levels are WindowGroupLimit-pruned (dense_rank ≤ k over
+    a rank window compiles to a per-map-task group limit), so level 0
+    forwards at most k hashes per (type, shard) per map task and the
+    merge input is O(types × shards × k) rows total — independent of raw
+    row count. At 100 TB with shard = ingest day, sketches persist as
+    tiny array columns and any date-range distinct-count resolves from
+    merged O(k) state without rescanning the fact table.
+    """
+    k = KMV_MERGE_K
+    ev = table(spark, sf_dir, "events")
+    h = ev.select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(KMV_MERGE_SHARDS)).alias("shard"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), "
+            "16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    w0 = Window.partitionBy("event_type", "shard").orderBy("hv")
+    sketches = (
+        h.withColumn("dr", F.dense_rank().over(w0))
+        .filter(F.col("dr") <= k)
+        .groupBy("event_type", "shard")
+        .agg(F.sort_array(F.collect_set("hv")).alias("sketch"))
+    )
+    w1 = Window.partitionBy("event_type").orderBy("hv")
+    merged = (
+        sketches.select("event_type", F.explode("sketch").alias("hv"))
+        .withColumn("dr", F.dense_rank().over(w1))
+        .filter(F.col("dr") <= k)
+        .groupBy("event_type")
+        .agg(
+            F.max("hv").alias("kth"),
+            F.count_distinct("hv").alias("m"),
+        )
+    )
+    n_shards = sketches.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_shards")
+    )
+    est = F.when(
+        F.col("m") < k, F.col("m").cast("double")
+    ).otherwise(F.lit((k - 1) * 4294967296.0) / F.col("kth"))
+    return merged.join(n_shards, "event_type").select(
+        "event_type",
+        "n_shards",
+        F.col("m").cast("bigint").alias("n_kmin"),
+        F.round(est, 1).alias("est_distinct"),
+    )

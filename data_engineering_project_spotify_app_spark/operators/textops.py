@@ -480,6 +480,130 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Eval-set slice for LM-based decontamination (a deterministic stand-in
+# for a held-out benchmark corpus) and the flagging threshold on the
+# ROUNDED avg bigram log-prob — comparisons happen after round(…, 4) in
+# both engines so the boolean can never straddle a float ulp.
+_EVAL_SOURCES = ("src0", "src1")
+_DECONTAM_LP = -3.5
+
+
+@query(
+    "q_lm_decontaminate",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, source, {_TOK} AS t FROM documents
+    ),
+    evbg AS (
+      SELECT unnest(CASE WHEN len(t) >= 2 THEN
+               [t[i] || ' ' || t[i+1]
+                for i in generate_series(1, len(t) - 1)]
+             ELSE [] END) AS bg
+      FROM t0 WHERE source IN {_EVAL_SOURCES!r}
+    ),
+    evtok AS (
+      SELECT unnest(t) AS tok FROM t0 WHERE source IN {_EVAL_SOURCES!r}
+    ),
+    bc AS (SELECT bg, count(*) AS cb FROM evbg GROUP BY 1),
+    uc AS (SELECT tok, count(*) AS cu FROM evtok GROUP BY 1),
+    v AS (SELECT count(DISTINCT tok) AS vsz FROM evtok),
+    cand AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2 THEN
+               [t[i] || ' ' || t[i+1]
+                for i in generate_series(1, len(t) - 1)]
+             ELSE [] END) AS bg
+      FROM t0 WHERE source NOT IN {_EVAL_SOURCES!r}
+    ),
+    scored AS (
+      SELECT c.doc_id,
+             count(*) AS n_bigrams,
+             round(avg(ln((coalesce(bc.cb, 0) + 1.0)
+                          / (coalesce(uc.cu, 0) + v.vsz))), 4)
+               AS avg_logprob
+      FROM cand c
+      LEFT JOIN bc USING (bg)
+      LEFT JOIN uc ON uc.tok = string_split(c.bg, ' ')[1]
+      CROSS JOIN v
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, avg_logprob,
+           avg_logprob >= {_DECONTAM_LP} AS flagged
+    FROM scored
+    """,
+)
+def q_lm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-perplexity decontamination — the GPT-3/Gopher-style complement
+    to q_decontaminate's exact 13-gram overlap: train an add-one-smoothed
+    bigram LM on the held-out eval slice (here the deterministic
+    source ∈ {src0, src1} stand-in), score every TRAINING candidate's
+    avg ln P(w2|w1) under that eval LM, and flag docs whose likelihood
+    is suspiciously high — text the eval model predicts easily is text
+    that overlaps or paraphrases the eval distribution, which shingle
+    overlap misses once a few tokens are rewritten.
+
+    OOV discipline: bigrams/contexts unseen in the eval LM contribute
+    ln(1 / (0 + V)) via LEFT joins + coalesce(0) — every candidate
+    bigram scores, so n_bigrams equals the doc's bigram count exactly.
+    The flag compares the ROUNDED score so both engines agree bit-wise.
+
+    Scale: the LM tables are hash aggregations over the (small) eval
+    slice; candidate bigrams join on bigram/context key — at 100 TB the
+    eval LM is the broadcast-sized side (benchmarks are ~MBs; AQE
+    broadcasts it) while candidates stream through map-side — no
+    all-pairs stage, no global window, same join ladder as
+    q_bigram_logprob but with the frequency tables decoupled from the
+    scored corpus.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    is_eval = F.col("source").isin(*_EVAL_SOURCES)
+    ev_bg = (
+        toks.filter(is_eval)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    ev_tok = toks.filter(is_eval).select(F.explode("t").alias("tok"))
+    bc = ev_bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uc = ev_tok.groupBy("tok").agg(F.count("*").alias("cu"))
+    v = ev_tok.agg(F.count_distinct("tok").alias("vsz"))
+    cand = (
+        toks.filter(~is_eval)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    scored = (
+        cand.join(bc, ["w1", "w2"], "left")
+        .join(uc, F.col("tok") == F.col("w1"), "left")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                        / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("vsz"))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_logprob",
+        (F.col("avg_logprob") >= _DECONTAM_LP).alias("flagged"),
+    )
+
+
 MIN_DOC_TOKENS = 20
 MIN_QUALITY = 0.5
 

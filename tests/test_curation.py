@@ -72,3 +72,32 @@ def test_source_weights_sum_to_one(spark):
     n = len(rows)
     for r in rows:
         assert abs(r.mix_weight * r.char_share - 1.0 / n) < 1e-3
+
+
+def test_lm_decontaminate_flags_eval_overlap(spark, tmp_path):
+    """A candidate doc PASTED FROM the eval slice must outscore (and be
+    flagged above) a disjoint-vocabulary candidate, and every candidate
+    bigram must be scored (n_bigrams == token count - 1)."""
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    eval_text = " ".join(f"e{i}" for i in range(50))
+    rows = [
+        (0, eval_text, "en", "src0", len(eval_text)),
+        (1, " ".join(f"e{i}" for i in range(40)), "en", "src2", 0),
+        (2, " ".join(f"z{i}" for i in range(40)), "en", "src2", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = str(tmp_path / "docs")
+    df.write.parquet(f"{out}/documents.parquet")
+    res = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_lm_decontaminate"](spark, out).collect()
+    }
+    assert set(res) == {1, 2}  # eval doc itself is not scored
+    assert res[1]["n_bigrams"] == 39 and res[2]["n_bigrams"] == 39
+    assert res[1]["avg_logprob"] > res[2]["avg_logprob"]
+    assert res[1]["flagged"] and not res[2]["flagged"]

@@ -450,3 +450,17 @@ def test_weighted_sample_per_source_uses_window_group_limit(spark, sf_dir):
     never the corpus."""
     plan = plan_of(spark, sf_dir, "q_weighted_sample_per_source")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_kmv_merge_both_levels_group_limited(spark, sf_dir):
+    """Both sketch levels (per-shard build + merge) must compile their
+    dense_rank<=k filters into WindowGroupLimit map-side prunes."""
+    plan = plan_of(spark, sf_dir, "q_kmv_merge")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_lm_decontaminate_has_no_global_window(spark, sf_dir):
+    """Eval-LM scoring is joins + hash aggs only — no WindowExec at all
+    (the failure mode for per-doc scoring would be a rank window)."""
+    plan = plan_of(spark, sf_dir, "q_lm_decontaminate")
+    assert "Window" not in plan, plan

@@ -189,3 +189,53 @@ def test_kmv_set_ops_error_bound(spark, sf_dir):
         if want == 0:
             continue
         assert abs(row[col] - want) / want < 0.13, (col, row[col], want)
+
+
+def test_kmv_merge_is_lossless_and_bounded(spark, sf_dir):
+    """The two-level shard-merge sketch must (a) equal the directly-built
+    global k-min sketch per group (merge losslessness — same kth, same m)
+    and (b) estimate within 2-sigma (~26% at k=64) of the exact count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from data_engineering_project_spotify_app_spark.operators.extras import (
+        KMV_MERGE_K,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    merged = {
+        r["event_type"]: r
+        for r in registry.QUERIES["q_kmv_merge"](spark, sf_dir).collect()
+    }
+    # direct global sketch, no sharding level
+    h = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), "
+            "16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hv")
+    direct = {
+        r["event_type"]: r
+        for r in h.withColumn("dr", F.dense_rank().over(w))
+        .filter(F.col("dr") <= KMV_MERGE_K)
+        .groupBy("event_type")
+        .agg(F.max("hv").alias("kth"), F.count_distinct("hv").alias("m"))
+        .collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(direct) == set(exact)
+    for et, row in merged.items():
+        assert row["n_kmin"] == direct[et]["m"], (et, row)
+        assert abs(row["est_distinct"] - exact[et]) / exact[et] < 0.26, (
+            et,
+            row["est_distinct"],
+            exact[et],
+        )
