@@ -95,6 +95,9 @@ HEADLINE = [
     # read, measured end-to-end) and the grouped A-ES reservoir
     "q_bucketed_join",
     "q_weighted_sample_per_source",
+    # round 5: sketch merge + eval-LM decontamination
+    "q_kmv_merge",
+    "q_lm_decontaminate",
 ]
 
 

@@ -283,3 +283,71 @@ def interval_join_stream(
     return c.join(e, (c["b"] == e["b"]) & band).select(
         "click_id", "c_ts", "error_id", "e_ts"
     )
+
+
+def lm_score_stream(
+    docs: DataFrame,
+    lm_bigrams: DataFrame,
+    lm_unigrams: DataFrame,
+    vocab_size: int,
+) -> DataFrame:
+    """Streaming twin of the q_lm_decontaminate SCORING stage: score
+    arriving documents' avg ln P(w2|w1) under a fixed, pre-trained
+    add-one-smoothed bigram LM via stream-static joins (the production
+    shape: the LM is (re)trained batch-side on the eval corpus; the
+    ingest stream is scored continuously against it).
+
+    ``docs`` is a streaming (doc_id, text) frame; ``lm_bigrams`` is a
+    static (w1, w2, cb) frame, ``lm_unigrams`` a static (tok, cu) frame,
+    and ``vocab_size`` the LM's distinct-token count — a scalar passed
+    as a literal rather than a 1-row cross join because stream-static
+    cross joins are unsupported and the vocab size is training-time
+    metadata anyway.
+
+    OOV discipline matches the batch twin exactly: LEFT stream-static
+    joins + coalesce(0), so every bigram of every arriving doc scores
+    (equivalence to the batch scorer is pinned in
+    tests/test_stateful_streaming.py).
+
+    Output mode: update. The per-doc aggregation keys state by doc_id;
+    with file/queue sources delivering whole documents per batch the
+    final update per doc is its score. Production streams should bound
+    that state with a watermark on an arrival-time column at the horizon
+    where re-chunked late parts of a doc no longer arrive.
+
+    Scale: the static LM sides are broadcast when benchmark-sized (the
+    common case — AQE decides); candidate bigrams never shuffle except
+    on doc_id for the final agg, the same join ladder as the batch twin.
+    """
+    from data_engineering_project_spotify_app_spark.functions.text import (
+        tokens,
+    )
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    return (
+        bg.join(lm_bigrams, ["w1", "w2"], "left")
+        .join(lm_unigrams, F.col("tok") == F.col("w1"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                        / (F.coalesce(F.col("cu"), F.lit(0))
+                           + F.lit(vocab_size))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )

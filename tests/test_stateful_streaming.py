@@ -714,3 +714,104 @@ def test_weighted_sample_per_source_batch_matches_stream(spark, tmp_path):
         for r in weighted_sample_per_source(batch, K).collect()
     }
     assert got == want
+
+
+def test_lm_score_stream_matches_batch_scorer(spark, tmp_path):
+    """Stream-static LM scoring across two micro-batches must equal the
+    batch twin's scores on the same (LM, candidate) frames — including
+    OOV bigrams that only the coalesce(0) path handles."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.functions.text import (
+        tokens,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.stream_ops import (
+        lm_score_stream,
+    )
+
+    eval_rows = [(0, "a b c a b"), (1, "b c d")]
+    ev = spark.createDataFrame(eval_rows, "doc_id bigint, text string")
+    toks = ev.select(tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bc = (
+        toks.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cb"))
+    )
+    uc = (
+        ev.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("cu"))
+    )
+    vsz = ev.select(
+        F.explode(tokens(F.col("text"))).alias("tok")
+    ).distinct().count()
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    _write_batch(d, "b0.json", [{"doc_id": 10, "text": "a b c"}])
+    docs = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        lm_score_stream(docs, bc, uc, vsz)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("lm_scores")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one in-vocab doc, one with OOV tokens
+        _write_batch(
+            d,
+            "b1.json",
+            [{"doc_id": 11, "text": "b c d b"},
+             {"doc_id": 12, "text": "x y z"}],
+        )
+        time.sleep(0.1)
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+            for r in spark.sql("SELECT * FROM lm_scores").collect()
+        }
+    finally:
+        q.stop()
+
+    cand = spark.createDataFrame(
+        [(10, "a b c"), (11, "b c d b"), (12, "x y z")],
+        "doc_id bigint, text string",
+    )
+    cand_bg = (
+        cand.select("doc_id", tokens(F.col("text")).alias("t"))
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in cand_bg.join(bc, ["w1", "w2"], "left")
+        .join(uc, F.col("tok") == F.col("w1"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(1.0))
+                        / (F.coalesce(F.col("cu"), F.lit(0)) + F.lit(vsz))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .collect()
+    }
+    assert got == want and set(got) == {10, 11, 12}
