@@ -95,9 +95,11 @@ HEADLINE = [
     # read, measured end-to-end) and the grouped A-ES reservoir
     "q_bucketed_join",
     "q_weighted_sample_per_source",
-    # round 5: sketch merge + eval-LM decontamination
+    # round 5: sketch merge + eval-LM decontamination + quality ladder
     "q_kmv_merge",
     "q_lm_decontaminate",
+    "q_gopher_rules",
+    "q_quality_classifier",
 ]
 
 

@@ -829,3 +829,266 @@ def q_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bad",
         ((F.col("_nt") > 0) & (F.col("n_bad") == 0)).alias("keep"),
     )
+
+
+# Gopher-rule thresholds (Rae et al. 2021, table A1 subset that is
+# meaningful on single-line documents; the duplicate-n-gram char-mass
+# rules live in q_repetition_ratio). MIN_TOKENS deliberately sits inside
+# the synthetic corpus's length distribution so the filter discriminates.
+_GOPHER_MIN_TOKENS = 30
+_GOPHER_MAX_TOKENS = 100_000
+_GOPHER_MIN_MWL = 3.0
+_GOPHER_MAX_MWL = 10.0
+_GOPHER_MIN_ALPHA = 0.8
+_GOPHER_MIN_SW = 2
+_GOPHER_MAX_SYM = 0.1
+_GOPHER_SW = ("the", "a", "of", "and", "to", "be")
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+             round(CAST(list_sum([length(x) for x in {_TOK}]) AS DOUBLE)
+                   / len({_TOK}), 4) AS mean_word_len,
+             round(CAST(len(list_filter({_TOK},
+                     x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                   / len({_TOK}), 4) AS frac_alpha,
+             {_lang_hits_sql(_GOPHER_SW)} AS sw_hits,
+             round((CAST(length(text) - length(replace(text, '#', ''))
+                    AS DOUBLE)
+                    + (length(text) - length(replace(text, '...', '')))
+                      / 3.0)
+                   / len({_TOK}), 4) AS sym_ratio
+      FROM documents
+      WHERE len({_TOK}) > 0
+    )
+    SELECT doc_id, n_tokens, mean_word_len, frac_alpha, sw_hits,
+           sym_ratio,
+           CASE
+             WHEN n_tokens < {_GOPHER_MIN_TOKENS} THEN 'too_short'
+             WHEN n_tokens > {_GOPHER_MAX_TOKENS} THEN 'too_long'
+             WHEN mean_word_len < {_GOPHER_MIN_MWL}
+               OR mean_word_len > {_GOPHER_MAX_MWL} THEN 'word_len'
+             WHEN frac_alpha < {_GOPHER_MIN_ALPHA} THEN 'non_alpha'
+             WHEN sw_hits < {_GOPHER_MIN_SW} THEN 'no_stopwords'
+             WHEN sym_ratio > {_GOPHER_MAX_SYM} THEN 'symbol_heavy'
+             ELSE 'ok'
+           END AS reason,
+           (n_tokens BETWEEN {_GOPHER_MIN_TOKENS} AND {_GOPHER_MAX_TOKENS}
+            AND mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+            AND frac_alpha >= {_GOPHER_MIN_ALPHA}
+            AND sw_hits >= {_GOPHER_MIN_SW}
+            AND sym_ratio <= {_GOPHER_MAX_SYM}) AS keep
+    FROM sig
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, appendix A1) — the
+    reference heuristic battery every pretraining corpus passes through
+    before model-based filtering: token-count bounds, mean word length
+    3–10, ≥80% of words containing an alphabetic character, ≥2 stop
+    words, and a symbol-to-word ratio cap (# and … per word). Single
+    composite projection with a first-failing-rule reason ladder (same
+    ladder style as q_corpus_filter); the duplicate-n-gram char-mass
+    rules from the same table are covered by q_repetition_ratio.
+
+    All signals are array expressions over one tokenization — a single
+    whole-stage-codegen projection: no shuffle, no join, no window; at
+    100 TB this is a pure map over the scan with predicate-pushdown
+    intact. Empty docs (no tokens) are excluded up front in both
+    engines (division semantics would differ: Spark yields null,
+    DuckDB errors on /0 only inside round()).
+
+    The ellipsis symbol counts as ONE symbol per occurrence (the /3.0
+    on the length delta); comparisons happen on round(…, 4) values so
+    the keep/reason booleans agree bit-wise across engines.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    toks = d.select("doc_id", "text", tok.alias("t")).filter(
+        F.size("t") > 0
+    )
+    n = F.size("t").cast("bigint")
+    mwl = F.round(
+        F.aggregate(
+            F.transform("t", lambda x: F.length(x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n,
+        4,
+    )
+    frac_alpha = F.round(
+        F.size(F.filter("t", lambda x: x.rlike("[a-zA-Z]"))).cast("double")
+        / n,
+        4,
+    )
+    sw_hits = F.size(
+        F.filter("t", lambda x: x.isin(*_GOPHER_SW))
+    ).cast("bigint")
+    sym_ratio = F.round(
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            .cast("double")
+            + (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("...")))
+            )
+            / F.lit(3.0)
+        )
+        / n,
+        4,
+    )
+    sig = toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mwl.alias("mean_word_len"),
+        frac_alpha.alias("frac_alpha"),
+        sw_hits.alias("sw_hits"),
+        sym_ratio.alias("sym_ratio"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < _GOPHER_MIN_TOKENS, "too_short")
+        .when(F.col("n_tokens") > _GOPHER_MAX_TOKENS, "too_long")
+        .when(
+            (F.col("mean_word_len") < _GOPHER_MIN_MWL)
+            | (F.col("mean_word_len") > _GOPHER_MAX_MWL),
+            "word_len",
+        )
+        .when(F.col("frac_alpha") < _GOPHER_MIN_ALPHA, "non_alpha")
+        .when(F.col("sw_hits") < _GOPHER_MIN_SW, "no_stopwords")
+        .when(F.col("sym_ratio") > _GOPHER_MAX_SYM, "symbol_heavy")
+        .otherwise("ok")
+    )
+    keep = (
+        F.col("n_tokens").between(_GOPHER_MIN_TOKENS, _GOPHER_MAX_TOKENS)
+        & F.col("mean_word_len").between(_GOPHER_MIN_MWL, _GOPHER_MAX_MWL)
+        & (F.col("frac_alpha") >= _GOPHER_MIN_ALPHA)
+        & (F.col("sw_hits") >= _GOPHER_MIN_SW)
+        & (F.col("sym_ratio") <= _GOPHER_MAX_SYM)
+    )
+    return sig.select("*", reason.alias("reason"), keep.alias("keep"))
+
+
+# Hashing-trick dimensionality and the deterministic stand-in weight
+# formula (Knuth multiplicative hash spread over [-1, 1)). A real
+# deployment loads trained weights from a table; the JOIN SHAPE is
+# what this operator pins down.
+_QC_DIM = 1024
+_QC_BIAS = 0.1
+
+# DuckDB twin of Spark's conv(substring(md5(x),1,8),16,10): fold the
+# first 8 hex chars of column ``d`` into a BIGINT (same macro as the
+# KMV sketch family — shared hash space across engines).
+_QC_HEX2INT = (
+    "("
+    + " + ".join(
+        f"CAST(instr('0123456789abcdef', substr(d, {1 + k}, 1)) - 1 "
+        f"AS BIGINT) * {16 ** (7 - k)}"
+        for k in range(8)
+    )
+    + ")"
+)
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH w AS (
+      SELECT i AS bucket,
+             (CAST((i * 2654435761) % 2048 AS DOUBLE) / 1024.0) - 1.0
+               AS wt
+      FROM generate_series(0, {_QC_DIM - 1}) t(i)
+    ),
+    tok AS (
+      SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT doc_id,
+             {_QC_HEX2INT} % {_QC_DIM} AS bucket
+      FROM (SELECT doc_id, md5(tok) AS d FROM tok)
+    ),
+    scored AS (
+      SELECT h.doc_id,
+             count(*) AS n_tokens,
+             avg(w.wt) AS mean_wt
+      FROM hashed h JOIN w USING (bucket)
+      GROUP BY h.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-({_QC_BIAS} + mean_wt))), 4) AS score,
+           round(1.0 / (1.0 + exp(-({_QC_BIAS} + mean_wt))), 4) >= 0.5
+             AS keep
+    FROM scored
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter via the hashing trick — the
+    fastText/DCLM-style rung above the heuristic batteries: each token
+    hashes into one of D=1024 buckets, the document's mean bucket
+    weight plus a bias passes through a sigmoid, and docs scoring ≥ 0.5
+    keep. The weight VECTOR here is a deterministic formula of the
+    bucket index (so both engines derive identical weights and the
+    result is fully hash-checked); a production model swaps the
+    formula-built frame for a trained-weights table — the plan shape
+    (broadcast model join) is identical, which is exactly what this
+    operator pins.
+
+    Scale: tokens explode map-side and join the D-row weight table —
+    explicitly broadcast (a model vector is KBs; never let a stats-less
+    estimate shuffle 100 TB of tokens by bucket). The only shuffle is
+    the per-doc partial-aggregated mean. The md5-derived bucket is the
+    same shared hash space as the KMV/MinHash family, so the oracle
+    reproduces it bit-for-bit.
+
+    Both engines round the final sigmoid to 4 decimals and ``keep``
+    compares the ROUNDED score, so the boolean can't straddle an ulp.
+    """
+    w = (
+        spark.range(_QC_DIM)
+        .select(
+            F.col("id").alias("bucket"),
+            (
+                ((F.col("id") * F.lit(2654435761)) % F.lit(2048)).cast(
+                    "double"
+                )
+                / F.lit(1024.0)
+                - F.lit(1.0)
+            ).alias("wt"),
+        )
+    )
+    d = table_parallel(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % _QC_DIM
+        ).alias("bucket"),
+    )
+    scored = (
+        hashed.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.avg("wt").alias("mean_wt"),
+        )
+    )
+    score = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.lit(_QC_BIAS) + F.col("mean_wt")))),
+        4,
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    )

@@ -464,3 +464,25 @@ def test_lm_decontaminate_has_no_global_window(spark, sf_dir):
     (the failure mode for per-doc scoring would be a rank window)."""
     plan = plan_of(spark, sf_dir, "q_lm_decontaminate")
     assert "Window" not in plan, plan
+
+
+def test_quality_classifier_broadcasts_model_vector(spark, sf_dir):
+    """The D-row weight table must broadcast (explicit hint — tokens are
+    the 100 TB side and must never shuffle by bucket) and the only
+    exchange feeds the per-doc aggregation."""
+    plan = plan_of(spark, sf_dir, "q_quality_classifier")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_gopher_rules_is_single_projection(spark, sf_dir):
+    """All Gopher signals come from one tokenization in one codegen
+    map — no join, no window, and the ONLY exchange is table_parallel's
+    deliberate round-robin spread of the single-file local scan (which
+    a many-file 100 TB layout wouldn't need)."""
+    plan = plan_of(spark, sf_dir, "q_gopher_rules")
+    for bad in ("Join", "Window"):
+        assert bad not in plan, (bad, plan)
+    assert _n_ops(plan, "Exchange") <= 1, plan
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan, plan
