@@ -100,6 +100,7 @@ HEADLINE = [
     "q_lm_decontaminate",
     "q_gopher_rules",
     "q_quality_classifier",
+    "q_dsir_weights",
 ]
 
 

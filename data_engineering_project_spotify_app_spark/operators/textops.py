@@ -1092,3 +1092,146 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score.alias("score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+# DSIR hashed-feature space (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): word-bigram features
+# hashed into D buckets; per-bucket Laplace-smoothed probabilities under
+# the target (eval-slice) and raw distributions; a document's score is
+# its mean per-feature log importance ratio.
+_DSIR_DIM = 8192
+
+
+@query(
+    "q_dsir_weights",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, source, {_TOK} AS t FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source IN {_EVAL_SOURCES!r} AS is_target,
+             {_QC_HEX2INT} % {_DSIR_DIM} AS bucket
+      FROM (
+        SELECT doc_id, source,
+               md5(unnest(CASE WHEN len(t) >= 2 THEN
+                 [t[i] || ' ' || t[i+1]
+                  for i in generate_series(1, len(t) - 1)]
+               ELSE [] END)) AS d
+        FROM t0
+      )
+    ),
+    tc AS (
+      SELECT bucket, count(*) AS c FROM feats WHERE is_target GROUP BY 1
+    ),
+    rc AS (
+      SELECT bucket, count(*) AS c FROM feats WHERE NOT is_target GROUP BY 1
+    ),
+    tot AS (
+      SELECT (SELECT count(*) FROM feats WHERE is_target) AS nt,
+             (SELECT count(*) FROM feats WHERE NOT is_target) AS nr
+    ),
+    ratio AS (
+      SELECT i AS bucket,
+             ln((coalesce(tc.c, 0) + 1.0) / (tot.nt + {_DSIR_DIM}))
+               - ln((coalesce(rc.c, 0) + 1.0) / (tot.nr + {_DSIR_DIM}))
+               AS lr
+      FROM generate_series(0, {_DSIR_DIM - 1}) s(i)
+      LEFT JOIN tc ON tc.bucket = i
+      LEFT JOIN rc ON rc.bucket = i
+      CROSS JOIN tot
+    )
+    SELECT f.doc_id,
+           count(*) AS n_feats,
+           round(avg(r.lr), 4) AS avg_logratio
+    FROM feats f JOIN ratio r USING (bucket)
+    WHERE NOT f.is_target
+    GROUP BY f.doc_id
+    """,
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every raw
+    document by how much more likely its hashed word-bigram features are
+    under the TARGET (eval-slice) distribution than under the RAW
+    corpus distribution — the importance-resampling rung of the data-
+    selection ladder, above heuristics (q_gopher_rules), model scores
+    (q_quality_classifier), and single-LM likelihood
+    (q_lm_decontaminate). Sampling proportionally to exp(weight) then
+    yields a target-like training subset; the weight computation is the
+    whole distributed cost and is what this operator pins.
+
+    Hashed n-gram features (md5 → D=8192 buckets, the paper's hashing
+    trick) bound the ratio table at D rows regardless of vocabulary:
+    both distributions Laplace-smooth over the SAME full bucket spine
+    (range-join LEFT of the spine onto the counts), so unseen buckets
+    contribute a finite, identical log-ratio in both engines. The score
+    is the MEAN per-feature log ratio (same ranking as the paper's sum,
+    friendlier cross-engine float behavior under round(…, 4)).
+
+    Scale: feature counts are map-side-combined hash aggregations; the
+    ratio table is exactly D=8192 rows — broadcast to the candidate
+    features (explicit: never shuffle 100 TB of exploded bigrams by
+    bucket); the only candidate-side shuffle is the per-doc mean.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "source", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    feats = (
+        toks.select(
+            "doc_id",
+            F.col("source").isin(*_EVAL_SOURCES).alias("is_target"),
+            F.explode(pairs).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (
+                F.expr(
+                    "CAST(conv(substring(md5(bg), 1, 8), 16, 10) AS BIGINT)"
+                )
+                % _DSIR_DIM
+            ).alias("bucket"),
+        )
+    )
+    tc = feats.filter("is_target").groupBy("bucket").agg(
+        F.count("*").alias("ct")
+    )
+    rc = feats.filter("NOT is_target").groupBy("bucket").agg(
+        F.count("*").alias("cr")
+    )
+    tot = feats.agg(
+        F.sum(F.col("is_target").cast("long")).alias("nt"),
+        F.sum((~F.col("is_target")).cast("long")).alias("nr"),
+    )
+    spine = spark.range(_DSIR_DIM).select(F.col("id").alias("bucket"))
+    ratio = (
+        spine.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nt") + F.lit(_DSIR_DIM))
+                )
+                - F.log(
+                    (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("nr") + F.lit(_DSIR_DIM))
+                )
+            ).alias("lr"),
+        )
+    )
+    return (
+        feats.filter("NOT is_target")
+        .join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.avg("lr"), 4).alias("avg_logratio"),
+        )
+    )

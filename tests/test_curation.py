@@ -101,3 +101,29 @@ def test_lm_decontaminate_flags_eval_overlap(spark, tmp_path):
     assert res[1]["n_bigrams"] == 39 and res[2]["n_bigrams"] == 39
     assert res[1]["avg_logprob"] > res[2]["avg_logprob"]
     assert res[1]["flagged"] and not res[2]["flagged"]
+
+
+def test_dsir_ranks_target_like_docs_higher(spark, tmp_path):
+    """A candidate doc pasted from the target slice must out-rank a
+    disjoint-vocabulary candidate under the DSIR importance weight."""
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    target = " ".join(f"t{i % 20}" for i in range(60))
+    rows = [
+        (0, target, "en", "src0", len(target)),
+        (1, " ".join(f"t{i % 20}" for i in range(40)), "en", "src5", 0),
+        (2, " ".join(f"q{i}" for i in range(40)), "en", "src5", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = str(tmp_path / "docs")
+    df.write.parquet(f"{out}/documents.parquet")
+    res = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_dsir_weights"](spark, out).collect()
+    }
+    assert set(res) == {1, 2}
+    assert res[1]["avg_logratio"] > res[2]["avg_logratio"]

@@ -486,3 +486,11 @@ def test_gopher_rules_is_single_projection(spark, sf_dir):
     assert _n_ops(plan, "Exchange") <= 1, plan
     if "Exchange" in plan:
         assert "RoundRobinPartitioning" in plan, plan
+
+
+def test_dsir_ratio_table_is_broadcast(spark, sf_dir):
+    """The D=8192-row log-ratio table must broadcast onto the candidate
+    features — exploded bigrams must never shuffle by bucket."""
+    plan = plan_of(spark, sf_dir, "q_dsir_weights")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
