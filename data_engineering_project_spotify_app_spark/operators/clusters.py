@@ -233,3 +233,45 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("keep_id"),
         "n_members",
     )
+
+
+_DEDUP_SPLIT_BAND = (
+    "CAST(instr('0123456789abcdef', "
+    "substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT)"
+)
+
+_DEDUP_SPLIT_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTERS_CTES}
+    SELECT doc_id, cluster_id,
+           CASE
+             WHEN {_DEDUP_SPLIT_BAND} <= 11 THEN 'train'
+             WHEN {_DEDUP_SPLIT_BAND} <= 13 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM cc
+    """
+
+
+@query("q_dedup_aware_split", oracle=_DEDUP_SPLIT_ORACLE)
+def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split: hash-band the duplicate
+    CLUSTER id (q_dedup_clusters' connected components), not the doc id
+    — every near-duplicate of a val/test document lands on the same
+    side, closing the eval-contamination hole a per-doc split
+    (q_dataset_split) leaves open when the corpus contains near-dups.
+    Same 12/2/2 hash-band discipline: membership is a pure function of
+    content-derived ids, stable under re-runs and incremental arrival.
+
+    Scale: everything is the CC cost (frontier-bounded label
+    propagation); the split itself is one codegen expression on the
+    (doc_id, cluster_id) frame — no extra shuffle.
+    """
+    cc = q_dedup_clusters(spark, sf_dir)
+    band = F.expr(
+        "CAST(instr('0123456789abcdef', "
+        "substring(md5(CAST(cluster_id AS STRING)), 1, 1)) - 1 AS BIGINT)"
+    )
+    split = (
+        F.when(band <= 11, "train").when(band <= 13, "val").otherwise("test")
+    )
+    return cc.select("doc_id", "cluster_id", split.alias("split"))

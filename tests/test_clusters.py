@@ -46,3 +46,31 @@ def test_edge_orientation_irrelevant(spark):
     # edges given in mixed orientation; min label still propagates
     got = _cc(spark, range(4), [(3, 2), (1, 2), (0, 3)])
     assert got == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_dedup_aware_split_keeps_clusters_together(spark, tmp_path):
+    """Near-duplicate docs (same CC cluster) must always land on the
+    same split side; the split column matches the cluster-id hash band."""
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    base = [" ".join(f"w{i}_{j}" for j in range(40)) for i in range(8)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, t, "en", "src0", len(t)))
+        rows.append((100 + i, t + " extraword", "en", "src0", len(t)))
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = str(tmp_path / "docs")
+    df.write.parquet(f"{out}/documents.parquet")
+    res = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_dedup_aware_split"](spark, out).collect()
+    }
+    assert len(res) == 16
+    for i in range(8):
+        a, b = res[i], res[100 + i]
+        assert a["cluster_id"] == b["cluster_id"] == i
+        assert a["split"] == b["split"]
