@@ -101,6 +101,7 @@ HEADLINE = [
     "q_gopher_rules",
     "q_quality_classifier",
     "q_dsir_weights",
+    "q_countmin_freq",
 ]
 
 

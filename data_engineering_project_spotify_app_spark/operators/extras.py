@@ -1009,3 +1009,138 @@ def q_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").cast("bigint").alias("n_kmin"),
         F.round(est, 1).alias("est_distinct"),
     )
+
+
+CMS_W = 256  # columns per row
+CMS_D = 4    # independent hash rows
+_CMS_KEYS = tuple(range(1, 11))  # query keys: user_ids 1..10
+
+
+def _cms_hash_sql(r: int) -> str:
+    """DuckDB twin of the salted md5 bucket for CMS row ``r``."""
+    inner = f"md5('{r}:' || CAST(user_id AS VARCHAR))"
+    return (
+        "("
+        + " + ".join(
+            f"CAST(instr('0123456789abcdef', substr({inner}, {1 + k}, 1)) "
+            f"- 1 AS BIGINT) * {16 ** (7 - k)}"
+            for k in range(8)
+        )
+        + f") % {CMS_W}"
+    )
+
+
+@query(
+    "q_countmin_freq",
+    oracle=f"""
+    WITH cells AS (
+      {" UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_hash_sql(r)} AS c, count(*) AS cnt "
+        f"FROM events GROUP BY 2"
+        for r in range(CMS_D)
+      )}
+    ),
+    keys AS (
+      SELECT unnest({list(_CMS_KEYS)}) AS user_id
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+        f"SELECT user_id, {r} AS r, {_cms_hash_sql(r)} AS c FROM keys"
+        for r in range(CMS_D)
+      )}
+    ),
+    est AS (
+      SELECT p.user_id, min(coalesce(cells.cnt, 0)) AS est_count
+      FROM probes p LEFT JOIN cells ON cells.r = p.r AND cells.c = p.c
+      GROUP BY 1
+    ),
+    exact AS (
+      SELECT user_id, count(*) AS exact_count FROM events
+      WHERE user_id IN {_CMS_KEYS}
+      GROUP BY 1
+    )
+    SELECT e.user_id,
+           CAST(coalesce(x.exact_count, 0) AS BIGINT) AS exact_count,
+           CAST(e.est_count AS BIGINT) AS est_count
+    FROM est e LEFT JOIN exact x USING (user_id)
+    """,
+)
+def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch (Cormode & Muthukrishnan 2005) — the
+    point-query sketch the KMV family can't answer: how often did THIS
+    key occur, from O(W×D) mergeable state instead of a full groupBy.
+    Unlike Misra-Gries, CMS cells are pure sums — order-independent and
+    additive — so the sketch is exactly reproducible in both engines
+    (fully hash-checked, unlike the rows-only HLL/t-digest rungs) and
+    per-partition sketches merge by cell-wise addition, the same
+    merge-as-aggregation contract q_kmv_merge pins for distinct counts.
+
+    D=4 salted md5 hash rows × W=256 columns; estimate = min over rows
+    of the addressed cell (one-sided error: est ≥ exact always, inflated
+    only by collisions — ε ≈ e/W ≈ 1% of total mass per probe).
+    Probed keys user_id 1..10; exact counts joined alongside so the
+    driver row also witnesses the overestimate invariant.
+
+    Scale: each hash row is a map-side-combined groupBy over W buckets
+    — the shuffle carries ≤ W×D×partitions rows regardless of raw
+    count; the W×D cell table and the 10-key probe frame both
+    broadcast. The D scans collapse to one via a posexplode over the D
+    salted hashes (one pass over events, not D).
+    """
+    ev = table(spark, sf_dir, "events")
+    # one pass: explode the D salted hashes per row
+    hashes = F.array(
+        *[
+            (
+                F.expr(
+                    f"CAST(conv(substring(md5(concat('{r}:', "
+                    "CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                )
+                % CMS_W
+            )
+            for r in range(CMS_D)
+        ]
+    )
+    cells = (
+        ev.select(F.posexplode(hashes).alias("r", "c"))
+        .groupBy("r", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    keys = spark.createDataFrame(
+        [(k,) for k in _CMS_KEYS], "user_id bigint"
+    )
+    probes = keys.select(
+        "user_id",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.expr(
+                            f"CAST(conv(substring(md5(concat('{r}:', "
+                            "CAST(user_id AS STRING))), 1, 8), 16, 10) "
+                            "AS BIGINT)"
+                        )
+                        % CMS_W
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("r", "c"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "c"], "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+    )
+    exact = (
+        ev.filter(F.col("user_id").isin(*_CMS_KEYS))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return est.join(exact, "user_id", "left").select(
+        "user_id",
+        F.coalesce(F.col("exact_count"), F.lit(0))
+        .cast("bigint")
+        .alias("exact_count"),
+        F.col("est_count").cast("bigint").alias("est_count"),
+    )

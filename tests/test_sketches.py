@@ -239,3 +239,54 @@ def test_kmv_merge_is_lossless_and_bounded(spark, sf_dir):
             row["est_distinct"],
             exact[et],
         )
+
+
+def test_countmin_overestimates_and_merges(spark, sf_dir):
+    """CMS invariants: (a) est >= exact for every probed key (one-sided
+    error); (b) cell-wise ADDITION of two half-corpus sketches equals
+    the full-corpus sketch (mergeability — the property that lets
+    per-partition/per-day sketches combine at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators.extras import (
+        CMS_D,
+        CMS_W,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    rows = registry.QUERIES["q_countmin_freq"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_count"] >= r["exact_count"], r
+
+    ev = table(spark, sf_dir, "events")
+    hashes = F.array(
+        *[
+            (
+                F.expr(
+                    f"CAST(conv(substring(md5(concat('{r}:', "
+                    "CAST(user_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+                )
+                % CMS_W
+            )
+            for r in range(CMS_D)
+        ]
+    )
+
+    def cells_of(df):
+        return {
+            (r["r"], r["c"]): r["cnt"]
+            for r in df.select(F.posexplode(hashes).alias("r", "c"))
+            .groupBy("r", "c")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+
+    full = cells_of(ev)
+    lo = cells_of(ev.filter("event_id % 2 = 0"))
+    hi = cells_of(ev.filter("event_id % 2 = 1"))
+    merged: dict = {}
+    for part in (lo, hi):
+        for k, v in part.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == full
