@@ -102,6 +102,7 @@ HEADLINE = [
     "q_quality_classifier",
     "q_dsir_weights",
     "q_countmin_freq",
+    "q_incremental_dedup",
 ]
 
 

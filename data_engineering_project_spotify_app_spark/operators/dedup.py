@@ -890,3 +890,114 @@ def simhash_hamming_pairs_df(
         pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
     )
+
+
+# "Today's ingest": a deterministic 20% slice (doc_id % 10 < 2) stands in
+# for the docs that arrived since the last dedup pass; the rest are the
+# already-indexed store.
+_INCR_NEW_SQL = "doc_id % 10 < 2"
+
+
+@query(
+    "q_incremental_dedup",
+    oracle=f"""
+    WITH {MINHASH_CTES},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS n_bands_matched
+      FROM bands a
+      JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+      WHERE a.{_INCR_NEW_SQL} OR b.{_INCR_NEW_SQL}
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_bands_matched,
+           CASE WHEN doc_a % 10 < 2 AND doc_b % 10 < 2
+                THEN 'new_new' ELSE 'new_old' END AS kind
+    FROM pairs
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-LSH dedup — the daily-ingest shape: candidate
+    pairs where at least one side is NEW (today's slice), i.e. new-vs-
+    store and new-vs-new, while store-vs-store pairs (already emitted by
+    yesterday's pass) are never GENERATED, not merely filtered: each
+    band bucket splits into old/new id arrays and pairs come from
+    new × old plus the new-triangle, so per-bucket cost is
+    O(|new| × |bucket|) instead of O(|bucket|²). With a 1% daily delta
+    on a 100 TB store that is the difference between a nightly job and
+    a re-run of the entire dedup.
+
+    In production the store side's signatures/bands are read back from
+    the signature table written by earlier passes (pay the shingle+
+    minhash cost once per doc, ever); here both sides derive in-plan so
+    the oracle can check the full pipeline. Buckets with no new member
+    are dropped before any pair work — at a steady corpus that prunes
+    ~99% of buckets.
+
+    Output: (doc_a, doc_b, n_bands_matched, kind ∈ {{new_new, new_old}}),
+    doc_a < doc_b — the same contract as q_minhash_lsh restricted to
+    pairs touching the delta.
+    """
+    sig = _minhash_signatures(spark, sf_dir)
+    band_structs = []
+    for band in range(N_BANDS):
+        cols = [f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_structs.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+                ).alias("band_key"),
+            )
+        )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+        (F.pmod(F.col("doc_id"), F.lit(10)) < 2).alias("is_new"),
+    )
+    buckets = (
+        bands.groupBy("band", "band_key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.when(F.col("is_new"), F.col("doc_id")))
+            ).alias("new_ids"),
+            F.array_sort(
+                F.collect_list(F.when(~F.col("is_new"), F.col("doc_id")))
+            ).alias("old_ids"),
+        )
+        .filter(F.size("new_ids") > 0)
+        .filter(F.size("new_ids") + F.size("old_ids") > 1)
+    )
+    # new × old cross (ordered a<b per pair) + triangle over new_ids
+    pairs = buckets.select(
+        F.explode(
+            F.concat(
+                F.expr(
+                    "flatten(transform(new_ids, x -> "
+                    "transform(old_ids, y -> struct("
+                    "least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
+                ),
+                F.expr(
+                    "flatten(transform(new_ids, (x, i) -> "
+                    "transform(slice(new_ids, i + 2, size(new_ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                ),
+            )
+        ).alias("pr")
+    )
+    kind = F.when(
+        (F.pmod(F.col("doc_a"), F.lit(10)) < 2)
+        & (F.pmod(F.col("doc_b"), F.lit(10)) < 2),
+        "new_new",
+    ).otherwise("new_old")
+    return (
+        pairs.select("pr.doc_a", "pr.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_bands_matched"))
+        .select("doc_a", "doc_b", "n_bands_matched", kind.alias("kind"))
+    )

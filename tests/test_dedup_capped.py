@@ -136,3 +136,30 @@ class TestMinhashCapped:
         assert all(a >= 100 for a, _ in capped)
         # the genuine near-dup pair survives in its own 2-doc buckets
         assert (100, 101) in capped
+
+
+def test_incremental_dedup_equals_filtered_full_pairs(spark, sf_dir):
+    """The delta-only pair generation must emit exactly the full LSH
+    pair set restricted to pairs touching the new slice — nothing
+    missing, no old-vs-old leakage."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    incr = {
+        (r["doc_a"], r["doc_b"], r["n_bands_matched"])
+        for r in registry.QUERIES["q_incremental_dedup"](
+            spark, sf_dir
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"], r["n_bands_matched"])
+        for r in registry.QUERIES["q_minhash_lsh"](spark, sf_dir)
+        .filter(
+            (F.pmod("doc_a", F.lit(10)) < 2) | (F.pmod("doc_b", F.lit(10)) < 2)
+        )
+        .collect()
+    }
+    assert incr == full
+    assert all(a % 10 < 2 or b % 10 < 2 for a, b, _ in incr)
