@@ -384,3 +384,59 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text",
         )
     )
+
+
+_PHRASE = ("table", "hash")  # data-derived: a frequent corpus bigram
+
+
+@query(
+    "q_phrase_search",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(
+             [t[i] || ' ' || t[i+1]
+              for i in generate_series(1, len(t) - 1)],
+             x -> x = '{_PHRASE[0]} {_PHRASE[1]}')) AS BIGINT)
+             AS n_occurrences
+    FROM t
+    WHERE len(list_filter(
+             [t[i] || ' ' || t[i+1]
+              for i in generate_series(1, len(t) - 1)],
+             x -> x = '{_PHRASE[0]} {_PHRASE[1]}')) > 0
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase query — the inverted-index operation term
+    postings can't answer: find documents containing the EXACT phrase
+    "table hash", with occurrence counts. Spark runs the real index
+    algorithm — positional postings (doc_id, pos) per term, filtered to
+    the phrase's terms, self-joined on (doc_id, pos+1 adjacency) — while
+    the oracle counts consecutive-bigram matches directly, so the hash
+    check proves the postings intersection against an independent
+    formulation rather than the same algorithm twice.
+
+    Scale: each term's postings are filtered BEFORE the join (two
+    selective single-term scans of the exploded frame — term predicates
+    reach the tokenize stage, and a real deployment reads the postings
+    table built by q_inverted_index instead of re-tokenizing); the
+    adjacency join keys on (doc_id, pos), co-partitioned, with per-query
+    posting lists typically broadcast-sized (AQE decides). An n-term
+    phrase chains n-1 such joins, rarest term first.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    posts = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "term"),
+    )
+    w1 = posts.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
+    w2 = posts.filter(F.col("term") == _PHRASE[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        w1.join(w2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
