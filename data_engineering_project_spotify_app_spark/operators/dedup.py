@@ -1001,3 +1001,52 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_bands_matched"))
         .select("doc_a", "doc_b", "n_bands_matched", kind.alias("kind"))
     )
+
+
+@query(
+    "q_source_contamination",
+    oracle=f"""
+    WITH {MINHASH_CTES},
+    pairs AS (
+      {MINHASH_PAIRS_SQL}
+    )
+    SELECT least(da.source, db.source) AS src_lo,
+           greatest(da.source, db.source) AS src_hi,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def q_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: how many near-dup candidate
+    pairs (MinHash-LSH) straddle each source pair — the standard audit
+    before mixture-weighting a multi-source corpus (a crawl slice that
+    heavily duplicates a curated source would otherwise be up-weighted
+    twice). Diagonal entries (src_lo = src_hi) measure within-source
+    redundancy; off-diagonal entries are the leakage.
+
+    Scale: pair generation is the capped bucket-collect (no all-pairs
+    stage); the two source lookups join the pair list — tiny relative
+    to the corpus — against the (doc_id, source) projection, AQE-
+    broadcast at small SF, co-partitioned id joins at 100 TB. Output is
+    bounded by sources², independent of corpus size.
+    """
+    pairs = minhash_candidate_pairs(spark, sf_dir)
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("src_lo"),
+            F.greatest("sa", "sb").alias("src_hi"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )

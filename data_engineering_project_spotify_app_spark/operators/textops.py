@@ -1235,3 +1235,66 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lr"), 4).alias("avg_logratio"),
         )
     )
+
+
+_VOCAB_V = 24  # top-V vocabulary cap (corpus vocab is ~31 tokens,
+#  so the cut leaves a real OOV tail at every SF)
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+    vocab AS (
+      SELECT tok FROM counts ORDER BY c DESC, tok LIMIT {_VOCAB_V}
+    )
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           round(CAST(count(*) FILTER (v.tok IS NULL) AS DOUBLE)
+                 / count(*), 4) AS oov_rate
+    FROM tok t LEFT JOIN vocab v USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction + OOV audit — the tokenizer-prep step:
+    build the top-V corpus vocabulary (frequency-ranked, token-string
+    tie-break so the cut is deterministic cross-engine) and report each
+    document's out-of-vocabulary token rate. High-OOV documents are
+    what blows up a subword tokenizer's byte-fallback length — this is
+    the audit run before freezing a vocab.
+
+    Scale: token counts are a map-side-combined hash aggregation; the
+    top-V cut is TakeOrderedAndProject over the VOCABULARY (not the
+    corpus — vocabularies are millions of rows at 100 TB, fine for a
+    per-partition top-V + k-merge); the vocab is explicitly broadcast
+    back onto the token stream (V rows — never shuffle the corpus by
+    token for a dictionary lookup); per-doc rates are one partial-
+    aggregated shuffle on doc_id.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(_VOCAB_V)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum(
+                    F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("oov_rate"),
+        )
+    )
