@@ -1144,3 +1144,95 @@ def q_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("exact_count"),
         F.col("est_count").cast("bigint").alias("est_count"),
     )
+
+
+@query(
+    "q_cms_join_size",
+    oracle=f"""
+    WITH ca AS (
+      {" UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_hash_sql(r)} AS c, count(*) AS cnt "
+        f"FROM events WHERE event_type = 'click' GROUP BY 2"
+        for r in range(CMS_D)
+      )}
+    ),
+    cb AS (
+      {" UNION ALL ".join(
+        f"SELECT {r} AS r, {_cms_hash_sql(r)} AS c, count(*) AS cnt "
+        f"FROM events WHERE event_type = 'purchase' GROUP BY 2"
+        for r in range(CMS_D)
+      )}
+    ),
+    ip AS (
+      SELECT ca.r, sum(ca.cnt * cb.cnt) AS dot
+      FROM ca JOIN cb USING (r, c)
+      GROUP BY 1
+    ),
+    est AS (SELECT min(dot) AS est_join_size FROM ip),
+    exact AS (
+      SELECT count(*) AS exact_join_size
+      FROM (SELECT user_id FROM events WHERE event_type = 'click') a
+      JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b
+        USING (user_id)
+    )
+    SELECT CAST(exact.exact_join_size AS BIGINT) AS exact_join_size,
+           CAST(est.est_join_size AS BIGINT) AS est_join_size
+    FROM est CROSS JOIN exact
+    """,
+)
+def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size estimation from two Count-Min sketches (the AMS-style
+    inner product): |clicks ⋈ purchases on user_id| ≈ min over hash
+    rows of Σ_c cellsA[r][c]·cellsB[r][c] — the cardinality-estimation
+    primitive a cost-based optimizer needs BEFORE running the join,
+    answered from two O(W×D) sketches instead of either input. Same
+    one-sided guarantee as the point query (est ≥ exact, collisions
+    only inflate), pinned in tests.
+
+    Exactly oracle-checked like q_countmin_freq: cells are pure sums,
+    the inner product is a sum of products — order-independent in both
+    engines (integer arithmetic throughout, no float rounding at all).
+
+    Scale: each side's sketch is a map-side-combined W-bucket groupBy;
+    the inner product joins two ≤W×D cell tables (KBs — broadcast);
+    the exact twin (computed alongside for the driver row) is the only
+    corpus-sized join, and a production caller would SKIP it — that is
+    the point of the estimator.
+    """
+    ev = table(spark, sf_dir, "events")
+
+    def cells(etype: str) -> DataFrame:
+        hashes = F.array(
+            *[
+                (
+                    F.expr(
+                        f"CAST(conv(substring(md5(concat('{r}:', "
+                        "CAST(user_id AS STRING))), 1, 8), 16, 10) "
+                        "AS BIGINT)"
+                    )
+                    % CMS_W
+                )
+                for r in range(CMS_D)
+            ]
+        )
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(F.posexplode(hashes).alias("r", "c"))
+            .groupBy("r", "c")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    ca, cb = cells("click"), cells("purchase")
+    est = (
+        ca.join(cb.withColumnRenamed("cnt", "cnt_b"), ["r", "c"])
+        .groupBy("r")
+        .agg(F.sum(F.col("cnt") * F.col("cnt_b")).alias("dot"))
+        .agg(F.min("dot").cast("bigint").alias("est_join_size"))
+    )
+    clicks = ev.filter("event_type = 'click'").select("user_id")
+    purch = ev.filter("event_type = 'purchase'").select("user_id")
+    exact = (
+        clicks.join(purch, "user_id")
+        .agg(F.count("*").cast("bigint").alias("exact_join_size"))
+    )
+    return exact.crossJoin(F.broadcast(est))

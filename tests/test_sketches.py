@@ -290,3 +290,25 @@ def test_countmin_overestimates_and_merges(spark, sf_dir):
         for k, v in part.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == full
+
+
+def test_cms_join_size_overestimates(spark, sf_dir):
+    """Inner-product join-size estimate must dominate the exact join
+    size (one-sided error) and stay within the collision bound
+    exact + |A||B|/W."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators.extras import (
+        CMS_W,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    row = registry.QUERIES["q_cms_join_size"](spark, sf_dir).first()
+    assert row["est_join_size"] >= row["exact_join_size"], row
+    ev = table(spark, sf_dir, "events")
+    na = ev.filter("event_type = 'click'").count()
+    nb = ev.filter("event_type = 'purchase'").count()
+    # expected collision inflation is |A||B|/W per row; min over D rows
+    # stays below a few multiples of it — use 4x as a generous bound
+    bound = row["exact_join_size"] + 4.0 * na * nb / CMS_W
+    assert row["est_join_size"] <= bound, (row, bound)
