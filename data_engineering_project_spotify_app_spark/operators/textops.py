@@ -1298,3 +1298,94 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+_JM_LAMBDA = 0.75  # bigram weight in the Jelinek-Mercer interpolation
+
+
+@query(
+    "q_lm_backoff_score",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS tok FROM t0),
+    bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2 THEN
+               [t[i] || ' ' || t[i+1]
+                for i in generate_series(1, len(t) - 1)]
+             ELSE [] END) AS b
+      FROM t0
+    ),
+    bc AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+    uc AS (SELECT tok, count(*) AS cu FROM ex GROUP BY 1),
+    tot AS (
+      SELECT count(*) AS n, count(DISTINCT tok) AS vsz FROM ex
+    )
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(
+             {_JM_LAMBDA} * (CAST(bc.cb AS DOUBLE)
+                             / uc.cu)
+             + {1 - _JM_LAMBDA} * ((uc2.cu + 1.0) / (tot.n + tot.vsz))
+           )), 4) AS avg_logprob
+    FROM bg g
+    JOIN bc ON bc.b = g.b
+    JOIN uc ON uc.tok = string_split(g.b, ' ')[1]
+    JOIN uc uc2 ON uc2.tok = string_split(g.b, ' ')[2]
+    CROSS JOIN tot
+    GROUP BY g.doc_id
+    """,
+)
+def q_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram-unigram LM score — the
+    smoothing the add-one bigram rung (q_bigram_logprob) lacks:
+    P(w2|w1) = λ·P_ML(w2|w1) + (1-λ)·P_laplace(w2), λ=0.75. Add-one on
+    bigrams drags every doc toward the (huge) bigram-space floor;
+    interpolation lets seen bigrams keep their ML mass and backs off to
+    the unigram for the rest — the standard n-gram LM ladder step
+    (Chen & Goodman 1999) before Kneser-Ney.
+
+    Every bigram scored here is by construction present in the corpus
+    LM (the model is the corpus's own), so P_ML > 0 and the log is
+    finite in both engines; the unigram backoff term is Laplace-
+    smoothed for the same reason as q_unigram_logprob's denominator.
+
+    Scale: identical join ladder to q_bigram_logprob (token-partitioned
+    co-located joins, scalar totals broadcast) — one extra unigram
+    join for the w2 backoff term; no window, no all-pairs stage.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    ex = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    uc = ex.groupBy("tok").agg(F.count("*").alias("cu"))
+    tot = ex.agg(
+        F.count("*").alias("n"), F.count_distinct("tok").alias("vsz")
+    )
+    uc1 = uc.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
+    uc2 = uc.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
+    p = F.lit(_JM_LAMBDA) * (
+        F.col("cb").cast("double") / F.col("cu1")
+    ) + F.lit(1 - _JM_LAMBDA) * (
+        (F.col("cu2") + F.lit(1.0)) / (F.col("n") + F.col("vsz"))
+    )
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(uc1, "w1")
+        .join(uc2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
+        )
+    )
