@@ -351,3 +351,57 @@ def lm_score_stream(
             ).alias("avg_logprob"),
         )
     )
+
+
+def classifier_score_stream(
+    docs: DataFrame, weights: DataFrame, bias: float
+) -> DataFrame:
+    """Streaming twin of q_quality_classifier's scoring stage: hash each
+    arriving document's tokens into the model's buckets, stream-static
+    join the (static, broadcast-sized) weight vector, sigmoid the mean
+    weight + bias per doc. The model is trained/loaded batch-side;
+    ingest is scored continuously — the standard online quality gate in
+    front of a training-data lake. Purely stateless signals + one keyed
+    aggregation (same update-mode/state-TTL caveat as lm_score_stream).
+
+    ``weights`` must carry (bucket, wt); bucket space must match the
+    scorer's hash (md5 first-8-hex % D with D = the weight count).
+
+    Stateless Gopher-rule screens (q_gopher_rules) need none of this
+    machinery: a single codegen projection lifts to readStream
+    unchanged — this twin exists for the JOIN-shaped scorer.
+    """
+    from data_engineering_project_spotify_app_spark.functions.text import (
+        tokens,
+    )
+
+    d = weights.count()
+    hashed = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id",
+        (
+            F.expr(
+                "CAST(conv(substring(md5(tok), 1, 8), 16, 10) AS BIGINT)"
+            )
+            % d
+        ).alias("bucket"),
+    )
+    scored = (
+        hashed.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.avg("wt").alias("mean_wt"),
+        )
+    )
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(bias) + F.col("mean_wt")))),
+        4,
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        score.alias("score"),
+        (score >= 0.5).alias("keep"),
+    )

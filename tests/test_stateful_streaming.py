@@ -815,3 +815,76 @@ def test_lm_score_stream_matches_batch_scorer(spark, tmp_path):
         .collect()
     }
     assert got == want and set(got) == {10, 11, 12}
+
+
+def test_classifier_score_stream_matches_batch(spark, tmp_path):
+    """Stream-static model scoring across two micro-batches must equal
+    the registered batch classifier on the same docs."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+    from data_engineering_project_spotify_app_spark.operators.textops import (
+        _QC_BIAS,
+        _QC_DIM,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.stream_ops import (
+        classifier_score_stream,
+    )
+
+    registry.load_all_modules()
+    weights = spark.range(_QC_DIM).select(
+        F.col("id").alias("bucket"),
+        (
+            ((F.col("id") * F.lit(2654435761)) % F.lit(2048)).cast("double")
+            / F.lit(1024.0)
+            - F.lit(1.0)
+        ).alias("wt"),
+    )
+    texts = {
+        10: "alpha beta gamma delta",
+        11: "epsilon zeta eta theta iota",
+        12: "kappa lambda mu",
+    }
+    d = tmp_path / "docs"
+    d.mkdir()
+    _write_batch(d, "b0.json", [{"doc_id": 10, "text": texts[10]}])
+    docs = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(d))
+    )
+    q = (
+        classifier_score_stream(docs, weights, _QC_BIAS)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("clf_scores")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(
+            d,
+            "b1.json",
+            [{"doc_id": i, "text": texts[i]} for i in (11, 12)],
+        )
+        time.sleep(0.1)
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+            for r in spark.sql("SELECT * FROM clf_scores").collect()
+        }
+    finally:
+        q.stop()
+
+    batch_dir = tmp_path / "batch"
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in texts.items()],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.parquet(f"{batch_dir}/documents.parquet")
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["score"], r["keep"])
+        for r in registry.QUERIES["q_quality_classifier"](
+            spark, str(batch_dir)
+        ).collect()
+    }
+    assert got == want and set(got) == {10, 11, 12}
