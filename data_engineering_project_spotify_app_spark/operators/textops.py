@@ -1389,3 +1389,94 @@ def q_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "q_source_quality_report",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, source,
+             CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+             round(CAST(list_sum([length(x) for x in {_TOK}]) AS DOUBLE)
+                   / len({_TOK}), 4) AS mean_word_len,
+             round(CAST(len(list_filter({_TOK},
+                     x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+                   / len({_TOK}), 4) AS frac_alpha,
+             {_lang_hits_sql(_GOPHER_SW)} AS sw_hits,
+             round((CAST(length(text) - length(replace(text, '#', ''))
+                    AS DOUBLE)
+                    + (length(text) - length(replace(text, '...', '')))
+                      / 3.0)
+                   / len({_TOK}), 4) AS sym_ratio
+      FROM documents
+      WHERE len({_TOK}) > 0
+    ),
+    gopher AS (
+      SELECT doc_id, source,
+             (n_tokens BETWEEN {_GOPHER_MIN_TOKENS} AND {_GOPHER_MAX_TOKENS}
+              AND mean_word_len BETWEEN {_GOPHER_MIN_MWL} AND {_GOPHER_MAX_MWL}
+              AND frac_alpha >= {_GOPHER_MIN_ALPHA}
+              AND sw_hits >= {_GOPHER_MIN_SW}
+              AND sym_ratio <= {_GOPHER_MAX_SYM}) AS keep
+      FROM sig
+    ),
+    w AS (
+      SELECT i AS bucket,
+             (CAST((i * 2654435761) % 2048 AS DOUBLE) / 1024.0) - 1.0 AS wt
+      FROM generate_series(0, {_QC_DIM - 1}) t(i)
+    ),
+    hashed AS (
+      SELECT doc_id, {_QC_HEX2INT} % {_QC_DIM} AS bucket
+      FROM (
+        SELECT doc_id, md5(unnest({_TOK})) AS d FROM documents
+      )
+    ),
+    clf AS (
+      SELECT h.doc_id,
+             round(1.0 / (1.0 + exp(-({_QC_BIAS} + avg(w.wt)))), 4)
+               AS score
+      FROM hashed h JOIN w USING (bucket)
+      GROUP BY h.doc_id
+    )
+    SELECT g.source,
+           count(*) AS n_docs,
+           round(avg(CASE WHEN g.keep THEN 1.0 ELSE 0.0 END), 4)
+             AS gopher_keep_rate,
+           round(avg(clf.score), 4) AS mean_clf_score
+    FROM gopher g JOIN clf USING (doc_id)
+    GROUP BY g.source
+    """,
+)
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality mixture report — the table a data-mixture
+    decision actually reads: for every source, its Gopher-rule survival
+    rate and its mean model-based quality score, side by side. A source
+    with a low keep rate gets down-weighted (or re-cleaned) BEFORE
+    mixture weights (q_source_weights) are computed; composing the two
+    registered scorers per source is exactly how the DoReMi/DCLM-style
+    mixture loops consume them.
+
+    Built by CALLING the registered operators (q_gopher_rules,
+    q_quality_classifier) and aggregating their outputs per source —
+    zero logic duplication Spark-side; the oracle restates both
+    formulas from the shared module constants.
+
+    Scale: adds one (doc_id → source) join and a sources-bounded
+    aggregation on top of the scorers' own plans — the report output is
+    O(sources) regardless of corpus size.
+    """
+    gopher = q_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    clf = q_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    src = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        gopher.join(clf, "doc_id")
+        .join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.avg(F.when(F.col("keep"), 1.0).otherwise(0.0)), 4
+            ).alias("gopher_keep_rate"),
+            F.round(F.avg("score"), 4).alias("mean_clf_score"),
+        )
+    )
