@@ -940,7 +940,14 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_a < doc_b — the same contract as q_minhash_lsh restricted to
     pairs touching the delta.
     """
-    sig = _minhash_signatures(spark, sf_dir)
+    return incremental_candidate_pairs_df(_minhash_signatures(spark, sf_dir))
+
+
+def incremental_candidate_pairs_df(sig: DataFrame) -> DataFrame:
+    """Delta-only LSH pair generation from a signature frame (doc_id,
+    h0..h15) — see q_incremental_dedup. DataFrame-level so the scale
+    probe can compare it against the full pair generation on blown-up
+    corpora."""
     band_structs = []
     for band in range(N_BANDS):
         cols = [f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]

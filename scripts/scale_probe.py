@@ -25,6 +25,7 @@ from data_engineering_project_spotify_app_spark.operators import (  # noqa: E402
     registry,
 )
 from data_engineering_project_spotify_app_spark.operators.dedup import (  # noqa: E402
+    incremental_candidate_pairs_df,
     minhash_candidate_pairs_df,
     minhash_signatures_df,
     ngram_jaccard_pairs,
@@ -160,6 +161,15 @@ def main() -> None:
                         F.col("dst").alias("src"), F.col("src").alias("dst")
                     )
                 )
+            ).count(),
+        ),
+        (
+            "incremental_dedup (delta)",
+            lambda d=docs1: incremental_candidate_pairs_df(
+                minhash_signatures_df(d)
+            ).count(),
+            lambda d=docsM: incremental_candidate_pairs_df(
+                minhash_signatures_df(d)
             ).count(),
         ),
     ]
