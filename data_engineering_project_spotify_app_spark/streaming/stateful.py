@@ -668,3 +668,83 @@ def weighted_reservoir_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_kmin", T.LongType()),
+        T.StructField("kth", T.LongType()),
+        T.StructField("est_distinct", T.DoubleType()),
+    ]
+)
+
+KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("kmin", T.ArrayType(T.LongType()))]
+)
+
+_KMV_STREAM_K = 64
+
+
+def _update_kmv(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    k = _KMV_STREAM_K
+    kmin: list[int] = list(state.get[0]) if state.exists else []
+    # vectorized merge: per-batch unique (numpy) unioned into the O(k)
+    # carried set — never a per-row Python loop
+    have = set(kmin)
+    for pdf in pdfs:
+        have.update(int(v) for v in pdf["hv"].unique())
+    kmin = sorted(have)[:k]
+    state.update((kmin,))
+    m = len(kmin)
+    kth = kmin[-1] if kmin else 0
+    est = float(m) if m < k else (k - 1) * 4294967296.0 / kth
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n_kmin": [m],
+            "kth": [kth],
+            "est_distinct": [round(est, 1)],
+        }
+    )
+
+
+def kmv_sketch_stream(events: DataFrame) -> DataFrame:
+    """Streaming KMV sketch maintenance — the §2.9 lift of the
+    q_kmv_distinct/q_kmv_merge family: per event_type, the k smallest
+    distinct md5 hashes of user_id are carried as explicit grouped
+    state (O(k) longs per key — the same mergeable sketch array
+    q_kmv_merge materializes per shard), updated every micro-batch, and
+    the current distinct-count estimate is emitted per batch. A
+    dashboard reading this stream gets a continuously-fresh cardinality
+    at O(k) state per group, where exact streaming distinct would hold
+    every key ever seen.
+
+    The hash projection runs codegen-side BEFORE the stateful stage
+    (same split as corpus_filter_stream); the pandas fn only merges
+    sorted O(k) arrays. Merge order is irrelevant (set-union + k-min is
+    associative/commutative — the q_kmv_merge losslessness argument),
+    so the estimate equals the batch sketch over the same rows
+    (equivalence pinned in tests).
+    """
+    from pyspark.sql import functions as F
+
+    hv = events.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), "
+            "16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    return hv.groupBy("event_type").applyInPandasWithState(
+        _update_kmv,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

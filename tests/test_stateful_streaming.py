@@ -888,3 +888,62 @@ def test_classifier_score_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and set(got) == {10, 11, 12}
+
+
+def test_kmv_sketch_stream_matches_batch_sketch(spark, tmp_path):
+    """After two micro-batches the streamed KMV state must equal the
+    batch k-min sketch over the union of both batches — same n_kmin,
+    same kth, same estimate."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        _KMV_STREAM_K,
+        kmv_sketch_stream,
+    )
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    rows1 = [_ev(i, i % 97, 1.0) for i in range(150)]
+    _write_batch(d, "b0.json", rows1)
+    stream = stream_events(spark, str(d), max_files_per_trigger=1)
+    q = (
+        kmv_sketch_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("kmv_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows2 = [_ev(1000 + i, 200 + (i % 131), 1.0) for i in range(200)]
+        _write_batch(d, "b1.json", rows2)
+        time.sleep(0.1)
+        q.processAllAvailable()
+        # last update per event_type wins
+        got = {
+            r["event_type"]: (r["n_kmin"], r["kth"], r["est_distinct"])
+            for r in spark.sql(
+                "SELECT * FROM kmv_stream ORDER BY n_kmin"
+            ).collect()
+        }
+    finally:
+        q.stop()
+
+    all_rows = rows1 + rows2
+    batch = spark.createDataFrame(
+        [(r["event_type"], r["user_id"]) for r in all_rows],
+        "event_type string, user_id bigint",
+    ).select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), "
+            "16, 10) AS BIGINT)"
+        ).alias("hv"),
+    )
+    hvs = sorted({r["hv"] for r in batch.collect()})[:_KMV_STREAM_K]
+    m = len(hvs)
+    kth = hvs[-1]
+    est = float(m) if m < _KMV_STREAM_K else round(
+        (_KMV_STREAM_K - 1) * 4294967296.0 / kth, 1
+    )
+    assert got == {"click": (m, kth, est)}
