@@ -494,3 +494,31 @@ def test_dsir_ratio_table_is_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_dsir_weights")
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_vocab_coverage_topv_and_broadcast(spark, sf_dir):
+    """The top-V cut must be TakeOrderedAndProject (per-partition top-V
+    + k-merge over the vocabulary) and the vocab join an explicit
+    broadcast — the corpus never shuffles by token for the lookup."""
+    plan = plan_of(spark, sf_dir, "q_vocab_coverage")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_lm_backoff_score",
+        "q_phrase_search",
+        "q_cms_join_size",
+        "q_source_quality_report",
+        "q_lm_decontaminate",
+        "q_dsir_weights",
+    ],
+)
+def test_round5_scorers_have_no_window(spark, sf_dir, name):
+    """Every round-5 scoring/report query is joins + hash aggs only —
+    a rank window anywhere would be the 100x scale-killer shape."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "Window" not in plan, (name, plan)
