@@ -426,17 +426,63 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting lists typically broadcast-sized (AQE decides). An n-term
     phrase chains n-1 such joins, rarest term first.
     """
-    d = table_parallel(spark, sf_dir, "documents")
-    posts = d.select(
+    return phrase_match_counts(
+        table_parallel(spark, sf_dir, "documents"), _PHRASE
+    )
+
+
+def phrase_match_counts(docs: DataFrame, phrase: tuple[str, ...]) -> DataFrame:
+    """(doc_id, n_occurrences) for an exact n-term phrase via positional
+    postings: filter each term's (doc_id, pos) list, then chain n-1
+    adjacency joins on (doc_id, pos - offset). The first join side is
+    the phrase's FIRST term here (offsets are relative to it); a
+    cost-based caller reorders so the rarest term anchors — the join is
+    associative-commutative over the offset-aligned postings, so any
+    order gives the same matches."""
+    posts = docs.select(
         "doc_id",
         F.posexplode(tokens(F.col("text"))).alias("pos", "term"),
     )
-    w1 = posts.filter(F.col("term") == _PHRASE[0]).select("doc_id", "pos")
-    w2 = posts.filter(F.col("term") == _PHRASE[1]).select(
-        "doc_id", (F.col("pos") - 1).alias("pos")
+    out = posts.filter(F.col("term") == phrase[0]).select("doc_id", "pos")
+    for k, term in enumerate(phrase[1:], start=1):
+        nxt = posts.filter(F.col("term") == term).select(
+            "doc_id", (F.col("pos") - k).alias("pos")
+        )
+        out = out.join(nxt, ["doc_id", "pos"])
+    return out.groupBy("doc_id").agg(F.count("*").alias("n_occurrences"))
+
+
+_PHRASE3 = ("row", "column", "sort")
+
+
+@query(
+    "q_phrase_search_3",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOK} AS t FROM documents
     )
-    return (
-        w1.join(w2, ["doc_id", "pos"])
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_occurrences"))
+    SELECT doc_id,
+           CAST(len(list_filter(
+             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              for i in generate_series(1, len(t) - 2)],
+             x -> x = '{" ".join(_PHRASE3)}')) AS BIGINT)
+             AS n_occurrences
+    FROM t
+    WHERE len(list_filter(
+             [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+              for i in generate_series(1, len(t) - 2)],
+             x -> x = '{" ".join(_PHRASE3)}')) > 0
+    """,
+)
+def q_phrase_search_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-term phrase query ("row column sort") — the n-term
+    generalization of q_phrase_search: two chained (doc_id, pos-offset)
+    adjacency joins over positional postings. The oracle again counts
+    consecutive-trigram matches directly (independent formulation).
+    Each intermediate join SHRINKS the candidate set (a position must
+    extend the prefix match), so the chain's cost is bounded by the
+    rarest term's posting list — the classic conjunctive-query
+    intersection behavior."""
+    return phrase_match_counts(
+        table_parallel(spark, sf_dir, "documents"), _PHRASE3
     )
