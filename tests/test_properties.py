@@ -504,3 +504,39 @@ def test_weighted_reservoir_fold_is_mergeable(data, docs):
         return
     got = {(int(i), int(w)) for i, w in zip(last["doc_id"], last["weight"])}
     assert got == expect_set
+
+
+_phrase_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(docs=_phrase_docs, plen=st.integers(2, 3))
+@settings(**_SETTINGS)
+def test_phrase_match_counts_equals_bruteforce(spark, docs, plen):
+    """The postings adjacency chain must count exactly the sliding-
+    window occurrences of the phrase, for any corpus over a tiny
+    alphabet (adversarial for overlaps: phrases like 'a a' on 'a a a')."""
+    from data_engineering_project_spotify_app_spark.operators.search import (
+        phrase_match_counts,
+    )
+
+    phrase = tuple(["a", "a", "b"][:plen])
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match_counts(df, phrase).collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs):
+        n = sum(
+            1
+            for j in range(len(toks) - plen + 1)
+            if tuple(toks[j : j + plen]) == phrase
+        )
+        if n:
+            want[i] = n
+    assert got == want
