@@ -207,3 +207,42 @@ def land_partitioned(
     target = f"{warehouse_dir}/{name}"
     df.write.mode("overwrite").partitionBy(partition_col).parquet(target)
     return target
+
+
+def compact_entity(
+    spark: SparkSession,
+    staging_dir: str,
+    entity: str,
+    target_files: int = 1,
+) -> str:
+    """Small-files compaction for a staged entity folder — the
+    operational counterpart of S6/S9: high-frequency staging (or the
+    keyed one-object-per-row layout) accretes thousands of tiny
+    objects, and at 100 TB listing+opening them dominates every
+    downstream scan. Rewrite the folder as ``target_files`` part files.
+
+    Safety protocol (the part the naive version gets wrong): never
+    overwrite a directory you are lazily reading from — Spark reads are
+    lazy, so ``read.json(d).write.overwrite(d)`` deletes its own input
+    before the first task runs. Write to a ``{entity}__compacting``
+    sibling first (job-atomic via the file-commit protocol), then swap
+    directories; the swap window is two renames instead of a full
+    rewrite. Returns the entity directory path.
+
+    Sizing: ``target_files`` should come from bytes/128 MB at real
+    scale; ``repartition`` (not ``coalesce``) so the write
+    parallelizes and output files are even — this is a maintenance job
+    where the shuffle is the point.
+    """
+    import shutil
+
+    src = f"{staging_dir}/{entity}"
+    tmp = f"{staging_dir}/{entity}__compacting"
+    old = f"{staging_dir}/{entity}__old"
+    df = spark.read.json(src)
+    df.repartition(target_files).write.mode("overwrite").json(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(src, old)
+    shutil.move(tmp, src)
+    shutil.rmtree(old)
+    return src

@@ -209,3 +209,32 @@ def test_corrupt_records_quarantined_not_dropped(spark, tmp_path):
     # quarantine is durable: re-readable from the warehouse sink
     replay = spark.read.json(str(tmp_path / "wh" / "artists__quarantine"))
     assert replay.count() == 2
+
+
+def test_compact_entity_preserves_rows_and_shrinks_files(spark, tmp_path):
+    """Compaction must preserve every row byte-for-byte and reduce the
+    folder to the target part-file count; the staged path stays the
+    same so downstream readers are untouched."""
+    import glob
+    import json as _json
+
+    from data_engineering_project_spotify_app_spark.sources.ingest import (
+        compact_entity,
+    )
+
+    d = tmp_path / "staging" / "artists"
+    d.mkdir(parents=True)
+    rows = [{"id": f"a{i}", "name": f"artist {i}"} for i in range(40)]
+    # 40 tiny files — the keyed / high-frequency staging shape
+    for i, r in enumerate(rows):
+        with open(d / f"{i}.json", "w") as fh:
+            fh.write(_json.dumps(r) + "\n")
+
+    before = spark.read.json(str(d)).collect()
+    out = compact_entity(spark, str(tmp_path / "staging"), "artists", 2)
+    assert out == str(d)
+    after = spark.read.json(str(d)).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    parts = glob.glob(f"{d}/part-*.json")
+    assert len(parts) == 2, parts
+    assert not glob.glob(f"{tmp_path}/staging/artists__*")
