@@ -1480,3 +1480,100 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("score"), 4).alias("mean_clf_score"),
         )
     )
+
+
+_KN_D = 0.75  # absolute-discount mass
+
+
+@query(
+    "q_lm_kneser_ney",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    bg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2 THEN
+               [t[i] || ' ' || t[i+1]
+                for i in generate_series(1, len(t) - 1)]
+             ELSE [] END) AS b
+      FROM t0
+    ),
+    bc AS (SELECT b, count(*) AS cb FROM bg GROUP BY 1),
+    bsplit AS (
+      SELECT string_split(b, ' ')[1] AS w1,
+             string_split(b, ' ')[2] AS w2, cb
+      FROM bc
+    ),
+    ctx AS (
+      SELECT w1, CAST(sum(cb) AS BIGINT) AS ctot,
+             count(*) AS n1l
+      FROM bsplit GROUP BY 1
+    ),
+    cont AS (SELECT w2, count(*) AS n1r FROM bsplit GROUP BY 1),
+    tot AS (SELECT count(*) AS npairs FROM bsplit)
+    SELECT g.doc_id,
+           count(*) AS n_bigrams,
+           round(avg(ln(
+             (bs.cb - {_KN_D}) / ctx.ctot
+             + {_KN_D} * ctx.n1l / ctx.ctot
+               * cont.n1r / tot.npairs
+           )), 4) AS avg_logprob
+    FROM bg g
+    JOIN bsplit bs ON bs.w1 = string_split(g.b, ' ')[1]
+                  AND bs.w2 = string_split(g.b, ' ')[2]
+    JOIN ctx  ON ctx.w1 = bs.w1
+    JOIN cont ON cont.w2 = bs.w2
+    CROSS JOIN tot
+    GROUP BY g.doc_id
+    """,
+)
+def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM score — the top of the n-gram
+    smoothing ladder (Chen & Goodman 1999) above add-one
+    (q_bigram_logprob) and Jelinek-Mercer (q_lm_backoff_score):
+    P(w2|w1) = (c(w1w2) − d)/c(w1·) + d·N1+(w1·)/c(w1·) · Pcont(w2),
+    with the CONTINUATION probability Pcont(w2) = N1+(·w2)/N1+(··) —
+    "how many contexts does w2 complete", the correction that stops
+    high-frequency-but-context-bound words (think "Francisco") from
+    leaking probability into novel contexts. d = 0.75.
+
+    Scored bigrams are corpus-own, so c(w1w2) ≥ 1 > d and every factor
+    is positive — the log is finite in both engines with no clamping.
+
+    Scale: everything derives from the ONE bigram-count frame (ctx and
+    continuation counts are re-aggregations of bc, not corpus rescans);
+    joins are token-partitioned and co-located; the single scalar
+    (distinct-bigram total) is broadcast. Same no-window posture as the
+    rest of the LM family.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+    )
+    bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", "p.w1", "p.w2"
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ctx = bc.groupBy("w1").agg(
+        F.sum("cb").cast("bigint").alias("ctot"),
+        F.count("*").alias("n1l"),
+    )
+    cont = bc.groupBy("w2").agg(F.count("*").alias("n1r"))
+    tot = bc.agg(F.count("*").alias("npairs"))
+    p = (F.col("cb") - F.lit(_KN_D)) / F.col("ctot") + F.lit(_KN_D) * F.col(
+        "n1l"
+    ) / F.col("ctot") * F.col("n1r") / F.col("npairs")
+    return (
+        bg.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
+        )
+    )
