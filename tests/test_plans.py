@@ -510,7 +510,9 @@ def test_vocab_coverage_topv_and_broadcast(spark, sf_dir):
     "name",
     [
         "q_lm_backoff_score",
+        "q_lm_kneser_ney",
         "q_phrase_search",
+        "q_phrase_search_3",
         "q_cms_join_size",
         "q_source_quality_report",
         "q_lm_decontaminate",
