@@ -1,0 +1,125 @@
+"""BPE tokenizer training — the canonical tokenizer-prep step, as a
+distributed iterative operator.
+
+Classic byte-pair encoding (Sennrich et al. 2016) trains on the WORD
+FREQUENCY table, not the raw corpus: words split into character symbols
+(+ an end-of-word marker), and each round (1) counts adjacent symbol
+pairs weighted by word frequency, (2) picks the most frequent pair
+(lexicographic tie-break — deterministic), (3) merges its leftmost
+non-overlapping occurrences in every word. The learned merge list IS the
+tokenizer.
+
+Spark shape: the vocab frame is corpus-vocabulary-sized (millions of
+rows at 100 TB — DataFrame-scale, tiny next to the corpus); pair counts
+are a map-side-combined explode+sum; the merge application is an
+``F.aggregate`` fold with a struct accumulator — JVM-side, no UDF. The
+per-round argmax is a 1-row collect (the same scalar driver decision as
+the connected-components convergence check); each round's symbol column
+is localCheckpoint-ed so lineage doesn't stack N plans deep.
+
+Registered rows-only (the driver contract's carve-out for iterative
+algorithms — no single SQL statement expresses N data-dependent merge
+rounds); semantics are pinned against a pure-Python reference BPE in
+tests/test_bpe.py instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.functions.text import tokens
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table_parallel
+
+EOW = "</w>"
+N_MERGES = 6
+
+
+def word_counts(docs: DataFrame) -> DataFrame:
+    """(word, n) frequency table — BPE's training input."""
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Merge leftmost non-overlapping (left, right) occurrences in a
+    symbol array — a single JVM-side fold (no UDF). The accumulator
+    carries (emitted symbols, one pending symbol); a match emits the
+    concatenation and clears the pending slot, so 'a a a' under (a,a)
+    yields [aa, a] — the greedy BPE contract."""
+    empty = F.array().cast("array<string>")
+    init = F.struct(empty.alias("out"), F.lit("").alias("pend"))
+    step = lambda acc, s: F.when(  # noqa: E731
+        (acc.pend == left) & (s == right),
+        F.struct(
+            F.concat(acc.out, F.array(F.lit(left + right))).alias("out"),
+            F.lit("").alias("pend"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.when(acc.pend == "", acc.out)
+            .otherwise(F.concat(acc.out, F.array(acc.pend)))
+            .alias("out"),
+            s.alias("pend"),
+        )
+    )
+    finish = lambda acc: F.when(acc.pend == "", acc.out).otherwise(  # noqa: E731
+        F.concat(acc.out, F.array(acc.pend))
+    )
+    return F.aggregate(syms, init, step, finish)
+
+
+def bpe_train(words: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
+    """Learn ``n_merges`` BPE merges from a (word, n) frequency frame.
+
+    Returns [(left, right, weighted_freq), ...] in learned order.
+    """
+    vocab = words.select(
+        "n",
+        F.concat(
+            F.expr("filter(split(word, ''), x -> x <> '')"),
+            F.array(F.lit(EOW)),
+        ).alias("syms"),
+    ).localCheckpoint()
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        sz = F.size("syms")
+        pairs = F.zip_with(
+            F.slice("syms", 1, F.greatest(sz - 1, F.lit(0))),
+            F.slice("syms", 2, F.greatest(sz - 1, F.lit(0))),
+            lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+        )
+        top = (
+            vocab.select("n", F.explode(pairs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("n").alias("freq"))
+            .orderBy(F.col("freq").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        merges.append((row["l"], row["r"], int(row["freq"])))
+        vocab = vocab.select(
+            "n", _merge_pair(F.col("syms"), row["l"], row["r"]).alias("syms")
+        ).localCheckpoint()
+    return merges
+
+
+@query("q_bpe_train")  # rows-only: iterative, driver-contract carve-out
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the top-6 BPE merges from the documents corpus and return
+    the merge table (rank, left, right, freq) — deterministic via the
+    lexicographic tie-break, pinned against a pure-Python reference in
+    tests/test_bpe.py."""
+    d = table_parallel(spark, sf_dir, "documents")
+    merges = bpe_train(word_counts(d), N_MERGES)
+    return spark.createDataFrame(
+        [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
+        "rank int, left string, right string, freq bigint",
+    )
