@@ -123,3 +123,45 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, l, r, f) for i, (l, r, f) in enumerate(merges)],
         "rank int, left string, right string, freq bigint",
     )
+
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[str, str, int]]) -> DataFrame:
+    """Encode documents with a learned merge table: per word, split to
+    chars + EOW and apply every merge in rank order — the same JVM-side
+    fold as training, N_MERGES successive array transforms inside ONE
+    projection (merges are plan constants; no joins, no shuffle except
+    the per-doc count aggregation). Output (doc_id, n_words,
+    n_bpe_tokens): the compression ratio n_bpe_tokens/n_words is the
+    tokenizer-fertility metric corpus reports quote.
+
+    Scale: pure map over the corpus — the merge table rides in the
+    plan; a production tokenizer with 50k merges would switch to an
+    Arrow-batched pandas UDF over a broadcast merge dict, but at the
+    N_MERGES scale the unrolled codegen fold is strictly faster.
+    """
+    word = F.explode(tokens(F.col("text"))).alias("word")
+    per_word = docs.select("doc_id", word)
+    syms = F.concat(
+        F.expr("filter(split(word, ''), x -> x <> '')"),
+        F.array(F.lit(EOW)),
+    )
+    for left, right, _ in merges:
+        syms = _merge_pair(syms, left, right)
+    return (
+        per_word.select("doc_id", F.size(syms).alias("k"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("k").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+@query("q_bpe_encode")  # rows-only: consumes the iterative training output
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the merges q_bpe_train learns from it
+    and report per-doc word/BPE-token counts — train + apply as one
+    driver query. Reference-pinned in tests/test_bpe.py."""
+    d = table_parallel(spark, sf_dir, "documents")
+    merges = bpe_train(word_counts(d), N_MERGES)
+    return bpe_encode(d, merges)

@@ -85,3 +85,43 @@ def test_bpe_matches_reference_property(spark, freqs):
     tie-break edge cases) — distributed learner == sequential reference."""
     got = bpe_train(_freq_df(spark, freqs), 4)
     assert got == _ref_bpe(freqs, 4)
+
+
+def _ref_encode(text: str, merges) -> int:
+    toks = 0
+    for w in text.split():
+        syms = list(w) + [EOW]
+        for l, r, _ in merges:
+            out, pend = [], None
+            for s in syms:
+                if pend == l and s == r:
+                    out.append(l + r)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = s
+            if pend is not None:
+                out.append(pend)
+            syms = out
+        toks += len(syms)
+    return toks
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe_train(word_counts(docs), 6)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        n_words = len(row["text"].split())
+        want = _ref_encode(row["text"], merges)
+        assert got[row["doc_id"]] == (n_words, want), row["doc_id"]
