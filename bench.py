@@ -103,6 +103,8 @@ HEADLINE = [
     "q_dsir_weights",
     "q_countmin_freq",
     "q_incremental_dedup",
+    # round-5 late: iterative BPE train+apply (rows-only family)
+    "q_bpe_encode",
 ]
 
 
