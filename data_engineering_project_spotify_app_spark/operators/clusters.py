@@ -275,3 +275,54 @@ def q_dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(band <= 11, "train").when(band <= 13, "val").otherwise("test")
     )
     return cc.select("doc_id", "cluster_id", split.alias("split"))
+
+
+_CLUSTER_STATS_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTERS_CTES},
+    sizes AS (
+      SELECT cluster_id, count(*) AS sz FROM cc GROUP BY 1
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           count(*) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           round(CAST(sz * count(*) AS DOUBLE)
+                 / (SELECT count(*) FROM cc), 4) AS frac_corpus
+    FROM sizes
+    GROUP BY sz
+    """
+
+
+@query("q_dedup_cluster_stats", oracle=_CLUSTER_STATS_ORACLE)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the corpus-health metric a
+    dedup run is judged by: how many docs sit in singletons vs pairs vs
+    heavy clusters, and what fraction of the corpus each size class
+    holds (size 1 row = the unique mass; a fat tail here means the
+    crawl is recycling content). One aggregation ladder on top of the
+    CC output: sizes per cluster, then a histogram over sizes — both
+    map-side-combined, output bounded by the largest cluster size.
+
+    The corpus-total scalar is a driver-side count — cheap to consume
+    twice because connected_components localCheckpoints its label
+    table per round, so the second pass replays a truncated lineage,
+    not the CC loop.
+    """
+    cc = q_dedup_clusters(spark, sf_dir)
+    total = cc.count()
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("n_docs"),
+            F.round(
+                (F.col("sz") * F.col("n_clusters")).cast("double")
+                / F.lit(total),
+                4,
+            ).alias("frac_corpus"),
+        )
+    )
