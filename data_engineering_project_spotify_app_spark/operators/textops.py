@@ -1577,3 +1577,106 @@ def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "q_trigram_logprob",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    tg AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in generate_series(1, len(t) - 2)]
+             ELSE [] END) AS g
+      FROM t0
+    ),
+    bgm AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 2 THEN
+               [t[i] || ' ' || t[i+1]
+                for i in generate_series(1, len(t) - 1)]
+             ELSE [] END) AS b
+      FROM t0
+    ),
+    tc AS (SELECT g, count(*) AS ct FROM tg GROUP BY 1),
+    bc AS (SELECT b, count(*) AS cb FROM bgm GROUP BY 1),
+    v AS (SELECT count(DISTINCT unnest.tok) AS vsz FROM (
+            SELECT unnest(t) AS tok FROM t0) unnest)
+    SELECT tg.doc_id,
+           count(*) AS n_trigrams,
+           round(avg(ln((tc.ct + 1.0) / (bc.cb + v.vsz))), 4)
+             AS avg_logprob
+    FROM tg
+    JOIN tc USING (g)
+    JOIN bc ON bc.b = string_split(tg.g, ' ')[1] || ' '
+                      || string_split(tg.g, ' ')[2]
+    CROSS JOIN v
+    GROUP BY tg.doc_id
+    """,
+)
+def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trigram LM score, add-one smoothed — the n=3 rung of the
+    LM ladder (unigram → bigram → JM → KN → trigram): avg ln P(w3|w1w2)
+    with P = (c(w1w2w3)+1)/(c(w1w2)+V). Longer contexts sharpen the
+    word-salad signal further: coherent prose has predictable
+    3-token continuations where shuffled text does not. Docs with
+    fewer than 3 tokens drop out — identically in both engines.
+
+    Scale: trigram and context-bigram counts are hash aggregations over
+    arrays built from three constant-reference slices (the zip_with
+    discipline of functions/text.py — never transform(sequence)); both
+    score joins are n-gram-partitioned and co-located at 100 TB; only
+    the vocab-size scalar broadcasts.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    m3 = F.greatest(n - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice("t", 1, m3),
+            F.slice("t", 2, m3),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+        F.slice("t", 3, m3),
+        lambda xy, z: F.struct(
+            xy.alias("ctx"), F.concat_ws(" ", xy, z).alias("g")
+        ),
+    )
+    m2 = F.greatest(n - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice("t", 1, m2),
+        F.slice("t", 2, m2),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    tg = toks.select("doc_id", F.explode(tri).alias("p")).select(
+        "doc_id", "p.ctx", "p.g"
+    )
+    tc = tg.groupBy("g").agg(F.count("*").alias("ct"))
+    bc = (
+        toks.select(F.explode(bg).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("cb"))
+    )
+    v = toks.select(F.explode("t").alias("tok")).agg(
+        F.count_distinct("tok").alias("vsz")
+    )
+    return (
+        tg.join(tc, "g")
+        .join(bc, F.col("b") == F.col("ctx"))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("ct") + F.lit(1.0))
+                        / (F.col("cb") + F.col("vsz"))
+                    )
+                ),
+                4,
+            ).alias("avg_logprob"),
+        )
+    )
