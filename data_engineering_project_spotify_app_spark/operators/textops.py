@@ -1680,3 +1680,88 @@ def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+_DRIFT_NEW_SQL = "doc_id % 10 < 2"  # same delta slice as incremental dedup
+
+
+@query(
+    "q_corpus_drift",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, unnest({_TOK}) AS tok FROM documents
+    ),
+    nc AS (
+      SELECT tok, count(*) AS c FROM t0 WHERE {_DRIFT_NEW_SQL} GROUP BY 1
+    ),
+    oc AS (
+      SELECT tok, count(*) AS c FROM t0 WHERE NOT ({_DRIFT_NEW_SQL}) GROUP BY 1
+    ),
+    u AS (
+      SELECT coalesce(nc.tok, oc.tok) AS tok,
+             coalesce(nc.c, 0) AS cn, coalesce(oc.c, 0) AS co
+      FROM nc FULL OUTER JOIN oc ON nc.tok = oc.tok
+    ),
+    tot AS (
+      SELECT sum(cn) AS nn, sum(co) AS no, count(*) AS vsz FROM u
+    ),
+    p AS (
+      SELECT (cn + 1.0) / (tot.nn + tot.vsz) AS pn,
+             (co + 1.0) / (tot.no + tot.vsz) AS po
+      FROM u CROSS JOIN tot
+    )
+    SELECT round(sum(pn * ln(pn / po)), 4) AS kl_new_old,
+           round(sum(po * ln(po / pn)), 4) AS kl_old_new,
+           (SELECT CAST(vsz AS BIGINT) FROM tot) AS n_vocab
+    FROM p
+    """,
+)
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift monitor: Laplace-smoothed KL divergence (both
+    directions) between the token distributions of the newest ingest
+    slice and the standing corpus — the snapshot-over-snapshot health
+    check that catches a crawl source going off-distribution (spam
+    bursts, language shifts, template floods) BEFORE the slice is
+    mixed in. Smoothing over the union vocabulary makes both KLs
+    finite even for tokens present on only one side — those are
+    exactly the drift signal.
+
+    Scale: two map-side-combined token counts, one vocab-sized full
+    outer join, one scalar aggregate — the output is a single row, the
+    heaviest frame is the vocabulary. The same delta predicate as
+    q_incremental_dedup, so the two run off one scan in a combined
+    nightly audit.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    tok = d.select(
+        (F.pmod(F.col("doc_id"), F.lit(10)) < 2).alias("is_new"),
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    )
+    nc = tok.filter("is_new").groupBy("tok").agg(F.count("*").alias("cn"))
+    oc = tok.filter("NOT is_new").groupBy("tok").agg(
+        F.count("*").alias("co")
+    )
+    u = (
+        nc.join(oc, "tok", "full_outer")
+        .select(
+            F.coalesce("cn", F.lit(0)).alias("cn"),
+            F.coalesce("co", F.lit(0)).alias("co"),
+        )
+    )
+    tot = u.agg(
+        F.sum("cn").alias("nn"),
+        F.sum("co").alias("no"),
+        F.count("*").alias("vsz"),
+    )
+    p = u.crossJoin(F.broadcast(tot)).select(
+        ((F.col("cn") + 1.0) / (F.col("nn") + F.col("vsz"))).alias("pn"),
+        ((F.col("co") + 1.0) / (F.col("no") + F.col("vsz"))).alias("po"),
+        "vsz",
+    )
+    return p.agg(
+        F.round(F.sum(F.col("pn") * F.log(F.col("pn") / F.col("po"))), 4)
+        .alias("kl_new_old"),
+        F.round(F.sum(F.col("po") * F.log(F.col("po") / F.col("pn"))), 4)
+        .alias("kl_old_new"),
+        F.max("vsz").cast("bigint").alias("n_vocab"),
+    )
