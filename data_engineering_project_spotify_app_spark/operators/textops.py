@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_engineering_project_spotify_app_spark.functions.text import (
     NORMALIZE_SQL,
@@ -1764,4 +1765,85 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("po") * F.log(F.col("po") / F.col("pn"))), 4)
         .alias("kl_old_new"),
         F.max("vsz").cast("bigint").alias("n_vocab"),
+    )
+
+
+_KEYWORDS_TOPK = 3
+
+
+@query(
+    "q_source_keywords",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOK}) AS tok FROM documents
+    ),
+    sc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    st AS (SELECT source, count(*) AS ns FROM tok GROUP BY 1),
+    wc AS (SELECT tok, count(*) AS cw FROM tok GROUP BY 1),
+    tot AS (SELECT count(*) AS n, count(DISTINCT tok) AS vsz FROM tok),
+    scored AS (
+      SELECT sc.source, sc.tok,
+             round(ln((sc.c + 1.0) / (st.ns + tot.vsz))
+                   - ln((wc.cw - sc.c + 1.0)
+                        / (tot.n - st.ns + tot.vsz)), 4) AS score
+      FROM sc
+      JOIN st USING (source)
+      JOIN wc USING (tok)
+      CROSS JOIN tot
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY score DESC, tok
+             ) AS rn
+      FROM scored
+    )
+    SELECT source, tok, score, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= {_KEYWORDS_TOPK}
+    """,
+)
+def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source — smoothed log-odds of a token
+    inside the source vs in the REST of the corpus (the
+    Monroe-et-al-style contrastive score, Laplace-smoothed), top-3 per
+    source with a deterministic token tie-break. The per-source
+    vocabulary fingerprint that explains WHAT drifted when
+    q_corpus_drift fires, and the seed list for source-targeted
+    blocklists.
+
+    Scale: per-(source, token) counts are one map-side-combined
+    aggregation; the rest-of-corpus count comes from joining the
+    global token counts (token-partitioned, co-located) — never a
+    second corpus scan; the top-k per source compiles to
+    WindowGroupLimit (plan-pinned in tests).
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    sc = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    st = tok.groupBy("source").agg(F.count("*").alias("ns"))
+    wc = tok.groupBy("tok").agg(F.count("*").alias("cw"))
+    tot = tok.agg(
+        F.count("*").alias("n"), F.count_distinct("tok").alias("vsz")
+    )
+    scored = (
+        sc.join(st, "source")
+        .join(wc, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "tok",
+            F.round(
+                F.log((F.col("c") + 1.0) / (F.col("ns") + F.col("vsz")))
+                - F.log(
+                    (F.col("cw") - F.col("c") + 1.0)
+                    / (F.col("n") - F.col("ns") + F.col("vsz"))
+                ),
+                4,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KEYWORDS_TOPK)
+        .select("source", "tok", "score", F.col("rn").cast("bigint").alias("rn"))
     )

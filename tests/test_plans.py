@@ -524,3 +524,10 @@ def test_round5_scorers_have_no_window(spark, sf_dir, name):
     a rank window anywhere would be the 100x scale-killer shape."""
     plan = plan_of(spark, sf_dir, name)
     assert "Window" not in plan, (name, plan)
+
+
+def test_source_keywords_topk_is_group_limited(spark, sf_dir):
+    """Top-k distinctive terms per source must compile to a
+    WindowGroupLimit prune, never a full per-source sort."""
+    plan = plan_of(spark, sf_dir, "q_source_keywords")
+    assert "WindowGroupLimit" in plan, plan
