@@ -326,3 +326,48 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_corpus"),
         )
     )
+
+
+_SURVIVORS_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTERS_CTES},
+    ranked AS (
+      SELECT cc.cluster_id, d.doc_id,
+             row_number() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY length(d.text) DESC, d.doc_id
+             ) AS rn
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    )
+    SELECT d.doc_id, d.source, d.lang,
+           CAST(length(d.text) AS BIGINT) AS n_chars_kept,
+           md5(d.text) AS text_hash
+    FROM documents d
+    JOIN ranked r ON r.doc_id = d.doc_id AND r.rn = 1
+    """
+
+
+@query("q_dedup_survivors", oracle=_SURVIVORS_ORACLE)
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself — the terminal step of the dedup
+    ladder (candidates → clusters → keep-best → THIS): documents
+    semi-joined to the per-cluster keep list, one surviving row per
+    near-duplicate cluster. Emitted with an md5 of the text so the
+    oracle value-checks the exact surviving CONTENT without hauling
+    full text through the compare.
+
+    Scale: the keep list is cluster-bounded (≤ one row per cluster) —
+    broadcast-sized relative to the corpus at any dedup rate; the
+    semi-join is the only corpus-sized operation beyond the CC run
+    itself.
+    """
+    keep = q_dedup_keep_best(spark, sf_dir).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    d = table(spark, sf_dir, "documents")
+    return d.join(keep, "doc_id", "left_semi").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars_kept"),
+        F.md5("text").alias("text_hash"),
+    )
