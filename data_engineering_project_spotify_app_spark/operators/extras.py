@@ -1236,3 +1236,66 @@ def q_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("exact_join_size"))
     )
     return exact.crossJoin(F.broadcast(est))
+
+
+_STATS_COLS = (
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "l_quantity",
+    "l_extendedprice",
+)
+
+
+@query(
+    "q_table_stats",
+    oracle=f"""
+    {" UNION ALL ".join(
+        f'''SELECT '{c}' AS col,
+               count(*) AS n_rows,
+               count({c}) AS n_nonnull,
+               count(DISTINCT {c}) AS ndv,
+               round(min({c}), 2) AS min_val,
+               round(max({c}), 2) AS max_val,
+               round(avg({c}), 4) AS avg_val
+        FROM lineitem'''
+        for c in _STATS_COLS
+    )}
+    """,
+)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics — the cost-based-optimizer input
+    every engine maintains: per column, row/non-null counts, exact NDV,
+    min/max, mean. These are the numbers behind join reordering,
+    broadcast decisions, and range-partition sizing; Spark's own
+    `ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS` produces the
+    same shape into the catalog — this query materializes them as data
+    so pipelines can diff stats across snapshots (the schema-drift
+    check DQ suites build on).
+
+    ONE corpus pass: all five columns' aggregates run in a single
+    hash-aggregate stage over one scan (count_distinct per column makes
+    it a multi-distinct plan — Spark expands to `expand` + one
+    aggregation, still one scan); the UNION-ALL oracle re-reads per
+    column but computes identical values. At 100 TB swap exact NDV for
+    approx_count_distinct — here exactness keeps the hash check.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _STATS_COLS:
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("col"),
+                F.count("*").alias("n_rows"),
+                F.count(c).alias("n_nonnull"),
+                F.count_distinct(F.col(c)).alias("ndv"),
+                F.round(F.min(c).cast("double"), 2).alias("min_val"),
+                F.round(F.max(c).cast("double"), 2).alias("max_val"),
+                F.round(F.avg(c), 4).alias("avg_val"),
+            ).alias(c)
+        )
+    one = li.agg(*aggs)
+    stacked = one.select(
+        F.explode(F.array(*[F.col(c) for c in _STATS_COLS])).alias("s")
+    )
+    return stacked.select("s.*")

@@ -1847,3 +1847,91 @@ def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _KEYWORDS_TOPK)
         .select("source", "tok", "score", F.col("rn").cast("bigint").alias("rn"))
     )
+
+
+def _half_pred_sql(half_expr: str) -> str:
+    """DuckDB argmax-language CASE over a token-list expression."""
+    hits = {
+        lang: (
+            f"CAST(len(list_filter({half_expr}, x -> x IN "
+            f"({', '.join(repr(w) for w in words)}))) AS BIGINT)"
+        )
+        for lang, words in _LANGS.items()
+    }
+    return f"""CASE
+      WHEN {hits['en']} >= {hits['es']} AND {hits['en']} >= {hits['de']}
+           AND {hits['en']} >= {hits['fr']} THEN 'en'
+      WHEN {hits['es']} >= {hits['de']} AND {hits['es']} >= {hits['fr']}
+           THEN 'es'
+      WHEN {hits['de']} >= {hits['fr']} THEN 'de'
+      ELSE 'fr'
+    END"""
+
+
+@query(
+    "q_code_switch",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, {_TOK} AS t FROM documents
+    ),
+    halves AS (
+      SELECT doc_id,
+             t[1 : len(t) // 2] AS h1,
+             t[len(t) // 2 + 1 : len(t)] AS h2
+      FROM t0 WHERE len(t) >= 2
+    )
+    SELECT doc_id,
+           {_half_pred_sql('h1')} AS lang_head,
+           {_half_pred_sql('h2')} AS lang_tail,
+           {_half_pred_sql('h1')} <> {_half_pred_sql('h2')} AS mixed
+    FROM halves
+    """,
+)
+def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-language (code-switching) detection — the failure mode a
+    whole-document language ID (q_lang_id) hides: a doc whose head
+    votes one language and whose tail votes another is concatenated or
+    code-switched content, which poisons monolingual training slices.
+    Runs the SAME stopword-vote argmax on each half of the token array
+    and flags disagreement; the deterministic tie-break (en > es > de >
+    fr) matches q_lang_id exactly in both engines.
+
+    Single-token docs drop (no second half) — identically on both
+    sides. All array slicing and voting is one codegen projection: no
+    shuffle, no join, no window — a pure map at any scale. Production
+    refinement: vote per fixed-size window (chunk_documents) instead
+    of halves to localize the switch point; the halves form is the
+    cheap screen run on everything.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    n = F.size("t")
+    h1 = F.slice("t", 1, n / 2)
+    h2 = F.slice(
+        "t", (n / 2 + 1).cast("int"), (n - (n / 2)).cast("int")
+    )
+
+    def pred(half):
+        def hits(words):
+            return F.size(F.filter(half, lambda x: x.isin(*words))).cast(
+                "bigint"
+            )
+
+        en, es, de, fr = (hits(_LANGS[l]) for l in ("en", "es", "de", "fr"))
+        return (
+            F.when((en >= es) & (en >= de) & (en >= fr), "en")
+            .when((es >= de) & (es >= fr), "es")
+            .when(de >= fr, "de")
+            .otherwise("fr")
+        )
+
+    out = toks.select(
+        "doc_id",
+        pred(h1).alias("lang_head"),
+        pred(h2).alias("lang_tail"),
+    )
+    return out.select(
+        "*", (F.col("lang_head") != F.col("lang_tail")).alias("mixed")
+    )

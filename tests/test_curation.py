@@ -127,3 +127,30 @@ def test_dsir_ranks_target_like_docs_higher(spark, tmp_path):
     }
     assert set(res) == {1, 2}
     assert res[1]["avg_logratio"] > res[2]["avg_logratio"]
+
+
+def test_code_switch_flags_concatenated_languages(spark, tmp_path):
+    """A doc whose head is English stopwords and tail is Spanish must
+    flag mixed; monolingual docs must not."""
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    mixed = "the a of and the a " + "el la de y el la"
+    mono = "the a of and the a of and"
+    rows = [
+        (0, mixed, "en", "src0", len(mixed)),
+        (1, mono, "en", "src0", len(mono)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = str(tmp_path / "docs")
+    df.write.parquet(f"{out}/documents.parquet")
+    res = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_code_switch"](spark, out).collect()
+    }
+    assert res[0]["mixed"] and res[0]["lang_head"] == "en" \
+        and res[0]["lang_tail"] == "es"
+    assert not res[1]["mixed"]
