@@ -1057,3 +1057,127 @@ def q_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+# Prefix-filter join threshold as an exact fraction (3/5) so the prefix
+# length uses integer arithmetic — a float 0.6*n that wobbles below an
+# integer boundary would shorten the prefix and silently LOSE pairs.
+JP_T_NUM, JP_T_DEN = 3, 5
+
+
+@query(
+    "q_jaccard_prefix_join",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, {{bigrams}} AS bg FROM documents
+    ),
+    s AS (SELECT doc_id, unnest(bg) AS sh FROM t0 WHERE len(bg) > 0),
+    ca AS (SELECT doc_id, len(bg) AS n FROM t0 WHERE len(bg) > 0),
+    i AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(ni * 1.0 / (x.n + y.n - ni), 4) AS jaccard
+    FROM i
+    JOIN ca x ON x.doc_id = i.doc_a
+    JOIN ca y ON y.doc_id = i.doc_b
+    WHERE ni * {JP_T_DEN} >= (x.n + y.n - ni) * {JP_T_NUM}
+    """.replace("{bigrams}", BIGRAMS_SQL.format(tok=TOKENS_SQL.format(col="text"))),
+)
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (Bayardo et al.
+    "Scaling Up All Pairs Similarity Search" / PPJoin) — the optimized
+    exact algorithm next to the approximate LSH rungs: two bigram sets
+    with Jaccard ≥ 0.6 MUST share a shingle among each one's p =
+    n − ⌈t·n⌉ + 1 globally-RAREST shingles (if the intersection avoided
+    A's prefix it would fit inside A's ⌈t·n⌉−1 most-common tail —
+    smaller than t·n ≤ |A∩B|). So candidates form only in rare-shingle
+    buckets — the frequent shingles that make the naive shingle
+    self-join explode never generate a pair.
+
+    All threshold math is INTEGER (t = 3/5): the prefix length uses
+    ⌈3n/5⌉ = (3n+4) div 5 and the final filter cross-multiplies — no
+    float boundary can shorten a prefix or flip the ≥ t comparison,
+    and the brute-force oracle (every shared-shingle pair, exact
+    Jaccard) proves the pruning loses nothing.
+
+    Scale: the global rarity ranking is the two-phase range-partition
+    rank (rankutil — the shingle vocabulary is corpus-scale, never a
+    single-partition window); candidate buckets key on the rank of a
+    rare shingle (bounded small by rarity); the verify step intersects
+    the two rank arrays only for surviving candidates.
+    """
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        two_phase_global_rank,
+    )
+
+    docs = table_parallel(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    sets = toks.select(
+        "doc_id", word_bigrams(F.col("tok")).alias("bg")
+    ).filter(F.size("bg") > 0)
+    sh = sets.select("doc_id", F.explode("bg").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = two_phase_global_rank(
+        dfreq, [F.col("df").asc(), F.col("sh").asc()], 32
+    ).select("sh", F.col("rn").cast("bigint").alias("srank"))
+    # per-doc sorted rank array (rarest first) + integer prefix length
+    per_doc = (
+        sh.join(ranked, "sh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("srank")).alias("ranks"))
+        .withColumn("n", F.size("ranks"))
+        .withColumn(
+            "p",
+            F.col("n")
+            - F.floor((JP_T_NUM * F.col("n") + (JP_T_DEN - 1)) / JP_T_DEN)
+            + 1,
+        )
+    )
+    pref = per_doc.select(
+        "doc_id",
+        "ranks",
+        "n",
+        F.explode(F.slice("ranks", 1, F.col("p").cast("int"))).alias(
+            "srank"
+        ),
+    )
+    cand = (
+        pref.groupBy("srank")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "ranks", "n"))
+            ).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.a.*", F.col("pr.b.doc_id").alias("doc_b"),
+                F.col("pr.b.ranks").alias("ranks_b"),
+                F.col("pr.b.n").alias("n_b"))
+        .withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("ranks", "ranks_a")
+        .withColumnRenamed("n", "n_a")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ni = F.size(F.array_intersect("ranks_a", "ranks_b"))
+    union = F.col("n_a") + F.col("n_b") - ni
+    return (
+        cand.withColumn("ni", ni)
+        .filter(F.col("ni") * JP_T_DEN >= union * JP_T_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("ni") / (F.col("n_a") + F.col("n_b") - F.col("ni")), 4)
+            .alias("jaccard"),
+        )
+    )

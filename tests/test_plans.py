@@ -531,3 +531,17 @@ def test_source_keywords_topk_is_group_limited(spark, sf_dir):
     WindowGroupLimit prune, never a full per-source sort."""
     plan = plan_of(spark, sf_dir, "q_source_keywords")
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_jaccard_prefix_join_rank_is_two_phase(spark, sf_dir):
+    """The global shingle-rarity ranking must be the two-phase range
+    rank: every windowspec is either pid-partitioned (local row_number)
+    or over the per-range count frame — no single-partition window over
+    the shingle vocabulary."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_jaccard_prefix_join")
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert wins, plan
+    for w in wins:
+        assert "pid" in w or "cnt" in w, (w, plan)
