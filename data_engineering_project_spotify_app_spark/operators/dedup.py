@@ -1181,3 +1181,95 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard"),
         )
     )
+
+
+# Containment threshold as an exact fraction (4/5) — same integer
+# discipline as the prefix join.
+CONT_T_NUM, CONT_T_DEN = 4, 5
+
+
+@query(
+    "q_containment_join",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, source, {_BIGRAMS} AS bg FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, source, unnest(bg) AS shingle FROM grams
+    ),
+    cnt AS (
+      SELECT doc_id, CAST(len(bg) AS BIGINT) AS n FROM grams
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM sh a
+      JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.ni * 1.0 / least(ca.n, cb.n), 4) AS containment,
+           round(i.ni * 1.0 / (ca.n + cb.n - i.ni), 4) AS jaccard
+    FROM inter i
+    JOIN cnt ca ON ca.doc_id = i.doc_a
+    JOIN cnt cb ON cb.doc_id = i.doc_b
+    WHERE i.ni * {CONT_T_DEN} >= least(ca.n, cb.n) * {CONT_T_NUM}
+    """,
+)
+def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment (overlap-coefficient) join: pairs where the SMALLER
+    bigram set is ≥ 80% inside the larger — the excerpt/quote detector
+    Jaccard structurally misses: a paragraph fully copied into a
+    10×-longer document has containment 1.0 but Jaccard ≈ 0.1, under
+    every symmetric threshold. Emitted with the Jaccard alongside so
+    downstream policy can separate true near-dups (both high) from
+    asymmetric inclusions (containment high, Jaccard low).
+
+    Same shard-keyed bucket-collect candidate generation as
+    q_dedup_ngram_jaccard (pairs only form inside (lang, source) — at
+    scale the shard/domain key), integer cross-multiplied threshold.
+    """
+    docs = table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
+    )
+    grams = toks.select(
+        "doc_id", "lang", "source", word_bigrams(F.col("tok")).alias("bg")
+    )
+    sh = grams.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size("bg").cast("bigint").alias("n"),
+        F.explode("bg").alias("shingle"),
+    )
+    buckets = (
+        sh.groupBy("lang", "source", "shingle")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
+        )
+        .filter(F.size("ds") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (x, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "y -> struct(x.doc_id AS doc_a, x.n AS n_a, "
+                "y.doc_id AS doc_b, y.n AS n_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.*")
+    agg = pairs.groupBy("doc_a", "doc_b", "n_a", "n_b").agg(
+        F.count("*").alias("ni")
+    )
+    m = F.least("n_a", "n_b")
+    return agg.filter(F.col("ni") * CONT_T_DEN >= m * CONT_T_NUM).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("ni") / m, 4).alias("containment"),
+        F.round(
+            F.col("ni") / (F.col("n_a") + F.col("n_b") - F.col("ni")), 4
+        ).alias("jaccard"),
+    )

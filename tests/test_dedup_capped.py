@@ -163,3 +163,32 @@ def test_incremental_dedup_equals_filtered_full_pairs(spark, sf_dir):
     }
     assert incr == full
     assert all(a % 10 < 2 or b % 10 < 2 for a, b, _ in incr)
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
+    """A paragraph fully embedded in a 10x-longer doc must pass the
+    containment join with low Jaccard — the asymmetric-inclusion case
+    a symmetric Jaccard threshold structurally misses."""
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    excerpt = " ".join(f"e{i}" for i in range(20))
+    host = excerpt + " " + " ".join(f"h{i}" for i in range(200))
+    rows = [
+        (0, excerpt, "en", "src0", len(excerpt)),
+        (1, host, "en", "src0", len(host)),
+        (2, " ".join(f"z{i}" for i in range(30)), "en", "src0", 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = str(tmp_path / "docs")
+    df.write.parquet(f"{out}/documents.parquet")
+    res = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in registry.QUERIES["q_containment_join"](spark, out).collect()
+    }
+    assert set(res) == {(0, 1)}
+    assert res[(0, 1)]["containment"] == 1.0
+    assert res[(0, 1)]["jaccard"] < 0.15
