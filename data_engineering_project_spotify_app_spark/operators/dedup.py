@@ -1200,10 +1200,20 @@ CONT_T_NUM, CONT_T_DEN = 4, 5
     cnt AS (
       SELECT doc_id, CAST(len(bg) AS BIGINT) AS n FROM grams
     ),
+    kept AS (
+      SELECT lang, source, shingle FROM sh
+      GROUP BY 1, 2, 3
+      HAVING count(*) <= greatest({CAP_FLOOR},
+                                  (SELECT count(*) FROM documents)
+                                    // {CAP_DIVISOR})
+    ),
+    shf AS (
+      SELECT sh.* FROM sh JOIN kept USING (lang, source, shingle)
+    ),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
-      FROM sh a
-      JOIN sh b
+      FROM shf a
+      JOIN shf b
         ON a.lang = b.lang AND a.source = b.source
        AND a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2
@@ -1226,9 +1236,12 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream policy can separate true near-dups (both high) from
     asymmetric inclusions (containment high, Jaccard low).
 
-    Same shard-keyed bucket-collect candidate generation as
-    q_dedup_ngram_jaccard (pairs only form inside (lang, source) — at
-    scale the shard/domain key), integer cross-multiplied threshold.
+    Same shard-keyed bucket-collect candidate generation as the ngram
+    family (pairs only form inside (lang, source) — at scale the
+    shard/domain key), with the max(16, n_docs/200) stop-shingle cap
+    applied in-plan on BOTH engines (the production skew guard — an
+    ultra-common shingle's C(df, 2) explosion is the one serialized
+    task at 100 TB); integer cross-multiplied threshold.
     """
     docs = table_parallel(spark, sf_dir, "documents")
     toks = docs.select(
@@ -1244,12 +1257,15 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bg").cast("bigint").alias("n"),
         F.explode("bg").alias("shingle"),
     )
+    cap = docs.agg(_auto_cap(F.count("*")).alias("df_cap"))
     buckets = (
         sh.groupBy("lang", "source", "shingle")
         .agg(
             F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias("ds")
         )
         .filter(F.size("ds") > 1)
+        .crossJoin(F.broadcast(cap))
+        .filter(F.size("ds") <= F.col("df_cap"))
     )
     pairs = buckets.select(
         F.explode(
