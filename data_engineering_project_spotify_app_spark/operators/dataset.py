@@ -298,3 +298,63 @@ def q_weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     return weighted_sample_per_source(d, WSAMPLE_PER_SOURCE_K)
+
+
+TOKEN_BUDGET = 600  # per-source token quota (sf0.01 sources hold ~1.3k)
+
+
+@query(
+    "q_token_budget_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(len({_TOK}) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS pri
+      FROM documents
+    ),
+    c AS (
+      SELECT source, doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY pri, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT source, doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET}
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source TOKEN-budget sampling — the quota the mixture sheet
+    actually specifies ("300B tokens of web, 30B of code"), as opposed
+    to the per-source DOC quota of q_weighted_sample_per_source: walk
+    each source in a deterministic md5-shuffled order and keep the
+    maximal prefix whose running token total stays within the budget.
+    Hash-ordering (not length- or quality-ordering) keeps the kept set
+    an unbiased sample of the source; swapping the priority column for
+    a model score turns the same plan into quality-ranked selection.
+
+    Scale: one shuffle on ``source`` + a PARTITIONED running-sum window
+    (each source sorts only its own rows — no global single-partition
+    WindowExec, the q_ntile lesson). The priority is a pure function of
+    the key: stable across runs, retries, and engines, and the budget
+    cut composes with dedup/decontamination upstream because membership
+    never depends on partitioning.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("pri"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("pri").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+    )

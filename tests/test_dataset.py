@@ -144,3 +144,49 @@ def test_weighted_sample_plan_is_topk(spark):
     registry.load_all_modules()
     plan = plan_of(spark, "/root/testdata/sf0.001", "q_weighted_sample")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_token_budget_sample_is_maximal_prefix(spark):
+    """Kept docs are the maximal md5-ordered prefix per source: every
+    kept cum ≤ budget, and the FIRST excluded doc of each non-exhausted
+    source would have pushed the running total past the budget."""
+    import hashlib
+
+    from data_engineering_project_spotify_app_spark.operators import (
+        dataset as ds,
+        registry,
+    )
+
+    registry.load_all_modules()
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").collect()
+    by_src: dict[str, list] = {}
+    for r in docs:
+        n_tok = len(r["text"].lower().split())
+        pri = hashlib.md5(str(r["doc_id"]).encode()).hexdigest()
+        by_src.setdefault(r["source"], []).append((pri, r["doc_id"], n_tok))
+    got = {
+        (r["source"], r["doc_id"]): r["cum_tokens"]
+        for r in registry.QUERIES["q_token_budget_sample"](spark, sf).collect()
+    }
+    for src, lst in by_src.items():
+        lst.sort()
+        cum = 0
+        for pri, doc_id, n_tok in lst:
+            cum += n_tok
+            if cum <= ds.TOKEN_BUDGET:
+                assert got.pop((src, doc_id)) == cum
+            else:
+                assert (src, doc_id) not in got
+    assert not got  # nothing kept outside the prefix
+
+
+def test_token_budget_sample_no_global_window(spark):
+    from data_engineering_project_spotify_app_spark.operators import registry
+    from tests.test_plans import plan_of
+
+    registry.load_all_modules()
+    plan = plan_of(spark, "/root/testdata/sf0.001", "q_token_budget_sample")
+    # window must be partitioned by source, never a global sort
+    assert "hashpartitioning(source" in plan, plan
+    assert "SinglePartition" not in plan, plan
