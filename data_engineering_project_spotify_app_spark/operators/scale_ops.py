@@ -566,3 +566,64 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+SKEW_TOPK = 10  # heaviest join keys reported
+SKEW_SHARE_PCT = 40  # flag keys owning > 40% of the self-join output
+
+
+@query(
+    "q_selfjoin_skew",
+    oracle=f"""
+    WITH k AS (
+      SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n * n) AS BIGINT) AS est_rows FROM k)
+    SELECT k.key, CAST(k.n AS BIGINT) AS n,
+           CAST(k.n * k.n AS BIGINT) AS contrib,
+           round(k.n * k.n * 100.0 / tot.est_rows, 4) AS share_pct,
+           k.n * k.n * 100 > {SKEW_SHARE_PCT} * tot.est_rows AS skewed
+    FROM k CROSS JOIN tot
+    ORDER BY contrib DESC, k.key ASC
+    LIMIT {SKEW_TOPK}
+    """,
+)
+def q_selfjoin_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew pre-detection: before running a key-equi self-join
+    (sessionization, co-visitation, pair mining), audit the key
+    histogram — the join emits Σ c(k)² rows, so ONE hot key can own the
+    whole output and serialize the stage that processes it. Reports the
+    top keys by output contribution with their share, flagging any key
+    past the salt-or-drop threshold; the flagged set is exactly the
+    per-key salting list q_salted_join consumes.
+
+    Scale: a groupBy on the join key (partial-agg map-side), a 1-row
+    broadcast total, and a TakeOrderedAndProject top-k — the audit costs
+    one cheap pass over the fact table vs. the blown-up join it
+    prevents. The skew test cross-multiplies integers (n²·100 vs
+    pct·Σn²) so the flag is exact in both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    return selfjoin_skew(e, "user_id", SKEW_TOPK, SKEW_SHARE_PCT)
+
+
+def selfjoin_skew(
+    df: DataFrame, key_col: str, topk: int, share_pct: int
+) -> DataFrame:
+    """Key-histogram audit behind q_selfjoin_skew (reusable on any
+    frame/key so tests can pin flagging on a synthetic hot key)."""
+    k = df.groupBy(F.col(key_col).alias("key")).agg(F.count("*").alias("n"))
+    tot = k.agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("est_rows"))
+    contrib = F.col("n") * F.col("n")
+    return (
+        k.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            F.col("n").cast("bigint").alias("n"),
+            contrib.cast("bigint").alias("contrib"),
+            F.round(contrib * 100.0 / F.col("est_rows"), 4).alias("share_pct"),
+            (contrib * 100 > share_pct * F.col("est_rows")).alias("skewed"),
+        )
+        .orderBy(F.col("contrib").desc(), F.col("key").asc())
+        .limit(topk)
+    )

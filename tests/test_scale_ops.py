@@ -249,3 +249,28 @@ def test_bloom_build_side_broadcasts(spark):
     registry.load_all_modules()
     plan = plan_of(spark, "/root/testdata/sf0.001", "q_bloom_prune")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_selfjoin_skew_flags_hot_key_and_sums_to_join_size(spark):
+    """Σ contrib over ALL keys == exact self-join row count, and a key
+    owning > the share threshold is flagged while the tail is not."""
+    from data_engineering_project_spotify_app_spark.operators.scale_ops import (
+        selfjoin_skew,
+    )
+
+    rows = [("hot",)] * 80 + [(f"k{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, ["key_col"])
+    out = {r["key"]: r for r in selfjoin_skew(df, "key_col", 30, 40).collect()}
+    exact = df.alias("a").join(df.alias("b"), "key_col").count()
+    assert sum(r["contrib"] for r in out.values()) == exact
+    assert out["hot"]["skewed"] is True  # 6400/6420 ≈ 99.7% > 40%
+    assert all(not r["skewed"] for k, r in out.items() if k != "hot")
+
+
+def test_selfjoin_skew_plan_is_topk(spark):
+    from data_engineering_project_spotify_app_spark.operators import registry
+    from tests.test_plans import plan_of
+
+    registry.load_all_modules()
+    plan = plan_of(spark, "/root/testdata/sf0.001", "q_selfjoin_skew")
+    assert "TakeOrderedAndProject" in plan, plan
