@@ -1935,3 +1935,68 @@ def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "*", (F.col("lang_head") != F.col("lang_tail")).alias("mixed")
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    tg AS (
+      SELECT DISTINCT doc_id,
+             unnest(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in generate_series(1, len(t) - 2)]
+             ELSE [] END) AS g
+      FROM t0
+    ),
+    dfq AS (SELECT g, count(*) AS df FROM tg GROUP BY 1)
+    SELECT tg.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_trigrams,
+           round(avg(CASE WHEN dfq.df = 1 THEN 1.0 ELSE 0.0 END), 4)
+             AS novel_share
+    FROM tg JOIN dfq USING (g)
+    GROUP BY tg.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the share of a doc's DISTINCT
+    trigrams that appear in no other document. The memorization-risk /
+    boilerplate dial the dedup rungs don't give directly: novelty ≈ 0
+    marks template text whose every phrase recurs elsewhere (kept by
+    Jaccard thresholds because no single pair is similar enough), while
+    novelty ≈ 1 marks genuinely fresh prose worth its gradient steps.
+    Document frequency — not raw count — so a doc that repeats its own
+    phrase isn't penalized, only corpus-wide recurrence.
+
+    Scale: distinct (doc, trigram) pairs then a trigram-keyed hash
+    aggregation for df; the score join is trigram-partitioned and
+    co-located with it; per-doc re-agg is the third hash shuffle. No
+    windows, no broadcast of anything sized with the corpus.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    m3 = F.greatest(n - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice("t", 1, m3),
+            F.slice("t", 2, m3),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+        F.slice("t", 3, m3),
+        lambda xy, z: F.concat_ws(" ", xy, z),
+    )
+    tg = (
+        toks.select("doc_id", F.explode(tri).alias("g")).distinct()
+    )
+    dfq = tg.groupBy("g").agg(F.count("*").alias("df"))
+    return (
+        tg.join(dfq, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_distinct_trigrams"),
+            F.round(
+                F.avg(F.when(F.col("df") == 1, 1.0).otherwise(0.0)), 4
+            ).alias("novel_share"),
+        )
+    )

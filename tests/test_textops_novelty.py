@@ -1,0 +1,39 @@
+"""Brute-force reference checks for the novelty / entropy text metrics."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from data_engineering_project_spotify_app_spark.operators import registry
+
+registry.load_all_modules()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _trigrams(text: str) -> set[str]:
+    t = text.lower().split()
+    return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+
+def test_ngram_novelty_matches_bruteforce(spark):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    df = Counter()
+    per_doc = {d: _trigrams(t) for d, t in docs.items()}
+    for grams in per_doc.values():
+        df.update(grams)
+    got = {
+        r["doc_id"]: (r["n_distinct_trigrams"], r["novel_share"])
+        for r in registry.QUERIES["q_ngram_novelty"](spark, SF).collect()
+    }
+    for d, grams in per_doc.items():
+        if not grams:
+            assert d not in got
+            continue
+        novel = sum(1 for g in grams if df[g] == 1)
+        assert got[d][0] == len(grams)
+        # Spark rounds HALF_UP, Python banker's — compare pre-round.
+        assert abs(got[d][1] - novel / len(grams)) < 5e-5
