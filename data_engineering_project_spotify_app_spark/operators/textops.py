@@ -2000,3 +2000,53 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novel_share"),
         )
     )
+
+
+@query(
+    "q_token_entropy",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_TOK}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+    a AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             sum(c * log2(c)) AS s
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_types,
+           round(log2(n_tokens) - s / n_tokens, 4) AS token_entropy,
+           round(n_types * 1.0 / n_tokens, 4) AS ttr
+    FROM a
+    """,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution (bits) +
+    type-token ratio — the information-density rung of the quality
+    ladder: keyword-stuffed spam and looped boilerplate sit far below
+    prose of the same length, catching low-diversity text that passes
+    the length/punctuation battery (q_quality_score) and even the
+    self-repetition ratio when the repeated unit is long. Computed as
+    log2(n) − Σc·log2(c)/n so the shuffle carries two partial sums per
+    doc, never the type histogram.
+
+    Scale: one (doc, token) hash aggregation then a per-doc re-agg —
+    both map-side combined; no windows, no joins, nothing broadcast.
+    Zero-token docs drop out in both engines (no rows after explode).
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    c = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    a = c.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    )
+    return a.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(F.log2("n_tokens") - F.col("s") / F.col("n_tokens"), 4).alias(
+            "token_entropy"
+        ),
+        F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
+    )

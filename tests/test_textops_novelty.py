@@ -37,3 +37,29 @@ def test_ngram_novelty_matches_bruteforce(spark):
         assert got[d][0] == len(grams)
         # Spark rounds HALF_UP, Python banker's — compare pre-round.
         assert abs(got[d][1] - novel / len(grams)) < 5e-5
+
+
+def test_token_entropy_matches_bruteforce(spark):
+    import math
+
+    docs = {
+        r["doc_id"]: r["text"].lower().split()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    got = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_token_entropy"](spark, SF).collect()
+    }
+    for d, toks in docs.items():
+        if not toks:
+            assert d not in got
+            continue
+        n = len(toks)
+        cnt = Counter(toks)
+        h = -sum(c / n * math.log2(c / n) for c in cnt.values())
+        assert got[d]["n_tokens"] == n
+        assert got[d]["n_types"] == len(cnt)
+        assert abs(got[d]["token_entropy"] - h) < 5e-4
+        assert abs(got[d]["ttr"] - len(cnt) / n) < 5e-5
+        # uniform-repeat floor / distinct-ceiling sanity
+        assert -1e-9 <= got[d]["token_entropy"] <= math.log2(n) + 1e-9
