@@ -2050,3 +2050,128 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("n_types") / F.col("n_tokens"), 4).alias("ttr"),
     )
+
+
+@query(
+    "q_lm_kneser_ney_3",
+    oracle=f"""
+    WITH t0 AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    raw AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) >= 3 THEN
+               [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                for i in generate_series(1, len(t) - 2)]
+             ELSE [] END) AS g
+      FROM t0
+    ),
+    tg AS MATERIALIZED (
+      SELECT doc_id,
+             string_split(g, ' ')[1] AS w1,
+             string_split(g, ' ')[2] AS w2,
+             string_split(g, ' ')[3] AS w3
+      FROM raw
+    ),
+    tc AS MATERIALIZED (
+      SELECT w1, w2, w3, count(*) AS ct FROM tg GROUP BY 1, 2, 3
+    ),
+    ctx2 AS (
+      SELECT w1, w2, CAST(sum(ct) AS BIGINT) AS ctot, count(*) AS n1mid
+      FROM tc GROUP BY 1, 2
+    ),
+    mid AS MATERIALIZED (
+      SELECT w2, w3, count(*) AS n23 FROM tc GROUP BY 1, 2
+    ),
+    wmid AS (SELECT w2, count(*) AS ntypes_mid FROM tc GROUP BY 1),
+    fol AS (SELECT w2, count(*) AS n1f FROM mid GROUP BY 1),
+    cont AS (SELECT w3, count(*) AS n1r FROM mid GROUP BY 1),
+    tot AS (SELECT count(*) AS npairs FROM mid)
+    SELECT tg.doc_id,
+           count(*) AS n_trigrams,
+           round(avg(ln(
+             (tc.ct - {_KN_D}) / ctx2.ctot
+             + {_KN_D} * ctx2.n1mid / ctx2.ctot * (
+               (mid.n23 - {_KN_D}) / wmid.ntypes_mid
+               + {_KN_D} * fol.n1f / wmid.ntypes_mid
+                 * cont.n1r / tot.npairs
+             )
+           )), 4) AS avg_logprob
+    FROM tg
+    JOIN tc USING (w1, w2, w3)
+    JOIN ctx2 USING (w1, w2)
+    JOIN mid USING (w2, w3)
+    JOIN wmid USING (w2)
+    JOIN fol USING (w2)
+    JOIN cont USING (w3)
+    CROSS JOIN tot
+    GROUP BY tg.doc_id
+    """,
+)
+def q_lm_kneser_ney_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram interpolated Kneser-Ney — the full recursion of Chen &
+    Goodman (1999) one order above q_lm_kneser_ney:
+
+      P(w3|w1w2) = (c(w1w2w3)−d)/c(w1w2·) + d·N1+(w1w2·)/c(w1w2·)·P(w3|w2)
+      P(w3|w2)   = (N1+(·w2w3)−d)/N1+(·w2·) + d·N1+(w2·)/N1+(·w2·)·Pcont(w3)
+      Pcont(w3)  = N1+(·w3) / N1+(··)
+
+    with the lower order built from CONTINUATION (type) counts, not raw
+    counts — the defining KN move, applied recursively. d = 0.75 at
+    both levels. Scored trigrams are corpus-own, so c ≥ 1 > d and
+    N1+(·w2w3) ≥ 1 > d: every term is positive, the log finite in both
+    engines with no clamping.
+
+    Scale: every statistic is a re-aggregation of the ONE trigram-count
+    frame tc (ctx2, mid, wmid, fol, cont, tot — no corpus rescans); the
+    score joins are token-key-partitioned and co-located; only the
+    1-row type-pair total broadcasts. Same no-window posture as the LM
+    family.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens(F.col("text")).alias("t"))
+    n = F.size("t")
+    m3 = F.greatest(n - 2, F.lit(0))
+    tri = F.zip_with(
+        F.zip_with(
+            F.slice("t", 1, m3),
+            F.slice("t", 2, m3),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+        F.slice("t", 3, m3),
+        lambda xy, z: F.struct(
+            xy["w1"].alias("w1"), xy["w2"].alias("w2"), z.alias("w3")
+        ),
+    )
+    tg = toks.select("doc_id", F.explode(tri).alias("p")).select(
+        "doc_id", "p.w1", "p.w2", "p.w3"
+    )
+    tc = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("ct"))
+    ctx2 = tc.groupBy("w1", "w2").agg(
+        F.sum("ct").cast("bigint").alias("ctot"),
+        F.count("*").alias("n1mid"),
+    )
+    mid = tc.groupBy("w2", "w3").agg(F.count("*").alias("n23"))
+    wmid = tc.groupBy("w2").agg(F.count("*").alias("ntypes_mid"))
+    fol = mid.groupBy("w2").agg(F.count("*").alias("n1f"))
+    cont = mid.groupBy("w3").agg(F.count("*").alias("n1r"))
+    tot = mid.agg(F.count("*").alias("npairs"))
+    kd = F.lit(_KN_D)
+    plow = (F.col("n23") - kd) / F.col("ntypes_mid") + kd * F.col(
+        "n1f"
+    ) / F.col("ntypes_mid") * F.col("n1r") / F.col("npairs")
+    p = (F.col("ct") - kd) / F.col("ctot") + kd * F.col("n1mid") / F.col(
+        "ctot"
+    ) * plow
+    return (
+        tg.join(tc, ["w1", "w2", "w3"])
+        .join(ctx2, ["w1", "w2"])
+        .join(mid, ["w2", "w3"])
+        .join(wmid, "w2")
+        .join(fol, "w2")
+        .join(cont, "w3")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
+        )
+    )

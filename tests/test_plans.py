@@ -511,6 +511,9 @@ def test_vocab_coverage_topv_and_broadcast(spark, sf_dir):
     [
         "q_lm_backoff_score",
         "q_lm_kneser_ney",
+        "q_lm_kneser_ney_3",
+        "q_ngram_novelty",
+        "q_token_entropy",
         "q_phrase_search",
         "q_phrase_search_3",
         "q_cms_join_size",
