@@ -165,3 +165,96 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table_parallel(spark, sf_dir, "documents")
     merges = bpe_train(word_counts(d), N_MERGES)
     return bpe_encode(d, merges)
+
+
+def bpe_encode_arrow(
+    docs: DataFrame, merges: list[tuple[str, str, int]]
+) -> DataFrame:
+    """The 50k-merge scale path of :func:`bpe_encode`: an Arrow-batched
+    ``mapInPandas`` encoder over a BROADCAST merge-rank dict, instead of
+    unrolling every merge into the projection. The plan-constant fold
+    costs O(n_merges · word_len) per word — unbeatable at 6 merges,
+    unusable at 50k (the codegen'd plan itself becomes megabytes); this
+    path does the tokenizer-standard repeated-min-rank merge, O(len²)
+    worst case per word but INDEPENDENT of merge-table size, with a
+    per-batch word memo (Zipf makes the memo hit rate ~the corpus
+    type/token ratio).
+
+    One-pass-per-merge-in-rank-order (the fold) and repeated-min-rank
+    (this path) agree on every TRAINED merge table: a merge's operands
+    can only be created by strictly lower-rank merges, so by the time a
+    rank is considered its inputs are final — exact equivalence is
+    pinned against bpe_encode in tests/test_bpe.py.
+
+    Scale: pure map (zero shuffle before the per-doc count agg); the
+    rank dict ships once per executor via the closure (broadcast-sized:
+    50k pairs ≈ 2 MB), batches stream through Arrow.
+    """
+    import pandas as pd
+
+    rank = {(left, right): i for i, (left, right, _) in enumerate(merges)}
+
+    def encode_word(word: str, memo: dict) -> int:
+        hit = memo.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + [EOW]
+        while len(syms) > 1:
+            best = None
+            for i in range(len(syms) - 1):
+                r = rank.get((syms[i], syms[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            left, right = merges[best][0], merges[best][1]
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[word] = len(syms)
+        return len(syms)
+
+    def encode_batches(batches):
+        memo: dict = {}
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                words = [w for w in (text or "").split() if w]
+                if not words:
+                    continue  # bpe_encode drops zero-word docs too
+                rows.append(
+                    (
+                        doc_id,
+                        len(words),
+                        sum(encode_word(w, memo) for w in words),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_words", "n_bpe_tokens"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        encode_batches, "doc_id bigint, n_words bigint, n_bpe_tokens bigint"
+    )
+
+
+@query("q_bpe_encode_arrow")  # rows-only: consumes iterative training output
+def q_bpe_encode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_bpe_encode through the Arrow scale path — same train step, the
+    mapInPandas broadcast-rank encoder instead of the unrolled fold.
+    Exact equivalence with the fold encoder is pinned in
+    tests/test_bpe.py; registered so the driver exercises the Python
+    batch path end-to-end."""
+    d = table_parallel(spark, sf_dir, "documents")
+    merges = bpe_train(word_counts(d), N_MERGES)
+    return bpe_encode_arrow(d, merges)

@@ -125,3 +125,20 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
         n_words = len(row["text"].split())
         want = _ref_encode(row["text"], merges)
         assert got[row["doc_id"]] == (n_words, want), row["doc_id"]
+
+
+def test_arrow_encode_equals_fold_encode(spark):
+    """The mapInPandas repeated-min-rank encoder and the JVM one-pass-
+    per-merge fold must agree exactly on a trained merge table."""
+    from data_engineering_project_spotify_app_spark.operators.bpe import (
+        bpe_encode,
+        bpe_encode_arrow,
+        bpe_train,
+        word_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    merges = bpe_train(word_counts(docs), 6)
+    a = sorted(map(tuple, bpe_encode(docs, merges).collect()))
+    b = sorted(map(tuple, bpe_encode_arrow(docs, merges).collect()))
+    assert a == b
