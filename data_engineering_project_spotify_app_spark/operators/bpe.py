@@ -25,6 +25,8 @@ tests/test_bpe.py instead.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -33,6 +35,10 @@ from data_engineering_project_spotify_app_spark.operators.registry import query
 from data_engineering_project_spotify_app_spark.tables import table_parallel
 
 EOW = "</w>"
+
+# Java regex \s — ASCII whitespace only, matching the JVM-side tokens()
+# helper. (Python's str.split() would also split on Unicode whitespace.)
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
 N_MERGES = 6
 
 
@@ -229,7 +235,11 @@ def bpe_encode_arrow(
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                words = [w for w in (text or "").split() if w]
+                # Java-regex \s class ([ \t\n\x0b\f\r]), NOT str.split():
+                # Python's split treats all Unicode whitespace (NBSP,
+                # U+2028, \x85...) as separators, which would diverge
+                # from the shared tokens() helper the fold encoder uses.
+                words = [w for w in _JAVA_WS.split(text or "") if w]
                 if not words:
                     continue  # bpe_encode drops zero-word docs too
                 rows.append(

@@ -1908,10 +1908,14 @@ def q_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("t") >= 2
     )
     n = F.size("t")
-    h1 = F.slice("t", 1, n / 2)
-    h2 = F.slice(
-        "t", (n / 2 + 1).cast("int"), (n - (n / 2)).cast("int")
-    )
+    # Integer-cast the midpoint FIRST, then derive the tail length from
+    # it: (n - n/2).cast('int') truncates the double for odd n (5 - 2.5
+    # -> 2), silently dropping the last token from both halves while the
+    # oracle's t[len//2+1 : len] keeps it. mid = floor(n/2); tail =
+    # n - mid = ceil(n/2) tokens, matching DuckDB exactly.
+    mid = (n / 2).cast("int")
+    h1 = F.slice("t", 1, mid)
+    h2 = F.slice("t", mid + 1, n - mid)
 
     def pred(half):
         def hits(words):

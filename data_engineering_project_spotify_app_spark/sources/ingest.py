@@ -22,6 +22,8 @@ Spark mapping:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -240,9 +242,29 @@ def compact_entity(
     tmp = f"{staging_dir}/{entity}__compacting"
     old = f"{staging_dir}/{entity}__old"
     df = spark.read.json(src)
+    n_in = df.count()
     df.repartition(target_files).write.mode("overwrite").json(tmp)
+    # Verify the compacted output BEFORE touching src: a bad write must
+    # never cost the original data.
+    n_out = spark.read.json(tmp).count()
+    if n_out != n_in:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact_entity({entity}): compacted row count {n_out} != "
+            f"input {n_in}; src left untouched"
+        )
     shutil.rmtree(old, ignore_errors=True)
     shutil.move(src, old)
-    shutil.move(tmp, src)
+    try:
+        shutil.move(tmp, src)
+    except BaseException:
+        # Crash window between the two renames: restore src from the
+        # backup so readers never see a missing entity directory.
+        shutil.move(old, src)
+        raise
+    # Only after the swap is verified on disk do we drop the backup.
+    if not os.path.isdir(src):  # pragma: no cover - belt and braces
+        shutil.move(old, src)
+        raise RuntimeError(f"compact_entity({entity}): swap failed")
     shutil.rmtree(old)
     return src

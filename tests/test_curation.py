@@ -154,3 +154,28 @@ def test_code_switch_flags_concatenated_languages(spark, tmp_path):
     assert res[0]["mixed"] and res[0]["lang_head"] == "en" \
         and res[0]["lang_tail"] == "es"
     assert not res[1]["mixed"]
+
+
+def test_code_switch_odd_token_tail_keeps_last_token(spark, tmp_path):
+    """Regression: with an ODD token count the tail half must hold
+    ceil(n/2) tokens including the LAST one (t[n//2+1 : n] in the
+    oracle). The old (n - n/2).cast('int') truncated 5-2.5 to 2 and
+    dropped the final token from both halves — here the dropped token
+    is the only Spanish vote, so the bug would report tail='en' and
+    mixed=False."""
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    # 5 tokens, mid=2: head=[the,a] -> en. tail=[the,el,la] -> es 2 vs
+    # en 1. The buggy 2-token tail [the,el] ties 1-1 and the en-first
+    # tie-break reports 'en', mixed=False.
+    rows = [(0, "the a the el la", "en", "src0", 15)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    out = str(tmp_path / "docs")
+    df.write.parquet(f"{out}/documents.parquet")
+    r = registry.QUERIES["q_code_switch"](spark, out).collect()[0]
+    assert r["lang_head"] == "en"
+    assert r["lang_tail"] == "es" and r["mixed"]
