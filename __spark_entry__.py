@@ -86,14 +86,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across the full registry; within each group, registration order.
     """
     seen = _checked_in_prior_rounds()
-    # round-5 refresh: every registered name has a green driver row
-    # (r01–r04 = 147/147 checked), so the sample window is all slack.
-    # Front-load queries whose IMPLEMENTATION changed this round (the
-    # two-phase global-rank rewrites + the shared-helper refactor) so
-    # the driver re-verifies them; new registrations this round are
-    # unseen and sort into the front group automatically.
+    # round-6 refresh: r01–r05 left every registered name green, so the
+    # sample window is all slack again. Front-load queries whose
+    # IMPLEMENTATION changed this round (the odd-token half-split fix in
+    # q_code_switch and the Arrow-encoder tokenizer alignment) so the
+    # driver re-verifies them; new registrations this round are unseen
+    # and sort into the front group automatically.
     priority = [
-        "q_ntile", "q_rank_functions", "q_ccnet_buckets",
+        "q_code_switch", "q_bpe_encode_arrow",
     ]
     reg_pos = {n: i for i, n in enumerate(registry.QUERIES)}
     pri_pos = {n: i for i, n in enumerate(priority)}

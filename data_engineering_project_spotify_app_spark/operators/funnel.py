@@ -232,3 +232,64 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.col("total").cast("double"), 4).alias("p"),
     )
+
+
+_DECAY_HALF_LIFE_DAYS = 7.0
+
+_DECAYED_ORACLE = """
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value
+      FROM events
+    ),
+    r AS (SELECT max(tus) AS ref FROM e)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value * exp((-(ln(2) / 7.0))
+                     * ((r.ref - e.tus) / 86400000000.0))), 4)
+             AS decayed_score
+    FROM e, r
+    GROUP BY user_id
+    """
+
+
+@query("q_decayed_engagement", oracle=_DECAYED_ORACLE)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed (exponential, 7-day half-life) per-user engagement:
+    score_u = Σ value · 2^(-Δdays/7), Δ measured back from the corpus
+    max timestamp. The recency-weighted activity feature a sampling
+    policy wants instead of a raw count — a user active yesterday
+    outweighs one equally active last quarter, with no arbitrary
+    cutoff window.
+
+    Engineering: computing the decay AT A FIXED REFERENCE TIME makes
+    the weight per event independent of every other event, so the
+    whole thing is one partial-aggregating groupBy — no window, no
+    per-user ordering, no recursive EWMA state. (The online/recursive
+    form lives in streaming.stateful.decayed_engagement_stream; at any
+    event time the two agree after decaying the state to the ref.)
+
+    Scale: the reference timestamp is a 1-row aggregate broadcast via
+    crossJoin — corpus scanned twice (once for max, once to score);
+    the score pass is a single hash shuffle on user_id with map-side
+    partial aggregation. Both engines share exact integer µs arithmetic
+    up to the final division, and the sum is rounded to 4dp (summation
+    order differs cross-engine in the last ulp).
+    """
+    import math
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("tus"), "value"
+    )
+    ref = e.agg(F.max("tus").alias("ref"))
+    lam = -(math.log(2.0) / _DECAY_HALF_LIFE_DAYS)
+    days = (F.col("ref") - F.col("tus")) / F.lit(86400000000.0)
+    return (
+        e.crossJoin(F.broadcast(ref))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(
+                F.sum(F.col("value") * F.exp(F.lit(lam) * days)), 4
+            ).alias("decayed_score"),
+        )
+    )

@@ -209,7 +209,9 @@ def _weight_sql() -> str:
     )
 
 
-_ANN_ORACLE = f"""
+# Shared oracle CTE prefix: per-vector SRP bucket signature + norm
+# (identical md5-derived hyperplanes to _plane_weights / _srp_signatures).
+_SIG_CTES = f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
@@ -232,7 +234,9 @@ _ANN_ORACLE = f"""
     n AS (
       SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, sig.bucket
       FROM e JOIN sig ON e.vec_id = sig.vec_id
-    )
+    )"""
+
+_ANN_ORACLE = f"""{_SIG_CTES}
     SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) + 0.0 AS sim
     FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -434,5 +438,204 @@ def q_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # different positions — observed at sf0.1.
                 + F.lit(0.0)
             ).alias("sim"),
+        )
+    )
+
+
+_MULTIPROBE_ORACLE = f"""{_SIG_CTES},
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, bucket
+      FROM n WHERE vec_id < {N_QUERIES}
+    ),
+    probes AS (
+      SELECT query_id, qv, qnrm, bucket AS probe FROM q
+      UNION ALL
+      SELECT query_id, qv, qnrm,
+             substr(bucket, 1, i - 1)
+             || (CASE WHEN substr(bucket, i, 1) = '1'
+                      THEN '0' ELSE '1' END)
+             || substr(bucket, i + 1, {N_PLANES}) AS probe
+      FROM q, (SELECT unnest(generate_series(1, {N_PLANES})) AS i)
+    ),
+    cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(p.qv, c.v) / (p.qnrm * c.nrm), 4)
+               + 0.0 AS sim
+      FROM probes p
+      JOIN n c ON c.bucket = p.probe AND c.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, sim, rnk FROM (
+      SELECT query_id, neighbor_id, sim,
+             CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS BIGINT) AS rnk
+      FROM cand
+    ) WHERE rnk <= {TOPK}
+    """
+
+
+@query("q_ann_lsh_multiprobe", oracle=_MULTIPROBE_ORACLE)
+def q_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SRP-LSH top-k: each query probes its home bucket PLUS
+    the {N_PLANES} one-bit-flip neighbor buckets (the buckets a
+    near-boundary projection most likely fell into). Lv et al.'s
+    multi-probe trade: recover most of the recall that extra hash
+    TABLES would buy while storing and shuffling only ONE table — at
+    100 TB the signature table is the dominant state, so probing is
+    (P+1)× more candidate compute for 1× storage instead of T× both.
+
+    Candidates are naturally unique — probe strings are distinct and a
+    corpus vector lives in exactly one bucket — so no dedup stage.
+
+    Scale: the probe frame is (queries × (P+1)) rows and broadcast; the
+    corpus signature side is scanned once and never shuffled (the
+    broadcast-hash join keys on the bucket string). Exact cosine only
+    for candidates; top-k is a per-query WindowGroupLimit over the
+    candidate set, not the corpus. Recall ≥ the single-table q_ann_lsh
+    by construction (superset of probed buckets); pinned in
+    tests/test_multiprobe.py.
+    """
+    e = table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    n = _srp_signatures(e, [None], passthrough_v=True).select(
+        "vec_id",
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        "bucket",
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+        "bucket",
+    )
+    flip = F.transform(
+        F.sequence(F.lit(1), F.lit(N_PLANES)),
+        lambda i: F.overlay(
+            F.col("bucket"),
+            F.when(F.substring(F.col("bucket"), i, F.lit(1)) == "1", "0")
+            .otherwise("1"),
+            i,
+            F.lit(1),
+        ),
+    )
+    probes = q.select(
+        "query_id",
+        "qv",
+        "qnrm",
+        F.explode(
+            F.concat(F.array(F.col("bucket")), flip)
+        ).alias("probe"),
+    )
+    cand = F.broadcast(probes).join(
+        n,
+        (F.col("bucket") == F.col("probe"))
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (
+            F.round(
+                dot(F.col("qv"), F.col("v")) / (F.col("qnrm") * F.col("nrm")),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= TOPK)
+    )
+
+
+SEMDEDUP_TAU = 0.35  # fixture-calibrated: synthetic embeddings peak ~0.51
+
+_SEMDEDUP_ORACLE = f"""{_SIG_CTES},
+    dropped AS (
+      SELECT b.vec_id
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+            >= {SEMDEDUP_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT n.vec_id, n.bucket,
+           (dropped.vec_id IS NULL) AS kept
+    FROM n LEFT JOIN dropped ON n.vec_id = dropped.vec_id
+    """
+
+
+@query("q_semantic_dedup", oracle=_SEMDEDUP_ORACLE)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): bucket
+    the embedding space, then inside each bucket drop every vector that
+    has cosine ≥ τ with an earlier (lower-id) vector — keeping one
+    representative per semantic neighborhood. This removes *semantic*
+    duplicates (same content, different words) that every lexical rung
+    (MinHash/SimHash/n-gram) misses by construction.
+
+    Clustering here is the SRP bucket (deterministic, oracle-exact)
+    standing in for SemDeDup's k-means — same pipeline shape: cluster
+    assignment is one corpus pass, pair formation is intra-cluster
+    only, so pairwise work is corpus^2/2^P not corpus^2. Keep-policy is
+    first-occurrence (any higher-sim EARLIER vector kills a row),
+    order-independent and exactly SQL-expressible; chains that need
+    transitive closure go through the CC rung (q_dedup_clusters).
+
+    τ is fixture-calibrated (the synthetic embeddings top out at ~0.51
+    cosine); production SemDeDup uses 0.9+ on real encoder output —
+    the plan is threshold-independent.
+
+    Scale: signatures via the zero-shuffle Arrow GEMM; one bucket-keyed
+    shuffle forms pairs; the dropped set (ids only) broadcasts back for
+    the kept flag. No global state, no windows.
+    """
+    e = table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    n = _srp_signatures(e, [None], passthrough_v=True).select(
+        "vec_id",
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        "bucket",
+    )
+    a = n.select(
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = n.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .filter(
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                4,
+            )
+            >= SEMDEDUP_TAU
+        )
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(True))
+    )
+    return (
+        n.select("vec_id", "bucket")
+        .join(F.broadcast(dropped), "vec_id", "left")
+        .select(
+            "vec_id",
+            "bucket",
+            F.col("is_dropped").isNull().alias("kept"),
         )
     )

@@ -2179,3 +2179,82 @@ def q_lm_kneser_ney_3(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(p)), 4).alias("avg_logprob"),
         )
     )
+
+
+@query(
+    "q_robust_scale",
+    oracle=f"""
+    WITH t0 AS (
+      SELECT doc_id, source, CAST(len({_TOK}) AS DOUBLE) AS s
+      FROM documents
+    ),
+    pct AS (
+      SELECT source,
+             quantile_cont(s, 0.05) AS p05,
+             quantile_cont(s, 0.95) AS p95
+      FROM t0 GROUP BY source
+    ),
+    clipped AS (
+      SELECT t0.doc_id, t0.source,
+             least(greatest(t0.s, pct.p05), pct.p95) AS c
+      FROM t0 JOIN pct USING (source)
+    ),
+    stats AS (
+      SELECT source, avg(c) AS mu, stddev_pop(c) AS sd
+      FROM clipped GROUP BY source
+    )
+    SELECT clipped.doc_id, clipped.source,
+           round(clipped.c, 4) AS winsorized,
+           round(CASE WHEN stats.sd = 0 THEN 0.0
+                      ELSE (clipped.c - stats.mu) / stats.sd END, 4)
+             AS robust_z
+    FROM clipped JOIN stats USING (source)
+    """,
+)
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized robust normalization of a document score
+    (here: token count — swap in any scorer). Mixing corpora from
+    sources with wildly different length/quality distributions needs
+    scores on a COMMON scale before a single keep-threshold or sampling
+    temperature applies; raw z-scores are dragged by each source's
+    outlier tail, so clip to the [p05, p95] quantile band first, then
+    standardize the clipped values (winsorized z).
+
+    Scale: three shuffles total and none carries the corpus twice —
+    (1) exact interpolated percentile per source (Spark ``percentile``
+    and DuckDB ``quantile_cont`` share linear p·(n-1) semantics,
+    verified), (2) mean/stddev_pop of the clipped score per source,
+    and the per-source stat frames (#sources rows) broadcast back, so
+    the document table itself shuffles zero times. At 100 TB swap the
+    exact percentile for approx_percentile(…, 1e-4) — same plan shape,
+    bounded memory; exact here so the oracle can pin it.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    t0 = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("double").alias("s"),
+    )
+    pct = t0.groupBy("source").agg(
+        F.percentile("s", F.lit(0.05)).alias("p05"),
+        F.percentile("s", F.lit(0.95)).alias("p95"),
+    )
+    clipped = t0.join(F.broadcast(pct), "source").select(
+        "doc_id",
+        "source",
+        F.least(F.greatest(F.col("s"), F.col("p05")), F.col("p95")).alias("c"),
+    )
+    stats = clipped.groupBy("source").agg(
+        F.avg("c").alias("mu"), F.stddev_pop("c").alias("sd")
+    )
+    return clipped.join(F.broadcast(stats), "source").select(
+        "doc_id",
+        "source",
+        F.round("c", 4).alias("winsorized"),
+        F.round(
+            F.when(F.col("sd") == 0, F.lit(0.0)).otherwise(
+                (F.col("c") - F.col("mu")) / F.col("sd")
+            ),
+            4,
+        ).alias("robust_z"),
+    )
