@@ -1289,3 +1289,127 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ni") / (F.col("n_a") + F.col("n_b") - F.col("ni")), 4
         ).alias("jaccard"),
     )
+
+
+# Calibration truth threshold — deliberately BELOW the banding S-curve's
+# sweet spot so recall is informative: at J=0.1 a 4-band/4-row scheme
+# catches P = 1-(1-J^4)^4 ~ 4e-4 of pairs, so truth >> hits and the
+# report shows exactly what the banding config misses.
+LSH_CAL_TAU = 0.1
+
+_LSH_CAL_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    cand AS ({MINHASH_PAIRS_SQL}),
+    cnt AS (
+      SELECT doc_id, CAST(len(bg) AS BIGINT) AS n FROM grams
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a
+      JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.doc_a
+      JOIN cnt cb ON cb.doc_id = i.doc_b
+      WHERE i.n_common / (ca.n + cb.n - i.n_common) >= {LSH_CAL_TAU}
+    ),
+    lab AS (
+      SELECT (c.doc_a IS NOT NULL) AS is_c, (t.doc_a IS NOT NULL) AS is_t
+      FROM cand c
+      FULL JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT CAST(sum(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_candidates,
+           CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN is_c AND is_t THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           round(CASE WHEN sum(CASE WHEN is_c THEN 1 ELSE 0 END) = 0
+                      THEN 0.0
+                      ELSE sum(CASE WHEN is_c AND is_t THEN 1 ELSE 0 END)
+                           / sum(CASE WHEN is_c THEN 1 ELSE 0 END) END, 4)
+             AS precision,
+           round(CASE WHEN sum(CASE WHEN is_t THEN 1 ELSE 0 END) = 0
+                      THEN 0.0
+                      ELSE sum(CASE WHEN is_c AND is_t THEN 1 ELSE 0 END)
+                           / sum(CASE WHEN is_t THEN 1 ELSE 0 END) END, 4)
+             AS recall
+    FROM lab
+    """
+
+
+@query("q_lsh_calibration", oracle=_LSH_CAL_ORACLE)
+def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrate the MinHash-LSH banding config BEFORE the 100 TB run:
+    precision/recall of the band-bucket candidate pairs against exact
+    bigram-set Jaccard >= tau ground truth, on a sample. The one-row
+    report answers the question every banding parameter change raises —
+    "what fraction of true near-dup pairs does 4x4 banding still catch
+    at this threshold, and how much pair-verification work is wasted?"
+    — with data instead of the S-curve formula.
+
+    Both sides reuse the production operators unchanged: candidates are
+    minhash_candidate_pairs (the q_minhash_lsh plan), truth is the
+    unblocked exact shingle-join Jaccard (the q_jaccard_prefix_join
+    semantics without the prefix cut — calibration runs on a SAMPLE, so
+    the O(pairs-sharing-a-shingle) truth join is affordable; at full
+    scale you'd calibrate on a stratified sample, same plan).
+
+    Scale: one FULL OUTER join of two pair sets keyed on (doc_a, doc_b)
+    followed by a global 1-row aggregate — no per-pair state survives.
+    All counts are integers; precision/recall are single exact
+    divisions rounded to 4dp.
+    """
+    docs = table_parallel(spark, sf_dir, "documents")
+    cand = minhash_candidate_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("is_c")
+    )
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    grams = toks.select("doc_id", word_bigrams(F.col("tok")).alias("bg"))
+    sh = grams.select(
+        "doc_id",
+        F.size("bg").cast("bigint").alias("n"),
+        F.explode("bg").alias("shingle"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        "shingle",
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.col("shingle").alias("shingle_b"),
+    )
+    inter = (
+        a.join(
+            b,
+            (F.col("shingle") == F.col("shingle_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    truth = inter.filter(
+        F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        >= LSH_CAL_TAU
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_t"))
+
+    lab = cand.join(truth, ["doc_a", "doc_b"], "full")
+    n_c = F.sum(F.when(F.col("is_c"), 1).otherwise(0))
+    n_t = F.sum(F.when(F.col("is_t"), 1).otherwise(0))
+    n_h = F.sum(F.when(F.col("is_c") & F.col("is_t"), 1).otherwise(0))
+    return lab.agg(
+        n_c.cast("bigint").alias("n_candidates"),
+        n_t.cast("bigint").alias("n_truth"),
+        n_h.cast("bigint").alias("n_hits"),
+        F.round(
+            F.when(n_c == 0, F.lit(0.0)).otherwise(n_h / n_c), 4
+        ).alias("precision"),
+        F.round(
+            F.when(n_t == 0, F.lit(0.0)).otherwise(n_h / n_t), 4
+        ).alias("recall"),
+    )

@@ -748,3 +748,104 @@ def kmv_sketch_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement (streaming twin of operators/funnel.py's
+# q_decayed_engagement — same 7-day half-life; a test pins the constants
+# equal).
+
+DECAY_HALF_LIFE_DAYS = 7.0
+_US_PER_DAY = 86400000000.0
+
+DECAY_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("asof_us", T.LongType()),
+        T.StructField("decayed_score", T.DoubleType()),
+    ]
+)
+
+DECAY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("asof_us", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+)
+
+
+def _decay_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import math
+
+    import numpy as np
+
+    (user_id,) = key
+    lam = math.log(2.0) / DECAY_HALF_LIFE_DAYS
+    if state.exists:
+        n, asof, score = state.get
+    else:
+        n, asof, score = 0, None, 0.0
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        pdf = pdf.sort_values("tus")
+        t = pdf["tus"].to_numpy(dtype=np.int64)
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        t_new = int(t[-1])
+        # One vectorized pass per Arrow batch: the kernel is
+        # score(t_new) = carry·e^(-λΔ) + Σ v_i·e^(-λ(t_new - t_i)),
+        # exact for ANY event order (the exponential telescopes), so
+        # late/out-of-order arrivals need no reordering of state.
+        w = np.exp(-lam * (t_new - t) / _US_PER_DAY)
+        batch_sum = float(np.dot(v, w))
+        if asof is None:
+            score = batch_sum
+        else:
+            score = score * math.exp(-lam * (t_new - asof) / _US_PER_DAY)
+            score += batch_sum
+        asof = t_new
+        n += len(pdf)
+    state.update((n, asof if asof is not None else 0, score))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "asof_us": [asof if asof is not None else 0],
+            "decayed_score": [score],
+        }
+    )
+
+
+def decayed_engagement_stream(events: DataFrame) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score maintained
+    incrementally: state is THREE scalars per user (count, last event
+    time, score-as-of-last-event) — the online form of the batch
+    fixed-reference query. Reading the score at any time T is one
+    multiply: score·2^(-(T - asof)/half_life).
+
+    The recursive update is mathematically exact under ANY arrival
+    order (the exponential kernel telescopes), so no watermark/reorder
+    buffer is needed for correctness — only for state eviction, which
+    GroupStateTimeout would provide in production.
+
+    Scale: O(1) state per user, one vectorized numpy pass per Arrow
+    batch; same bounded-state posture as user_profiles.
+    """
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id", F.unix_micros("ts").alias("tus"), "value"
+    )
+    return keyed.groupBy("user_id").applyInPandasWithState(
+        _decay_fn,
+        outputStructType=DECAY_SCHEMA,
+        stateStructType=DECAY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -947,3 +947,78 @@ def test_kmv_sketch_stream_matches_batch_sketch(spark, tmp_path):
         (_KMV_STREAM_K - 1) * 4294967296.0 / kth, 1
     )
     assert got == {"click": (m, kth, est)}
+
+
+def test_decayed_engagement_stream_matches_batch(spark, tmp_path):
+    """After two micro-batches, decaying each user's streamed state to
+    the corpus max timestamp must reproduce the batch fixed-reference
+    query's score (same kernel, different association order — compare
+    with a float tolerance, not equality)."""
+    import math
+
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        _DECAY_HALF_LIFE_DAYS,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        DECAY_HALF_LIFE_DAYS,
+        decayed_engagement_stream,
+    )
+
+    assert DECAY_HALF_LIFE_DAYS == _DECAY_HALF_LIFE_DAYS
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    rows1 = [_ev(i, i % 3, float(i + 1)) for i in range(20)]
+    _write_batch(d, "b0.json", rows1)
+    stream = stream_events(spark, str(d), max_files_per_trigger=1)
+    q = (
+        decayed_engagement_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("decayed")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows2 = [_ev(100 + i, i % 3, 2.5 * (i + 1)) for i in range(15)]
+        _write_batch(d, "b1.json", rows2)
+        time.sleep(0.1)
+        q.processAllAvailable()
+        got = {
+            r["user_id"]: r
+            for r in spark.sql("SELECT * FROM decayed").collect()
+            if r["n_events"] == max(
+                x["n_events"]
+                for x in spark.sql("SELECT * FROM decayed").collect()
+                if x["user_id"] == r["user_id"]
+            )
+        }
+    finally:
+        q.stop()
+
+    from pyspark.sql import functions as F
+
+    all_rows = rows1 + rows2
+    batch = spark.createDataFrame(
+        [(r["user_id"], r["ts"], r["value"]) for r in all_rows],
+        "user_id bigint, ts string, value double",
+    ).select(
+        "user_id",
+        F.unix_micros(F.to_timestamp("ts")).alias("tus"),
+        "value",
+    )
+    ref = batch.agg(F.max("tus")).collect()[0][0]
+    lam = math.log(2.0) / DECAY_HALF_LIFE_DAYS
+    expected = {}
+    for r in batch.collect():
+        expected[r["user_id"]] = expected.get(r["user_id"], 0.0) + r[
+            "value"
+        ] * math.exp(-lam * (ref - r["tus"]) / 86400000000.0)
+    assert set(got) == set(expected)
+    for uid, exp_score in expected.items():
+        streamed = got[uid]
+        at_ref = streamed["decayed_score"] * math.exp(
+            -lam * (ref - streamed["asof_us"]) / 86400000000.0
+        )
+        assert abs(at_ref - exp_score) < 1e-9, (uid, at_ref, exp_score)
+    assert sum(r["n_events"] for r in got.values()) == len(all_rows)
