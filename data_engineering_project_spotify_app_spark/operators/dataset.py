@@ -358,3 +358,77 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET)
         .select("source", "doc_id", "n_tokens", "cum_tokens")
     )
+
+
+N_EPOCHS = 3
+N_SHARDS = 4
+
+
+@query(
+    "q_epoch_shuffle",
+    oracle=f"""
+    WITH ep AS (SELECT unnest(generate_series(0, {N_EPOCHS - 1})) AS epoch),
+    keyed AS (
+      SELECT d.doc_id, ep.epoch,
+             md5(CAST(ep.epoch AS VARCHAR) || ':'
+                 || CAST(d.doc_id AS VARCHAR)) AS h
+      FROM documents d CROSS JOIN ep
+    ),
+    sharded AS (
+      SELECT doc_id, epoch,
+             CAST(instr('0123456789abcdef', substr(h, 1, 1)) - 1
+                  AS BIGINT) % {N_SHARDS} AS shard,
+             h
+      FROM keyed
+    )
+    SELECT doc_id, epoch, shard,
+           CAST(row_number() OVER (
+             PARTITION BY epoch, shard ORDER BY h, doc_id
+           ) AS BIGINT) AS pos
+    FROM sharded
+    """,
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch training order: for each epoch, every
+    document gets a shard and an intra-shard position derived from
+    md5(epoch:doc_id) — a DIFFERENT pseudo-random permutation per epoch
+    (the "reshuffle each epoch" training-loader contract) that is a
+    pure function of (epoch, doc_id): reproducible across reruns,
+    engines, and partitionings, resumable mid-epoch, and auditable
+    ("which shard/offset did doc X occupy in epoch 2?").
+
+    Scale: NO global sort — the only ordering is row_number within
+    (epoch, shard), a partitioned window whose partition count is
+    epochs x shards (each shard sized corpus/shards, the unit one
+    trainer worker consumes). Shard assignment is a stateless
+    projection; the corpus is scanned once and exploded x epochs
+    (production materializes one epoch at a time — same plan with a
+    filter pushed onto the generate).
+    """
+    d = table(spark, sf_dir, "documents")
+    ep = F.explode(
+        F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))
+    ).alias("epoch")
+    keyed = d.select("doc_id").select("doc_id", ep).select(
+        "doc_id",
+        "epoch",
+        F.md5(
+            F.concat_ws(":", F.col("epoch").cast("string"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    sharded = keyed.select(
+        "doc_id",
+        "epoch",
+        F.expr(
+            f"CAST(instr('0123456789abcdef', substring(h, 1, 1)) - 1 "
+            f"AS BIGINT) % {N_SHARDS}"
+        ).alias("shard"),
+        "h",
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
+    return sharded.select(
+        "doc_id",
+        "epoch",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )

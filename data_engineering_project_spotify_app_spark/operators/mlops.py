@@ -268,3 +268,99 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("x"), 4).alias("centroid"),
         F.count("*").alias("n_vectors"),
     )
+
+
+HARDNEG_K = 3
+N_ANCHORS = 10  # hard-negative mining: vec_id < N_ANCHORS are anchors
+
+
+@query(
+    "q_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    pairs AS (
+      SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4)
+               + 0.0 AS sim
+      FROM n q JOIN n c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+      WHERE q.vec_id < {N_ANCHORS}
+    )
+    SELECT anchor_id, anchor_label, negative_id, negative_label, sim,
+           rnk
+    FROM (
+      SELECT *,
+             CAST(row_number() OVER (
+               PARTITION BY anchor_id ORDER BY sim DESC, negative_id
+             ) AS BIGINT) AS rnk
+      FROM pairs
+    )
+    WHERE rnk <= {HARDNEG_K}
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar vectors with a DIFFERENT label. Random negatives
+    are trivially separable and teach a metric model nothing; the
+    near-boundary negatives this emits are what contrastive losses
+    (triplet / InfoNCE) actually need — the standard mining pass over a
+    labeled embedding table before building training triplets.
+
+    Scale: q_cosine_topk's plan — the anchor batch broadcast against
+    one corpus scan with the label-mismatch predicate fused into the
+    join, top-k via WindowGroupLimit over the candidate set. At 100 TB
+    the anchor batch is capped (mining runs in rounds) and the corpus
+    side can be pre-filtered through q_ann_lsh buckets; semantics are
+    anchor-batch-independent so rounds parallelize.
+    """
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double().alias("v")
+    )
+    n = e.select(
+        "vec_id",
+        "label",
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    q = n.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .join(
+            n,
+            (F.col("vec_id") != F.col("anchor_id"))
+            & (F.col("label") != F.col("anchor_label")),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            (
+                F.round(
+                    dot(F.col("qv"), F.col("v"))
+                    / (F.col("qnrm") * F.col("nrm")),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("sim").desc(), "negative_id"
+    )
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= HARDNEG_K)
+    )

@@ -31,9 +31,9 @@ Scale design (100 TB posture):
 - PMI pairs explode C(distinct-terms, 2) per document — bounded by the
   vocabulary actually present in a doc. On an open-vocab corpus this
   path must be preceded by a vocabulary threshold (min-df / top-V cap,
-  exactly the stop-feature cap the dedup ladder uses, dedup.py); the
-  synthetic corpus's vocab is already small, so the cap is not wired
-  into the registered query.
+  exactly the stop-feature cap the dedup ladder uses, dedup.py);
+  q_cooccurrence_pmi_capped is that scale twin — a broadcast top-V
+  stop-head list filtered out of the term arrays pre-explosion.
 - Chunking emits ~n_tokens/stride rows per doc with no shuffle at all:
   token array → window starts → posexplode, all inside one stage.
 - Posting lists are per-term rows (collect_list on the term key); a
@@ -257,9 +257,10 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured 2× faster at sf0.1 than the doc_id-co-partitioned
     self-join of the exploded distinct frame it replaces, and one less
     shuffle. On an open-vocabulary corpus, precede this with a min-df /
-    top-V vocabulary cap (the dedup ladder's stop-feature cap) — the
-    registered query omits it because the fixture vocabulary is already
-    bounded. The per-term df table is O(vocab), so it joins onto the
+    top-V vocabulary cap (the dedup ladder's stop-feature cap) —
+    registered as the q_cooccurrence_pmi_capped scale twin; this base
+    form keeps the full fixture vocabulary (already bounded). The
+    per-term df table is O(vocab), so it joins onto the
     pair aggregate WITHOUT a broadcast hint (AQE broadcasts it at
     runtime while it fits; an open-vocabulary corpus shuffle-joins);
     only the 1-row corpus size is hint-broadcast.
@@ -485,4 +486,117 @@ def q_phrase_search_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection behavior."""
     return phrase_match_counts(
         table_parallel(spark, sf_dir, "documents"), _PHRASE3
+    )
+
+
+PMI_STOP_TOP_V = 5
+
+
+@query(
+    "q_cooccurrence_pmi_capped",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    tdf AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM d GROUP BY term),
+    stop AS (
+      SELECT term FROM tdf ORDER BY df DESC, term LIMIT {PMI_STOP_TOP_V}
+    ),
+    pairs AS (
+      SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+      FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.term < b.term
+      WHERE a.term NOT IN (SELECT term FROM stop)
+        AND b.term NOT IN (SELECT term FROM stop)
+      GROUP BY 1, 2
+    )
+    SELECT term_a, term_b,
+           CAST(n_ab AS BIGINT) AS n_ab,
+           round(ln(n_ab * nd.n / (fa.df * fb.df)), 4) AS pmi
+    FROM pairs
+    JOIN tdf fa ON fa.term = term_a
+    JOIN tdf fb ON fb.term = term_b
+    CROSS JOIN nd
+    WHERE n_ab >= {PMI_MIN_PAIRS}
+    ORDER BY pmi DESC, term_a, term_b
+    LIMIT {PMI_TOP}
+    """,
+)
+def q_cooccurrence_pmi_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_cooccurrence_pmi behind the vocabulary stop-head cap the base
+    query's docstring prescribes for open-vocab corpora — now wired as
+    the registered scale twin (the dedup ladder's _capped precedent):
+    drop the top-{PMI_STOP_TOP_V} terms by document frequency
+    (df-desc, term tie-break) BEFORE pair explosion. The Zipf head is
+    exactly where C(|doc vocab|, 2) blows up — stop terms co-occur
+    with everything and carry no collocation signal, so removing them
+    bounds per-document pair fan-out at negligible recall cost.
+
+    Scale: the stop list is a top-V TakeOrderedAndProject over the
+    O(vocab) df table, collected to a single V-element array and
+    broadcast — doc-side filtering is one array_except inside the
+    existing projection, ZERO added shuffles on the corpus path. PMI
+    probabilities still use the full-corpus dfs (the cap changes which
+    pairs are emitted, not their statistics).
+    """
+    docs = table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("t")
+    )
+    d = toks.select("doc_id", F.explode("t").alias("term")).distinct()
+    nd = docs.agg(F.count("*").cast("double").alias("n"))
+    tdf = d.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    stop = (
+        tdf.orderBy(F.col("df").desc(), "term")
+        .limit(PMI_STOP_TOP_V)
+        .agg(F.collect_list("term").alias("stop_terms"))
+    )
+    arr = (
+        toks.select(
+            "doc_id", F.array_sort(F.array_distinct("t")).alias("ts")
+        )
+        .crossJoin(F.broadcast(stop))
+        .select(
+            "doc_id", F.array_except("ts", "stop_terms").alias("ts")
+        )
+    )
+    pairs = (
+        arr.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) -> "
+                    "transform(slice(ts, i + 2, size(ts) - i - 1), "
+                    "y -> struct(x AS a, y AS b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(
+            F.col("p.a").alias("term_a"), F.col("p.b").alias("term_b")
+        )
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= PMI_MIN_PAIRS)
+    )
+    fa = tdf.select(
+        F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    fb = tdf.select(
+        F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    return (
+        pairs.join(fa, "term_a")
+        .join(fb, "term_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "term_a",
+            "term_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.col("n") / (F.col("df_a") * F.col("df_b"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(PMI_TOP)
     )

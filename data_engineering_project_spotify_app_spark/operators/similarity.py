@@ -639,3 +639,81 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_dropped").isNull().alias("kept"),
         )
     )
+
+
+LABEL_CONFLICT_TAU = 0.3  # fixture-calibrated, same note as SEMDEDUP_TAU
+
+_LABEL_CONFLICT_ORACLE = f"""{_SIG_CTES},
+    lab AS (
+      SELECT n.vec_id, n.v, n.nrm, n.bucket, e2.label
+      FROM n JOIN embeddings e2 ON n.vec_id = e2.vec_id
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+             + 0.0 AS sim
+    FROM lab a
+    JOIN lab b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+             AND a.label <> b.label
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+          >= {LABEL_CONFLICT_TAU}
+    """
+
+
+@query("q_label_conflicts", oracle=_LABEL_CONFLICT_ORACLE)
+def q_label_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise screen over an annotated embedding table: pairs of
+    vectors that are close in embedding space (cosine >= tau, candidates
+    from the SRP buckets) yet carry DIFFERENT labels — the classic
+    confident-learning signal that one of the two is mislabeled, or the
+    label taxonomy is conflated. Run before training a classifier on
+    scraped/weak labels; the output is a human-review queue sized by
+    tau.
+
+    Scale: identical plan family to q_ann_lsh — zero-shuffle GEMM
+    signatures, one bucket-keyed join, pair work bounded by bucket
+    sizes; the label column rides along from the scan (no second join
+    against the corpus on the Spark side — labels join onto the
+    signature frame pre-pairing).
+    """
+    e = table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v"), "label"
+    )
+    n = _srp_signatures(
+        e.select("vec_id", "v"), [None], passthrough_v=True
+    ).join(e.select("vec_id", "label"), "vec_id")
+    n = n.select(
+        "vec_id",
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        "bucket",
+        "label",
+    )
+    a = n.select(
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+        F.col("label").alias("label_a"),
+    )
+    b = n.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("label").alias("label_b"),
+    )
+    sim = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+    ) + F.lit(0.0)
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b"))
+            & (F.col("label_a") != F.col("label_b")),
+        )
+        .withColumn("sim", sim)
+        .filter(F.col("sim") >= LABEL_CONFLICT_TAU)
+        .select("vec_a", "vec_b", "label_a", "label_b", "sim")
+    )
