@@ -105,6 +105,17 @@ HEADLINE = [
     "q_incremental_dedup",
     # round-5 late: iterative BPE train+apply (rows-only family)
     "q_bpe_encode",
+    # round-6 additions: decayed engagement, robust scaling, multi-probe
+    # ANN, semantic dedup, LSH calibration, capped PMI, hard negatives,
+    # epoch shuffle
+    "q_decayed_engagement",
+    "q_robust_scale",
+    "q_ann_lsh_multiprobe",
+    "q_semantic_dedup",
+    "q_lsh_calibration",
+    "q_cooccurrence_pmi_capped",
+    "q_hard_negatives",
+    "q_epoch_shuffle",
 ]
 
 
