@@ -116,6 +116,8 @@ HEADLINE = [
     "q_cooccurrence_pmi_capped",
     "q_hard_negatives",
     "q_epoch_shuffle",
+    "q_resample_ffill",
+    "q_ann_recall_report",
 ]
 
 

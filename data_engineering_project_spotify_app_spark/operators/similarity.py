@@ -717,3 +717,156 @@ def q_label_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") >= LABEL_CONFLICT_TAU)
         .select("vec_a", "vec_b", "label_a", "label_b", "sim")
     )
+
+
+_RECALL_RANK = (
+    "CAST(row_number() OVER (PARTITION BY query_id "
+    "ORDER BY sim DESC, neighbor_id) AS BIGINT)"
+)
+
+_ANN_RECALL_ORACLE = f"""{_SIG_CTES},
+    ex AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+               + 0.0 AS sim
+      FROM n a JOIN n b ON b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    ex_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, {_RECALL_RANK} AS r FROM ex
+      ) WHERE r <= {TOPK}
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, qnrm, bucket FROM (
+        SELECT vec_id, v, nrm AS qnrm, bucket FROM n
+        WHERE vec_id < {N_QUERIES}
+      )
+    ),
+    probes AS (
+      SELECT query_id, qv, qnrm, bucket AS probe FROM q
+      UNION ALL
+      SELECT query_id, qv, qnrm,
+             substr(bucket, 1, i - 1)
+             || (CASE WHEN substr(bucket, i, 1) = '1'
+                      THEN '0' ELSE '1' END)
+             || substr(bucket, i + 1, {N_PLANES}) AS probe
+      FROM q, (SELECT unnest(generate_series(1, {N_PLANES})) AS i)
+    ),
+    mp_cand AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(p.qv, c.v) / (p.qnrm * c.nrm), 4)
+               + 0.0 AS sim
+      FROM probes p
+      JOIN n c ON c.bucket = p.probe AND c.vec_id <> p.query_id
+    ),
+    mp_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, {_RECALL_RANK} AS r FROM mp_cand
+      ) WHERE r <= {TOPK}
+    ),
+    home_cand AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4)
+               + 0.0 AS sim
+      FROM n a JOIN n b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+      WHERE a.vec_id < {N_QUERIES}
+    ),
+    home_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, {_RECALL_RANK} AS r FROM home_cand
+      ) WHERE r <= {TOPK}
+    ),
+    nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_truth FROM ex_topk)
+    SELECT 'lsh_home' AS method,
+           CAST(count(*) AS BIGINT) AS n_retrieved,
+           CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / nt.n_truth, 4) AS recall
+    FROM home_topk h
+    LEFT JOIN ex_topk e
+      ON e.query_id = h.query_id AND e.neighbor_id = h.neighbor_id
+    CROSS JOIN nt GROUP BY nt.n_truth
+    UNION ALL
+    SELECT 'lsh_multiprobe' AS method,
+           CAST(count(*) AS BIGINT) AS n_retrieved,
+           CAST(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / nt.n_truth, 4) AS recall
+    FROM mp_topk m
+    LEFT JOIN ex_topk e
+      ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+    CROSS JOIN nt GROUP BY nt.n_truth
+    """
+
+
+@query("q_ann_recall_report", oracle=_ANN_RECALL_ORACLE)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k report for the ANN ladder — the ANN counterpart of
+    q_lsh_calibration: retrieved-set recall of (a) home-bucket-only
+    SRP-LSH and (b) multi-probe against the exact brute-force top-k,
+    one row per method. This is the measurement that decides whether
+    to pay for more planes, more probes, or more tables before
+    committing an index config to a 100 TB corpus.
+
+    Composes the REGISTERED operators unchanged (q_cosine_topk truth,
+    q_ann_lsh_multiprobe retrieval, q_ann_lsh home-bucket pairs) —
+    calibration must measure the production plan, not a re-derivation.
+
+    Scale: each side is the underlying operator's plan; the report
+    join keys on (query_id, neighbor_id) over top-k-sized frames
+    (queries x k rows), then a 2-row union of global aggregates.
+    """
+    exact = q_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    nt = exact.agg(F.count("*").cast("double").alias("n_truth"))
+
+    mp = q_ann_lsh_multiprobe(spark, sf_dir).select("query_id", "neighbor_id")
+
+    lshp = q_ann_lsh(spark, sf_dir)
+    home_a = lshp.filter(F.col("vec_a") < N_QUERIES).select(
+        F.col("vec_a").alias("query_id"),
+        F.col("vec_b").alias("neighbor_id"),
+        "sim",
+    )
+    home_b = lshp.filter(F.col("vec_b") < N_QUERIES).select(
+        F.col("vec_b").alias("query_id"),
+        F.col("vec_a").alias("neighbor_id"),
+        "sim",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    home = (
+        home_a.unionByName(home_b)
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= TOPK)
+        .select("query_id", "neighbor_id")
+    )
+
+    def report(method: str, got: DataFrame) -> DataFrame:
+        return (
+            got.join(exact, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_retrieved"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .crossJoin(F.broadcast(nt))
+            .select(
+                F.lit(method).alias("method"),
+                "n_retrieved",
+                "n_hits",
+                F.round(F.col("n_hits") / F.col("n_truth"), 4).alias(
+                    "recall"
+                ),
+            )
+        )
+
+    return report("lsh_home", home).unionByName(
+        report("lsh_multiprobe", mp)
+    )

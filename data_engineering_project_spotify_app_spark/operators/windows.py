@@ -298,3 +298,84 @@ def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("keep")).cast("bigint").alias("n_collapsed"),
         )
     )
+
+
+@query(
+    "q_resample_ffill",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+      FROM events
+    ),
+    daily AS (
+      SELECT user_id, day, round(sum(value), 4) AS v
+      FROM e GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.day, d.v
+      FROM grid g LEFT JOIN daily d
+        ON d.user_id = g.user_id AND d.day = g.day
+    )
+    SELECT user_id, day,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS value_ffill,
+           (v IS NULL) AS is_gap
+    FROM j
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample + gap-fill: one row per (user, day)
+    over each user's active span — daily value totals where events
+    exist, forward-filled from the last observed day where they don't,
+    with the gap flagged. The regularization step every downstream
+    window/forecast/cohort computation assumes (windows over irregular
+    event times silently skip missing days; models need the explicit
+    grid).
+
+    Spark has no native resample; the composition is sequence() over
+    the per-user [min_day, max_day] span exploded to a calendar grid,
+    LEFT join back, then last(ignorenulls) over a per-user ordered
+    window — each stage a built-in, all codegen.
+
+    Scale: the grid is span-bounded (days-per-user rows, not a global
+    calendar cross join); daily agg, grid join, and the ffill window
+    all key on user_id, and the window is per-user ordered by day —
+    no global sort. Daily totals are rounded BEFORE the fill so both
+    engines forward-fill identical values.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"), "value"
+    )
+    daily = e.groupBy("user_id", "day").agg(
+        F.round(F.sum("value"), 4).alias("v")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("v").isNull().alias("is_gap"),
+    )
