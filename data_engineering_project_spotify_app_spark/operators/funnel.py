@@ -293,3 +293,139 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decayed_score"),
         )
     )
+
+
+RFM_K = 5
+
+_RFM_ORACLE = f"""
+    WITH rfm AS (
+      SELECT o_custkey AS custkey,
+             max(o_orderdate) AS recency,
+             CAST(count(*) AS BIGINT) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey, frequency, monetary,
+           CAST(ntile({RFM_K}) OVER (ORDER BY recency DESC, custkey)
+                AS BIGINT) AS r_q,
+           CAST(ntile({RFM_K}) OVER (ORDER BY frequency DESC, custkey)
+                AS BIGINT) AS f_q,
+           CAST(ntile({RFM_K}) OVER (ORDER BY monetary DESC, custkey)
+                AS BIGINT) AS m_q
+    FROM rfm
+    """
+
+
+@query("q_rfm_segments", oracle=_RFM_ORACLE)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: per-customer recency / frequency /
+    monetary quintiles (1 = best), the classic marketing-analytics
+    cut. Quintile 1 of all three = champions; r_q 5 = churned.
+
+    Scale: the input to ranking is the per-customer AGGREGATE (three
+    shuffle-free-after-one-hash-agg scalars per customer), and each
+    quintile is the two-phase range-partition global rank
+    (rankutil.py) + closed-form ntile arithmetic — three parallel
+    rank passes over a customer-sized frame, never a single-partition
+    window (the q_ntile discipline, x3). Monetary sums are rounded to
+    2dp BEFORE ranking so both engines rank identical keys; every
+    order key carries the custkey tie-break.
+    """
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        ntile_from_rank,
+        two_phase_global_rank,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count("*").cast("bigint").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    n_ranges = max(8, spark.sparkContext.defaultParallelism)
+
+    def quintile(df: DataFrame, order_col: str, out: str) -> DataFrame:
+        ranked = two_phase_global_rank(
+            df.select("custkey", order_col),
+            [F.col(order_col).desc(), F.col("custkey")],
+            n_ranges,
+        )
+        return ranked.select(
+            "custkey",
+            ntile_from_rank(F.col("rn"), F.col("n"), RFM_K).alias(out),
+        )
+
+    out = (
+        rfm.join(quintile(rfm, "recency", "r_q"), "custkey")
+        .join(quintile(rfm, "frequency", "f_q"), "custkey")
+        .join(quintile(rfm, "monetary", "m_q"), "custkey")
+    )
+    return out.select(
+        "custkey", "frequency", "monetary", "r_q", "f_q", "m_q"
+    )
+
+
+BURST_Z = 2.0
+
+_BURST_ORACLE = f"""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, avg(n_events) AS mu, stddev_pop(n_events) AS sd
+      FROM daily GROUP BY 1
+    )
+    SELECT daily.event_type, daily.day, daily.n_events,
+           round(CASE WHEN stats.sd = 0 THEN 0.0
+                      ELSE (daily.n_events - stats.mu) / stats.sd END, 4)
+             AS z,
+           (round(CASE WHEN stats.sd = 0 THEN 0.0
+                       ELSE (daily.n_events - stats.mu) / stats.sd END, 4)
+            >= {BURST_Z}) AS is_burst
+    FROM daily JOIN stats USING (event_type)
+    """
+
+
+@query("q_burst_detection", oracle=_BURST_ORACLE)
+def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-burst screen: each (event_type, day) bucket's count as a
+    z-score against that type's own daily distribution; z >= {BURST_Z}
+    flags a burst (bot traffic, incident, crawl). Per-type baselining
+    matters — a rare type's normal day would be a common type's
+    anomaly.
+
+    Scale: two hash aggregations (daily counts, then per-type
+    mean/stddev over the DAILY frame — one row per type-day, not per
+    event) and a broadcast of the O(types) stat frame back onto the
+    daily frame. The burst flag compares the ROUNDED z in both engines
+    so the boundary can't straddle a cross-engine ulp.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day")
+    )
+    daily = e.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n_events").alias("mu"),
+        F.stddev_pop("n_events").alias("sd"),
+    )
+    z = F.round(
+        F.when(F.col("sd") == 0, F.lit(0.0)).otherwise(
+            (F.col("n_events") - F.col("mu")) / F.col("sd")
+        ),
+        4,
+    )
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            "z",
+            (F.col("z") >= BURST_Z).alias("is_burst"),
+        )
+    )

@@ -58,3 +58,20 @@ def two_phase_global_rank(
         .withColumn("rn", F.col("_off") + F.row_number().over(local_w))
         .drop("pid", "_off")
     )
+
+
+def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
+    """SQL-standard ntile(k) from an exact global row_number: the first
+    ``n mod k`` buckets hold floor(n/k)+1 rows, the rest floor(n/k) —
+    closed-form arithmetic, no window. Pair with two_phase_global_rank
+    to get scale-safe ntile (the q_ntile pattern)."""
+    q = F.floor(n / k)
+    r = n % k
+    big = r * (q + 1)
+    # greatest(q,1): the otherwise-branch is unreachable when q=0, but
+    # ANSI mode evaluates the divisor eagerly
+    return (
+        F.when(rn <= big, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(r + F.floor((rn - big - 1) / F.greatest(q, F.lit(1))) + 1)
+        .cast("bigint")
+    )

@@ -350,7 +350,9 @@ def test_pagerank_scalar_broadcast_no_global_window(spark, sf_dir):
     assert src.count("F.broadcast(") == src.count("F.broadcast(nc)")
 
 
-@pytest.mark.parametrize("name", ["q_ntile", "q_rank_functions"])
+@pytest.mark.parametrize(
+    "name", ["q_ntile", "q_rank_functions", "q_rfm_segments"]
+)
 def test_global_rank_analytics_two_phase(spark, sf_dir, name):
     """q_ntile / q_rank_functions must NOT run a single-partition
     global-order window over the customer table (the 100×-scale
