@@ -288,3 +288,109 @@ def q_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(share, 6).alias("char_share"),
         F.round((1.0 / F.count("*").over(w)) / share, 4).alias("mix_weight"),
     )
+
+
+SWEEP_GRID = [0, 8, 16, 32, 64, 128]  # min-token-count thresholds
+
+_SWEEP_ORACLE = f"""
+    WITH t0 AS (
+      SELECT doc_id, CAST(len({TOKENS_SQL.format(col='text')}) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t0),
+    grid AS (SELECT unnest({SWEEP_GRID}) AS threshold)
+    SELECT CAST(grid.threshold AS BIGINT) AS threshold,
+           CAST(sum(CASE WHEN t0.n_tok >= grid.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN t0.n_tok >= grid.threshold
+                          THEN 1 ELSE 0 END) / nd.n, 4) AS keep_rate
+    FROM t0 CROSS JOIN grid CROSS JOIN nd
+    GROUP BY grid.threshold, nd.n
+    """
+
+
+@query("q_threshold_sweep", oracle=_SWEEP_ORACLE)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-threshold sweep: keep-count and keep-rate of a min-token
+    length filter at every grid point, in ONE corpus pass. The curve a
+    curation run consults before pinning a cutoff — "how much data does
+    raising the floor from 32 to 64 tokens actually cost?" — computed
+    without re-scanning per candidate threshold.
+
+    Scale: the per-doc statistic is computed once; the grid (a handful
+    of literals) is cross-joined broadcast so each doc row fans out
+    |grid| aggregation inputs — map-side partial-aggregated down to
+    |grid| rows before the single shuffle. Swap in any registered
+    scorer for n_tok; the sweep shape is scorer-independent.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    t0 = d.select(
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok")
+    )
+    nd = t0.agg(F.count("*").cast("double").alias("n"))
+    grid = spark.createDataFrame(
+        [(t,) for t in SWEEP_GRID], "threshold bigint"
+    )
+    return (
+        t0.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(nd))
+        .groupBy("threshold", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("n_tok") >= F.col("threshold"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept")
+        )
+        .select(
+            "threshold",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n"), 4).alias("keep_rate"),
+        )
+    )
+
+
+_DIVERSITY_ORACLE = f"""
+    WITH tf AS (
+      SELECT source, unnest({TOKENS_SQL.format(col='text')}) AS term
+      FROM documents
+    ),
+    cnts AS (
+      SELECT source, term, CAST(count(*) AS DOUBLE) AS c
+      FROM tf GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_distinct_terms,
+           round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+    FROM cnts GROUP BY source
+    """
+
+
+@query("q_source_diversity", oracle=_DIVERSITY_ORACLE)
+def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: Shannon entropy of each source's
+    term distribution (plus token/vocab counts). The mixing-table
+    signal the per-doc metrics can't give — a source can contain zero
+    near-dups yet still be lexically narrow (templated boilerplate);
+    low entropy argues for down-weighting it regardless of dedup
+    survival.
+
+    Single-pass entropy: H = ln(T) - sum(c*ln c)/T over term counts, so
+    no totals-then-rejoin second pass — two hash aggregations total
+    ((source, term) counts, then per-source) and nothing else.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    tf = d.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+    cnts = tf.groupBy("source", "term").agg(
+        F.count("*").cast("double").alias("c")
+    )
+    return cnts.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct_terms"),
+        F.round(
+            F.log(F.sum("c")) - F.sum(F.col("c") * F.log("c")) / F.sum("c"),
+            4,
+        ).alias("entropy"),
+    )
