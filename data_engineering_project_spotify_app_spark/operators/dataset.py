@@ -397,14 +397,21 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, and partitionings, resumable mid-epoch, and auditable
     ("which shard/offset did doc X occupy in epoch 2?").
 
-    Scale: NO global sort — the only ordering is row_number within
-    (epoch, shard), a partitioned window whose partition count is
-    epochs x shards (each shard sized corpus/shards, the unit one
-    trainer worker consumes). Shard assignment is a stateless
-    projection; the corpus is scanned once and exploded x epochs
-    (production materializes one epoch at a time — same plan with a
-    filter pushed onto the generate).
+    Scale: NOT ``row_number() over (partition by epoch, shard)`` — with
+    epochs x shards groups that window funnels corpus/shards rows
+    through single tasks. Instead the two-phase range-partition global
+    rank (rankutil.py) runs ONCE over the composite order (epoch,
+    shard, h, doc_id); each group's position is then its global rank
+    minus the group's min rank (an epochs-x-shards-row aggregate,
+    broadcast back) — every stage parallel regardless of shard count.
+    Shard assignment itself is a stateless projection; production
+    materializes one epoch at a time (same plan, epoch filter pushed
+    onto the generate).
     """
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        two_phase_global_rank,
+    )
+
     d = table(spark, sf_dir, "documents")
     ep = F.explode(
         F.sequence(F.lit(0), F.lit(N_EPOCHS - 1))
@@ -425,10 +432,17 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shard"),
         "h",
     )
-    w = Window.partitionBy("epoch", "shard").orderBy("h", "doc_id")
-    return sharded.select(
+    ranked = two_phase_global_rank(
+        sharded,
+        [F.col("epoch"), F.col("shard"), F.col("h"), F.col("doc_id")],
+        max(8, spark.sparkContext.defaultParallelism),
+    )
+    rn0 = ranked.groupBy("epoch", "shard").agg(
+        F.min("rn").alias("rn0")
+    )
+    return ranked.join(F.broadcast(rn0), ["epoch", "shard"]).select(
         "doc_id",
         "epoch",
         "shard",
-        F.row_number().over(w).cast("bigint").alias("pos"),
+        (F.col("rn") - F.col("rn0") + 1).cast("bigint").alias("pos"),
     )
