@@ -589,8 +589,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is threshold-independent.
 
     Scale: signatures via the zero-shuffle Arrow GEMM; one bucket-keyed
-    shuffle forms pairs; the dropped set (ids only) broadcasts back for
-    the kept flag. No global state, no windows.
+    shuffle forms pairs; the dropped set (ids only) joins back for the
+    kept flag WITHOUT a broadcast hint — on a near-dup-heavy corpus it
+    is corpus-sized, so AQE picks broadcast only while it fits. No
+    global state, no windows.
     """
     e = table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
@@ -632,7 +634,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         n.select("vec_id", "bucket")
-        .join(F.broadcast(dropped), "vec_id", "left")
+        .join(dropped, "vec_id", "left")
         .select(
             "vec_id",
             "bucket",
