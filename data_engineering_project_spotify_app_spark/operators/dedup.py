@@ -742,9 +742,10 @@ N_SIMHASH_BLOCKS = 4
 SIMHASH_BLOCK_BITS = 64 // N_SIMHASH_BLOCKS
 HAMMING_MAX = N_SIMHASH_BLOCKS - 1
 
-_SIMHASH_HAMMING_ORACLE = f"""
-    WITH {SIMHASH_CTES},
-    blocks AS (
+# The simhash pair CTE chain (blocks → kept → bk → cand → scored),
+# reusable by downstream oracles (method-agreement): ends with `scored`
+# (doc_a, doc_b, hamming). Apply the HAMMING_MAX filter at use site.
+SIMHASH_PAIRS_CTES = f"""blocks AS (
       SELECT doc_id, simhash, bl.block AS block,
              substr(simhash, bl.block * {SIMHASH_BLOCK_BITS} + 1,
                     {SIMHASH_BLOCK_BITS}) AS bkey
@@ -777,7 +778,11 @@ _SIMHASH_HAMMING_ORACLE = f"""
                                   i -> substr(sa, i, 1) <> substr(sb, i, 1)))
                   AS INT) AS hamming
       FROM cand
-    )
+    )"""
+
+_SIMHASH_HAMMING_ORACLE = f"""
+    WITH {SIMHASH_CTES},
+    {SIMHASH_PAIRS_CTES}
     SELECT doc_a, doc_b, hamming FROM scored WHERE hamming <= {HAMMING_MAX}
     """
 
@@ -1412,4 +1417,66 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.when(n_t == 0, F.lit(0.0)).otherwise(n_h / n_t), 4
         ).alias("recall"),
+    )
+
+
+_AGREEMENT_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    mh AS ({MINHASH_PAIRS_SQL}),
+    {SIMHASH_CTES},
+    {SIMHASH_PAIRS_CTES},
+    sh_pairs AS (
+      SELECT doc_a, doc_b FROM scored WHERE hamming <= {HAMMING_MAX}
+    ),
+    lab AS (
+      SELECT (m.doc_a IS NOT NULL) AS in_mh, (s.doc_a IS NOT NULL) AS in_sh
+      FROM mh m
+      FULL JOIN sh_pairs s ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b
+    )
+    SELECT CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_minhash,
+           CAST(sum(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_simhash,
+           CAST(sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both,
+           round(CASE WHEN count(*) = 0 THEN 0.0
+                      ELSE sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END)
+                           * 1.0 / count(*) END, 4) AS agreement
+    FROM lab
+    """
+
+
+@query("q_dedup_method_agreement", oracle=_AGREEMENT_ORACLE)
+def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method dedup QA: Venn counts of the MinHash-LSH candidate
+    pairs against the SimHash Hamming-verified pairs, plus their
+    Jaccard agreement (|both| / |either|). The two fingerprint families
+    key on different signals (set resemblance vs weighted-feature
+    cosine), so high agreement means the near-dup set is robust to
+    detector choice; low agreement means the corpus sits near one
+    family's blind spot and the pair budget for manual thresholds
+    should widen before a destructive dedup run.
+
+    Composes the registered pair generators unchanged; the report is a
+    FULL OUTER join of two pair frames on the pair key and a 1-row
+    aggregate — same shape as q_lsh_calibration.
+    """
+    mh = minhash_candidate_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_mh")
+    )
+    sh_pairs = q_simhash_hamming(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_sh")
+    )
+    lab = mh.join(sh_pairs, ["doc_a", "doc_b"], "full")
+    n_mh = F.sum(F.when(F.col("in_mh"), 1).otherwise(0))
+    n_sh = F.sum(F.when(F.col("in_sh"), 1).otherwise(0))
+    n_both = F.sum(F.when(F.col("in_mh") & F.col("in_sh"), 1).otherwise(0))
+    n_all = F.count("*")
+    return lab.agg(
+        n_mh.cast("bigint").alias("n_minhash"),
+        n_sh.cast("bigint").alias("n_simhash"),
+        n_both.cast("bigint").alias("n_both"),
+        F.round(
+            F.when(n_all == 0, F.lit(0.0)).otherwise(n_both / n_all), 4
+        ).alias("agreement"),
     )

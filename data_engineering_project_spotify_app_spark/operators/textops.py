@@ -2258,3 +2258,61 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("robust_z"),
     )
+
+
+_CONFUSION_ORACLE = f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             {_lang_hits_sql(_LANGS['en'])} AS en_hits,
+             {_lang_hits_sql(_LANGS['es'])} AS es_hits,
+             {_lang_hits_sql(_LANGS['de'])} AS de_hits,
+             {_lang_hits_sql(_LANGS['fr'])} AS fr_hits
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE
+               WHEN en_hits >= es_hits AND en_hits >= de_hits
+                    AND en_hits >= fr_hits THEN 'en'
+               WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+               WHEN de_hits >= fr_hits THEN 'de'
+               ELSE 'fr'
+             END AS pred_lang
+      FROM scored
+    ),
+    tot AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM pred GROUP BY 1)
+    SELECT pred.lang, pred.pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / tot.n, 4) AS row_share
+    FROM pred JOIN tot USING (lang)
+    GROUP BY pred.lang, pred.pred_lang, tot.n
+    """
+
+
+@query("q_langid_confusion", oracle=_CONFUSION_ORACLE)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-vote language detector against
+    the table's labeled ``lang`` column: (label, prediction, count,
+    row-normalized share). THE acceptance gate for a heuristic
+    detector — the off-diagonal mass tells you which language pairs it
+    conflates before you trust it to route a 100 TB corpus into
+    monolingual training slices; diagonal shares are per-class recall.
+
+    Composes the registered detector (q_lang_id) unchanged and
+    aggregates — one corpus pass for the votes, one hash aggregation
+    to the (langs x langs)-bounded matrix, and a broadcast of the
+    per-label totals for the row shares.
+    """
+    pred = q_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    tot = pred.groupBy("lang").agg(F.count("*").cast("double").alias("n"))
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("n"), 4).alias("row_share"),
+        )
+    )
