@@ -627,3 +627,140 @@ def selfjoin_skew(
         .orderBy(F.col("contrib").desc(), F.col("key").asc())
         .limit(topk)
     )
+
+
+ZM_FILES = 16
+
+
+_ZONEMAP_ORACLE = f"""
+    WITH li AS (
+      SELECT l_partkey, l_orderkey, l_linenumber FROM lineitem
+    ),
+    bounds AS (
+      SELECT CAST(floor(min(l_partkey)
+               + 0.40 * (max(l_partkey) - min(l_partkey))) AS BIGINT) AS lo,
+             CAST(floor(min(l_partkey)
+               + 0.50 * (max(l_partkey) - min(l_partkey))) AS BIGINT) AS hi
+      FROM li
+    ),
+    layouts AS (
+      SELECT 'sorted' AS layout, l_partkey,
+             CAST(ntile({ZM_FILES}) OVER (
+               ORDER BY l_partkey, l_orderkey, l_linenumber
+             ) AS BIGINT) AS file
+      FROM li
+      UNION ALL
+      SELECT 'shuffled' AS layout, l_partkey,
+             CAST(instr('0123456789abcdef',
+                  substr(md5(CAST(l_orderkey AS VARCHAR) || '_'
+                             || CAST(l_linenumber AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) AS file
+      FROM li
+    ),
+    zones AS (
+      SELECT layout, file,
+             min(l_partkey) AS fmin, max(l_partkey) AS fmax
+      FROM layouts GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN NOT (fmax < lo OR fmin > hi)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned,
+           round(1.0 - sum(CASE WHEN NOT (fmax < lo OR fmin > hi)
+                                THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS skip_rate
+    FROM zones CROSS JOIN bounds
+    GROUP BY layout
+    """
+
+
+@query("q_zonemap_skip", oracle=_ZONEMAP_ORACLE)
+def q_zonemap_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (file min/max) skip-rate report: how many of
+    {ZM_FILES} equal-size files a 10%-of-keyspace range predicate
+    must scan under a key-SORTED layout vs a hash-SHUFFLED one. The
+    quantified argument for paying the sort at write time — the
+    sorted layout's per-file [min, max] ranges are disjoint slices of
+    the key space, so the predicate touches ~10% of files + boundary,
+    while every shuffled file spans the whole key range and zone maps
+    skip nothing. This is exactly the parquet footer min/max pruning
+    the scan planner does; see q_zorder_layout for the
+    two-dimensional (z-order) version of the same statistics.
+
+    Scale: file assignment for the sorted layout is the two-phase
+    global rank + closed-form ntile (no single-partition window);
+    zones are one hash aggregation; the report is ZM_FILES x 2 rows.
+    Predicate bounds derive from min/max in-plan (broadcast 1-row), so
+    the query is scale-factor-agnostic.
+    """
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        ntile_from_rank,
+        two_phase_global_rank,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber"
+    )
+    bounds = li.agg(
+        F.floor(
+            F.min("l_partkey")
+            + 0.40 * (F.max("l_partkey") - F.min("l_partkey"))
+        )
+        .cast("bigint")
+        .alias("lo"),
+        F.floor(
+            F.min("l_partkey")
+            + 0.50 * (F.max("l_partkey") - F.min("l_partkey"))
+        )
+        .cast("bigint")
+        .alias("hi"),
+    )
+    ranked = two_phase_global_rank(
+        li,
+        [F.col("l_partkey"), F.col("l_orderkey"), F.col("l_linenumber")],
+        max(8, spark.sparkContext.defaultParallelism),
+    )
+    sorted_files = ranked.select(
+        F.lit("sorted").alias("layout"),
+        "l_partkey",
+        ntile_from_rank(F.col("rn"), F.col("n"), ZM_FILES).alias("file"),
+    )
+    shuffled_files = li.select(
+        F.lit("shuffled").alias("layout"),
+        "l_partkey",
+        F.expr(
+            "CAST(instr('0123456789abcdef', substring(md5(concat("
+            "CAST(l_orderkey AS STRING), '_', "
+            "CAST(l_linenumber AS STRING))), 1, 1)) - 1 AS BIGINT)"
+        ).alias("file"),
+    )
+    zones = (
+        sorted_files.unionByName(shuffled_files)
+        .groupBy("layout", "file")
+        .agg(
+            F.min("l_partkey").alias("fmin"),
+            F.max("l_partkey").alias("fmax"),
+        )
+    )
+    scanned = F.sum(
+        F.when(
+            ~((F.col("fmax") < F.col("lo")) | (F.col("fmin") > F.col("hi"))),
+            1,
+        ).otherwise(0)
+    )
+    return (
+        zones.crossJoin(F.broadcast(bounds))
+        .groupBy("layout")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            scanned.cast("bigint").alias("n_scanned"),
+        )
+        .select(
+            "layout",
+            "n_files",
+            "n_scanned",
+            F.round(
+                1.0 - F.col("n_scanned") / F.col("n_files"), 4
+            ).alias("skip_rate"),
+        )
+    )
