@@ -405,3 +405,46 @@ def classifier_score_stream(
         score.alias("score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+def burst_detect_stream(
+    events: DataFrame, baseline_stats: DataFrame, z_threshold: float = 2.0
+) -> DataFrame:
+    """Streaming twin of q_burst_detection's FLAGGING stage: windowed
+    per-type event counts in the live stream, z-scored against a fixed
+    per-type baseline (mu, sd) trained batch-side on history — the
+    production shape for traffic anomaly alerting (the baseline is
+    re-fit on a schedule; the stream is scored continuously).
+
+    ``events`` is a streaming frame with (ts, event_type); ``baseline_
+    stats`` is a static (event_type, mu, sd) frame — stream-static LEFT
+    join, so a type never seen in history still flows (z = NULL, which
+    downstream alerting treats as "no baseline yet" rather than a
+    silent drop).
+
+    Watermark + 1-day tumbling window: counts finalize once the
+    watermark passes the day; output mode update emits refinements as
+    late events land inside the horizon.
+
+    Scale: the windowed count is the standard partial-aggregated
+    streaming agg keyed by (type, window); the baseline side is
+    O(types) and broadcast.
+    """
+    counted = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 day").alias("w"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    z = F.when(F.col("sd") == 0, F.lit(0.0)).otherwise(
+        (F.col("n_events") - F.col("mu")) / F.col("sd")
+    )
+    return counted.join(baseline_stats, "event_type", "left").select(
+        F.col("w.start").alias("day_start"),
+        "event_type",
+        "n_events",
+        F.round(z, 4).alias("z"),
+        (F.round(z, 4) >= z_threshold).alias("is_burst"),
+    )

@@ -1022,3 +1022,64 @@ def test_decayed_engagement_stream_matches_batch(spark, tmp_path):
         )
         assert abs(at_ref - exp_score) < 1e-9, (uid, at_ref, exp_score)
     assert sum(r["n_events"] for r in got.values()) == len(all_rows)
+
+
+def test_burst_detect_stream_flags_vs_static_baseline(spark, tmp_path):
+    """Windowed stream counts z-scored against the static baseline:
+    a day with 3x the baseline mean must flag, a normal day must not,
+    and an unseen type flows with NULL z instead of dropping."""
+    from data_engineering_project_spotify_app_spark.streaming.stream_ops import (
+        burst_detect_stream,
+    )
+
+    baseline = spark.createDataFrame(
+        [("click", 4.0, 2.0), ("view", 10.0, 5.0)],
+        "event_type string, mu double, sd double",
+    )
+
+    def ev(i, day, etype):
+        return {
+            "event_id": i,
+            "ts": f"2024-02-{day:02d}T00:{i % 60:02d}:00.000Z",
+            "user_id": i % 5,
+            "event_type": etype,
+            "value": 1.0,
+            "props": "{}",
+        }
+
+    d = tmp_path / "stream"
+    d.mkdir()
+    # day 1: 12 clicks (z = 4 -> burst) + 2 'scroll' (no baseline)
+    rows1 = [ev(i, 1, "click") for i in range(12)] + [
+        ev(100 + i, 1, "scroll") for i in range(2)
+    ]
+    _write_batch(d, "b0.json", rows1)
+    stream = stream_events(spark, str(d), max_files_per_trigger=1)
+    q = (
+        burst_detect_stream(stream, baseline)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("bursts")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # day 2: 5 clicks (z = 0.5 -> calm)
+        _write_batch(d, "b1.json", [ev(200 + i, 2, "click") for i in range(5)])
+        time.sleep(0.1)
+        q.processAllAvailable()
+        got = {
+            (str(r["day_start"])[:10], r["event_type"]): (
+                r["n_events"],
+                r["z"],
+                r["is_burst"],
+            )
+            for r in spark.sql("SELECT * FROM bursts").collect()
+        }
+    finally:
+        q.stop()
+
+    assert got[("2024-02-01", "click")] == (12, 4.0, True)
+    assert got[("2024-02-02", "click")] == (5, 0.5, False)
+    n, z, burst = got[("2024-02-01", "scroll")]
+    assert n == 2 and z is None and burst is None
