@@ -330,6 +330,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (the q_ntile discipline, x3). Monetary sums are rounded to
     2dp BEFORE ranking so both engines rank identical keys; every
     order key carries the custkey tie-break.
+
+    Note: the rfm aggregate has FOUR consumers (three ranks + the
+    final join) and Spark shares no subplans across consumers — at
+    100 TB, materialize the per-customer aggregate once (write it, or
+    checkpoint) before ranking; at bench scale the 4x re-aggregation
+    of orders is cheaper than a materialization round-trip.
     """
     from data_engineering_project_spotify_app_spark.operators.rankutil import (
         ntile_from_rank,
