@@ -2316,3 +2316,50 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") / F.col("n"), 4).alias("row_share"),
         )
     )
+
+
+from data_engineering_project_spotify_app_spark.functions.html import (  # noqa: E402
+    markup_ratio,
+    markup_ratio_sql,
+    strip_markup,
+    strip_markup_sql,
+)
+
+_CLEAN_SQL = strip_markup_sql("text")
+
+
+@query(
+    "q_html_extract",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, text, {_CLEAN_SQL} AS clean_text FROM documents
+    )
+    SELECT doc_id, clean_text,
+           {markup_ratio_sql('text', 'clean_text')} AS markup_ratio
+    FROM c
+    """,
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup extraction pass (functions/html.py): visible text +
+    markup ratio per document — the stage a crawl pipeline runs before
+    every other text operator here. The fixture corpus is plain text,
+    so clean_text is a normalized passthrough and markup_ratio ~ 0;
+    the HTML behavior itself (script/style content dropped, entities
+    decoded, comments stripped) is pinned on literal frames in
+    tests/test_html.py, and this registration keeps the expression
+    chain driver-checked end-to-end in both engines.
+
+    Scale: one codegen projection — regexp_replace/replace chains, no
+    UDF, no shuffle.
+    """
+    d = table_parallel(spark, sf_dir, "documents")
+    c = d.select(
+        "doc_id", "text", strip_markup(F.col("text")).alias("clean_text")
+    )
+    return c.select(
+        "doc_id",
+        "clean_text",
+        markup_ratio(F.col("text"), F.col("clean_text")).alias(
+            "markup_ratio"
+        ),
+    )
