@@ -91,3 +91,30 @@ def test_markup_ratio_bounds(spark):
     assert out[0] > 0.9  # tag soup
     assert out[1] == 0.0  # untouched prose
     assert out[2] == 0.0  # empty guard, no div-by-zero
+
+
+def test_dom_extract_drops_boilerplate_and_counts_links(spark):
+    from data_engineering_project_spotify_app_spark.functions.html import (
+        dom_extract,
+    )
+
+    raw = (
+        "<html><body>"
+        "<nav>Home | About | <a href='/x'>Contact</a></nav>"
+        "<header><h1>Site</h1></header>"
+        "<main>Article text with <a href='/y'>one link</a> inside.</main>"
+        "<footer>(c) 2026</footer>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(0, raw), (1, "plain prose, no tags")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in dom_extract(df).collect()}
+    # nav/header/footer subtrees dropped entirely
+    assert got[0]["main_text"] == "Article text with one link inside."
+    # nav link excluded; only the in-content link counts
+    assert got[0]["n_links"] == 1
+    assert 0.0 < got[0]["link_density"] < 0.5
+    assert got[1]["main_text"] == "plain prose, no tags"
+    assert got[1]["n_links"] == 0 and got[1]["link_density"] == 0.0
