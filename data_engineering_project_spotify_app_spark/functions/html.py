@@ -90,10 +90,6 @@ def markup_ratio_sql(raw: str, text: str) -> str:
 _BOILERPLATE_TAGS = frozenset(
     {"nav", "header", "footer", "aside", "script", "style", "noscript"}
 )
-_VOID_TAGS = frozenset(
-    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
-     "embed", "source", "track", "wbr"}
-)
 
 DOM_EXTRACT_SCHEMA = (
     "doc_id bigint, main_text string, n_links bigint, link_density double"
