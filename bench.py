@@ -121,6 +121,7 @@ HEADLINE = [
     "q_rfm_segments",
     "q_ann_euclidean_lsh",
     "q_dedup_method_agreement",
+    "q_html_extract",
 ]
 
 
