@@ -235,3 +235,100 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return probed_search(n, F.broadcast(cent), nprobe=KMEANS_NPROBE)
+
+
+@query("q_ann_ivf_partitioned", oracle=_IVF_ORACLE)
+def q_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the inverted lists AT REST: the assignment table is
+    landed as parquet PARTITIONED BY list id (one directory per list —
+    the Spark-native inverted-index layout), and the probe stage joins
+    the index against the broadcast probe set on the partition column,
+    so DYNAMIC PARTITION PRUNING reads only the probed lists' files.
+    Identical semantics to q_ann_ivf (the oracle IS q_ann_ivf's);
+    what changes is the physics: at 100 TB the index write is the
+    nightly build, and each query batch's scan cost is
+    |probed lists| / K of the corpus INSTEAD of a full scan — the scan
+    itself becomes the candidate filter. Plan pinned in
+    tests/test_plans.py (dynamicpruning expression on the index scan).
+
+    Landing is per-SF and overwritten on re-run (q_bucketed_join's
+    idempotent-landing convention).
+    """
+    import os
+
+    n = _norm_frame(spark, sf_dir)
+    cent = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    csim = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4
+    )
+    scored = n.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "v", "nrm", "cid", csim.alias("csim")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+
+    tok = "".join(
+        c if c.isalnum() else "_"
+        for c in sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    )
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/spark-warehouse"
+    ).removeprefix("file:")
+    index_path = os.path.join(wh, f"ivf_index_{tok}")
+    (
+        ranked.filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(index_path)
+    )
+    index = spark.read.parquet(index_path)
+
+    probes = ranked.filter(
+        (F.col("vec_id") < IVF_QUERIES) & (F.col("rn") <= NPROBE)
+    ).select(F.col("vec_id").alias("query_id"), "cid")
+
+    # join on the PARTITION column with the probe side broadcast →
+    # dynamic partition pruning: only probed cid= directories are read
+    # no distinct needed: assignment is rn=1 unique, so a candidate
+    # meets each query through exactly one probed list — and a distinct
+    # here would shuffle the vector payloads for nothing
+    cands = (
+        index.join(F.broadcast(probes), "cid")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.col("v").alias("xv"),
+            F.col("nrm").alias("xnrm"),
+        )
+    )
+    qn = n.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    sim = F.round(
+        dot(F.col("qv"), F.col("xv")) / (F.col("qnrm") * F.col("xnrm")), 4
+    )
+    return (
+        cands.join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id", F.col("cand_id").alias("neighbor_id"), sim.alias("sim")
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), "neighbor_id"
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= IVF_TOPK)
+    )

@@ -551,3 +551,13 @@ def test_jaccard_prefix_join_rank_is_two_phase(spark, sf_dir):
     assert wins, plan
     for w in wins:
         assert "pid" in w or "cnt" in w, (w, plan)
+
+
+def test_ivf_partitioned_index_uses_dynamic_pruning(spark, sf_dir):
+    """q_ann_ivf_partitioned's index scan must carry a dynamicpruning
+    partition filter — the probe join on the partition column is what
+    makes the at-rest inverted lists pay off (only probed cid=
+    directories read). Falls back to a full index scan silently if DPP
+    ever stops applying, which this pin catches."""
+    plan = plan_of(spark, sf_dir, "q_ann_ivf_partitioned")
+    assert "dynamicpruning" in plan, plan
