@@ -435,3 +435,116 @@ def q_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("z") >= BURST_Z).alias("is_burst"),
         )
     )
+
+
+_AB_ORACLE = """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST(instr('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) % 2 AS variant
+      FROM events
+    ),
+    conv AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY 1 HAVING count(*) >= 14
+    ),
+    per AS (
+      SELECT a.variant,
+             CAST(count(*) AS DOUBLE) AS n_users,
+             CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS n_conv
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY 1
+    ),
+    wide AS (
+      SELECT
+        max(CASE WHEN variant = 0 THEN n_users END) AS n_a,
+        max(CASE WHEN variant = 0 THEN n_conv END) AS c_a,
+        max(CASE WHEN variant = 1 THEN n_users END) AS n_b,
+        max(CASE WHEN variant = 1 THEN n_conv END) AS c_b
+      FROM per
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           round(c_a / n_a, 4) AS rate_a,
+           round(c_b / n_b, 4) AS rate_b,
+           round(c_b / n_b - c_a / n_a, 4) AS lift,
+           round(CASE WHEN (c_a + c_b) = 0 OR (c_a + c_b) = (n_a + n_b)
+                      THEN 0.0
+                      ELSE (c_b / n_b - c_a / n_a)
+                           / sqrt(((c_a + c_b) / (n_a + n_b))
+                                  * (1 - (c_a + c_b) / (n_a + n_b))
+                                  * (1 / n_a + 1 / n_b)) END, 4) AS z_stat
+    FROM wide
+    """
+
+
+@query("q_ab_test", oracle=_AB_ORACLE)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-assigned to two variants
+    (first md5 hex digit of user_id, mod 2 — the same content-hash
+    assignment discipline as q_dataset_split: stable across reruns,
+    engines, and arrival order, never rand()), conversion = any
+    'purchase' event; reports per-variant rates, absolute lift, and
+    the pooled two-proportion z statistic — the number an experiment
+    platform thresholds (|z| >= 1.96 for 95%) before shipping a
+    variant.
+
+    Scale: assignment and conversion are DISTINCT-user frames (hash
+    aggregations on user_id), the per-variant rollup is 2 rows, and
+    the z arithmetic is a 1-row projection. Nothing is event-count
+    sized after the first aggregation.
+    """
+    ev = table(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        F.expr(
+            "CAST(instr('0123456789abcdef', "
+            "substring(md5(CAST(user_id AS STRING)), 1, 1)) - 1 "
+            "AS BIGINT) % 2"
+        ).alias("variant"),
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("np"))
+        .filter(F.col("np") >= 14)
+        .select("user_id", F.lit(1).alias("converted"))
+    )
+    per = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("double").alias("n_users"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0)))
+            .cast("double")
+            .alias("n_conv"),
+        )
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c_a"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c_b"),
+    )
+    p_a = F.col("c_a") / F.col("n_a")
+    p_b = F.col("c_b") / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) / (F.col("n_a") + F.col("n_b"))
+    return wide.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(p_a, 4).alias("rate_a"),
+        F.round(p_b, 4).alias("rate_b"),
+        F.round(p_b - p_a, 4).alias("lift"),
+        F.round(
+            F.when((pool == 0) | (pool == 1), F.lit(0.0)).otherwise(
+                (p_b - p_a)
+                / F.sqrt(
+                    pool
+                    * (1 - pool)
+                    * (1 / F.col("n_a") + 1 / F.col("n_b"))
+                )
+            ),
+            4,
+        ).alias("z_stat"),
+    )
