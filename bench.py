@@ -122,6 +122,8 @@ HEADLINE = [
     "q_ann_euclidean_lsh",
     "q_dedup_method_agreement",
     "q_html_extract",
+    "q_ann_ivf_partitioned",
+    "q_ab_test",
 ]
 
 
