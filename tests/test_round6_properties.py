@@ -120,3 +120,73 @@ def test_kmv_merge_arrays_semantics(vals, split_seed, k):
     merged = sorted(set(sk_a) | set(sk_b))[:k]
     full = sorted(set(vals))[:k]
     assert merged == full
+
+
+def test_resample_ffill_matches_python_reference(spark, tmp_path):
+    """q_resample_ffill vs a pure-Python model on seeded random event
+    sets: the grid spans exactly [first, last] active day per user
+    with no holes, gap days carry the last observed daily total, and
+    observed days carry their own."""
+    import datetime as dt
+    import random
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(6):
+        days = sorted(rng.sample(range(28), rng.randint(1, 9)))
+        for d in days:
+            for _ in range(rng.randint(1, 3)):
+                rows.append(
+                    (
+                        eid,
+                        dt.datetime(2024, 3, 1 + d, rng.randint(0, 23), 30),
+                        user,
+                        "click",
+                        round(rng.uniform(0.5, 9.5), 2),
+                        "{}",
+                    )
+                )
+                eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    out = str(tmp_path / "ev")
+    df.write.parquet(f"{out}/events.parquet")
+    got = {
+        (r["user_id"], str(r["day"])): (r["value_ffill"], r["is_gap"])
+        for r in registry.QUERIES["q_resample_ffill"](spark, out).collect()
+    }
+
+    # python model
+    daily: dict[tuple[int, dt.date], float] = {}
+    for _, ts, user, _, value, _ in rows:
+        key = (user, ts.date())
+        daily[key] = round(daily.get(key, 0.0) + value, 10)
+    daily = {k: round(v, 4) for k, v in daily.items()}
+    expected = {}
+    for user in range(6):
+        udays = sorted(d for (u, d) in daily if u == user)
+        if not udays:
+            continue
+        cur = None
+        d = udays[0]
+        while d <= udays[-1]:
+            if (user, d) in daily:
+                cur = daily[(user, d)]
+                expected[(user, str(d))] = (cur, False)
+            else:
+                expected[(user, str(d))] = (cur, True)
+            d += dt.timedelta(days=1)
+
+    assert set(got) == set(expected)
+    for k in expected:
+        ev, eg = expected[k]
+        gv, gg = got[k]
+        assert gg == eg, (k, got[k], expected[k])
+        assert abs(gv - ev) < 1e-9, (k, got[k], expected[k])
