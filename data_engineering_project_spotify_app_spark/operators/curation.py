@@ -394,3 +394,71 @@ def q_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy"),
     )
+
+
+_SNAPDIFF_ORACLE = """
+    WITH a AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 < 8
+    ),
+    b AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id % 10 >= 2
+    ),
+    j AS (
+      SELECT coalesce(a.source, b.source) AS source,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  ELSE 'retained' END AS status,
+             coalesce(b.n_chars, a.n_chars) AS n_chars
+      FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT source, status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+    FROM j GROUP BY 1, 2
+    """
+
+
+@query("q_snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot membership diff: per (source, status) counts and char
+    mass of documents added / removed / retained between two corpus
+    snapshots — the ingest-health view that complements q_corpus_drift
+    (drift watches the token DISTRIBUTION shift; this watches
+    MEMBERSHIP churn — a source silently re-crawling everything shows
+    100% added+removed here while its distribution barely moves).
+
+    Snapshots are simulated with overlapping hash bands of doc_id
+    (the q_incremental_dedup delta-predicate convention); production
+    points the two scans at yesterday's and today's landings — same
+    plan.
+
+    Scale: one FULL OUTER hash join on the key (the only corpus-sized
+    operation; both sides pre-projected to 3 columns) and a
+    sources x 3 rollup. No windows, no skew surface beyond the join
+    key itself.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    a = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 8).select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    b = d.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 2).select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+        F.col("n_chars").alias("nc_b"),
+    )
+    j = a.join(b, F.col("id_a") == F.col("id_b"), "full").select(
+        F.coalesce(F.col("src_a"), F.col("src_b")).alias("source"),
+        F.when(F.col("id_a").isNull(), "added")
+        .when(F.col("id_b").isNull(), "removed")
+        .otherwise("retained")
+        .alias("status"),
+        F.coalesce(F.col("nc_b"), F.col("nc_a")).alias("n_chars"),
+    )
+    return j.groupBy("source", "status").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+    )
