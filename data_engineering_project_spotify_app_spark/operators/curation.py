@@ -462,3 +462,55 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("n_chars_total"),
     )
+
+
+MIX_ALPHAS = (0.3, 0.7)
+
+_TEMPMIX_ORACLE = f"""
+    WITH per AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS chars
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(chars) AS t FROM per)
+    SELECT source,
+           round(per.chars / tot.t, 6) AS raw_share,
+           {", ".join(
+             "round(pow(per.chars / tot.t, " + str(a) + ") / "
+             "(SELECT sum(pow(p2.chars / tot2.t, " + str(a) + ")) "
+             "FROM per p2, tot tot2), 6) AS share_a" + str(a).replace('.', '')
+             for a in MIX_ALPHAS
+           )}
+    FROM per, tot
+    """
+
+
+@query("q_temperature_mix", oracle=_TEMPMIX_ORACLE)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing: sampling probability
+    p_s proportional to share_s^alpha, renormalized — the standard
+    multilingual/multi-source rebalancing knob (alpha = 1 keeps natural
+    proportions, alpha -> 0 approaches uniform; 0.3/0.7 are the
+    published working points). Complements q_source_weights (which
+    targets exactly-uniform): the temperature form trades off
+    representation vs fidelity continuously, and the output is the
+    multinomial a shard-sampling stage consumes directly.
+
+    Scale: corpus collapses to one row per source before any
+    arithmetic; the normalizing sums run over #sources rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum("n_chars").cast("double").alias("chars")
+    )
+    w = Window.partitionBy()
+    share = F.col("chars") / F.sum("chars").over(w)
+    out = per.select("source", share.alias("raw_share"))
+    cols = [F.col("source"), F.round("raw_share", 6).alias("raw_share")]
+    for a in MIX_ALPHAS:
+        p = F.pow(F.col("raw_share"), F.lit(a))
+        cols.append(
+            F.round(p / F.sum(p).over(w), 6).alias(
+                f"share_a{str(a).replace('.', '')}"
+            )
+        )
+    return out.select(*cols)

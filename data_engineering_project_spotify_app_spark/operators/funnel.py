@@ -548,3 +548,90 @@ def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_stat"),
     )
+
+
+_PARETO_ORACLE = """
+    WITH per AS (
+      SELECT user_id, CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1
+    ),
+    ranked AS (
+      SELECT x,
+             CAST(row_number() OVER (ORDER BY x, user_id) AS DOUBLE) AS rn,
+             CAST(ntile(10) OVER (ORDER BY x DESC, user_id) AS BIGINT)
+               AS decile
+      FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           round(2 * sum(rn * x) / (count(*) * sum(x))
+                 - (count(*) + 1.0) / count(*), 4) AS gini,
+           round(sum(CASE WHEN decile = 1 THEN x ELSE 0 END) / sum(x), 4)
+             AS top_decile_share
+    FROM ranked
+    """
+
+
+@query("q_pareto_report", oracle=_PARETO_ORACLE)
+def q_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-concentration audit: Gini coefficient of events-per-user
+    plus the top-decile share — the one-row answer to "is this metric
+    driven by a handful of power users?" (Gini 0 = uniform usage,
+    near 1 = monopoly; the 80/20 rule is top_decile_share ~ 0.8 at
+    decile granularity). The same inequality lens applies to tokens
+    per source or shard sizes — swap the key.
+
+    Scale: the corpus collapses to one row per user first; both the
+    ascending rank (Gini sum) and the descending ntile (decile cut)
+    are two-phase range-partition global ranks over that USER-SIZED
+    aggregate — two cheap passes rather than deriving one order from
+    the other, because the reversed tie-break of equal-x runs would
+    shift which ties sit on a decile boundary (see inline comment).
+    The final report is a 1-row aggregate.
+    """
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        ntile_from_rank,
+        two_phase_global_rank,
+    )
+
+    per = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").cast("double").alias("x"))
+    )
+    ranked = two_phase_global_rank(
+        per,
+        [F.col("x"), F.col("user_id")],
+        max(8, spark.sparkContext.defaultParallelism),
+    )
+    # descending rank = n - rn + 1; ntile(10) of the DESC order needs
+    # the DESC ordering's tie-break to be (x DESC, user_id ASC) — our
+    # ascending total order is (x ASC, user_id ASC), whose reverse is
+    # (x DESC, user_id DESC). Equal-x runs therefore reverse user_id
+    # order between the two formulations, which changes WHICH ties sit
+    # on a decile boundary. Rank the DESC order directly instead:
+    # a second two-phase pass over the user-sized aggregate.
+    desc_ranked = two_phase_global_rank(
+        per.select(F.col("user_id").alias("uid_d"), F.col("x").alias("xd")),
+        [F.col("xd").desc(), F.col("uid_d")],
+        max(8, spark.sparkContext.defaultParallelism),
+    ).select(
+        "uid_d",
+        ntile_from_rank(F.col("rn"), F.col("n"), 10).alias("decile"),
+    )
+    j = ranked.join(
+        desc_ranked, F.col("user_id") == F.col("uid_d")
+    ).select("x", F.col("rn").cast("double").alias("rna"), "decile")
+    n = F.count("*")
+    return j.agg(
+        n.cast("bigint").alias("n_users"),
+        F.round(
+            2 * F.sum(F.col("rna") * F.col("x")) / (n * F.sum("x"))
+            - (n + 1.0) / n,
+            4,
+        ).alias("gini"),
+        F.round(
+            F.sum(F.when(F.col("decile") == 1, F.col("x")).otherwise(0.0))
+            / F.sum("x"),
+            4,
+        ).alias("top_decile_share"),
+    )
