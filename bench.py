@@ -124,6 +124,8 @@ HEADLINE = [
     "q_html_extract",
     "q_ann_ivf_partitioned",
     "q_ab_test",
+    "q_snapshot_diff",
+    "q_pareto_report",
 ]
 
 

@@ -352,7 +352,13 @@ def test_pagerank_scalar_broadcast_no_global_window(spark, sf_dir):
 
 @pytest.mark.parametrize(
     "name",
-    ["q_ntile", "q_rank_functions", "q_rfm_segments", "q_epoch_shuffle"],
+    [
+        "q_ntile",
+        "q_rank_functions",
+        "q_rfm_segments",
+        "q_epoch_shuffle",
+        "q_pareto_report",
+    ],
 )
 def test_global_rank_analytics_two_phase(spark, sf_dir, name):
     """q_ntile / q_rank_functions must NOT run a single-partition
