@@ -1,0 +1,139 @@
+"""Market-basket affinity: association rules over co-ordered items.
+
+The classic retail-analytics question the orders/lineitem fact pair
+exists to answer: "customers who bought X also bought Y" — support /
+confidence / lift for directed item pairs (Agrawal & Srikant's Apriori
+measures, VLDB'94). The reference delegates this shape to its warehouse
+(reference app.py:1 routes every analytical query to SQL); here it is a
+first-class distributed operator.
+
+Spark-first design — ONE basket shuffle, pairs generated in-plan:
+
+- Items are rolled up to brand grain via a **broadcast** dim join
+  (part is a dimension; never shuffle the fact by p_partkey).
+- Baskets are built with a single groupBy(l_orderkey) collect_set —
+  the only data-sized shuffle in the plan. Directed pairs are then
+  generated INSIDE codegen with nested higher-order transforms over
+  the basket array (no self-join: a fact-×-fact join on l_orderkey
+  would shuffle the fact twice and re-materialize it per pair).
+- Per-item frequencies and the basket total are tiny aggregates
+  broadcast back onto the pair counts.
+
+Scale: basket size is bounded (items per order is small and bounded in
+any real schema), so the in-plan pair fan-out is O(k²) per basket with
+small k — at 100 TB this stays a single map-side explode off one
+shuffle. The Apriori refinement at scale: pre-filter items below
+min-support with a broadcast frequent-item set BEFORE pairing; the
+fixture's 25-brand grain makes every item frequent, so the filter is
+expressed by the pair_n >= MIN_PAIR_N cut alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table
+
+# Minimum co-occurrence count for a rule to be emitted. Keeps the rule
+# set to genuinely-supported pairs (and bounds output size at any SF).
+MIN_PAIR_N = 5
+
+
+_RULES_ORACLE = f"""
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey, p_brand AS brand
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM ob),
+    brand_n AS (SELECT brand, count(*) AS bn FROM ob GROUP BY brand),
+    pair_n AS (
+      SELECT a.brand AS ante_brand, b.brand AS cons_brand,
+             count(*) AS pair_n
+      FROM ob a JOIN ob b
+        ON a.l_orderkey = b.l_orderkey AND a.brand <> b.brand
+      GROUP BY 1, 2
+    )
+    SELECT p.ante_brand, p.cons_brand,
+           CAST(p.pair_n AS BIGINT) AS pair_n,
+           round(p.pair_n * 1.0 / n.n, 6) AS support,
+           round(p.pair_n * 1.0 / ba.bn, 6) AS confidence,
+           round(p.pair_n * 1.0 * n.n / (ba.bn * bc.bn), 6) AS lift
+    FROM pair_n p
+    JOIN brand_n ba ON ba.brand = p.ante_brand
+    JOIN brand_n bc ON bc.brand = p.cons_brand
+    CROSS JOIN n_orders n
+    WHERE p.pair_n >= {MIN_PAIR_N}
+    """
+
+
+@query("q_association_rules", oracle=_RULES_ORACLE)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed brand→brand association rules with support/confidence/lift.
+
+    support(A→B) = P(A,B); confidence = P(B|A); lift = P(A,B)/(P(A)P(B)).
+    lift > 1 means the pair co-occurs more than independence predicts.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    baskets = ob.groupBy("l_orderkey").agg(
+        F.collect_set("brand").alias("bs")
+    )
+
+    # Directed pairs inside codegen: for each a in basket, every b != a.
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "bs",
+                lambda a: F.filter(
+                    F.transform(
+                        "bs",
+                        lambda b: F.struct(
+                            a.alias("ante_brand"), b.alias("cons_brand")
+                        ),
+                    ),
+                    lambda s: s["ante_brand"] != s["cons_brand"],
+                ),
+            )
+        )
+    )
+    pairs = (
+        baskets.select(pair.alias("pr"))
+        .select("pr.ante_brand", "pr.cons_brand")
+        .groupBy("ante_brand", "cons_brand")
+        .count()
+        .withColumnRenamed("count", "pair_n")
+        .filter(F.col("pair_n") >= MIN_PAIR_N)
+    )
+
+    brand_n = ob.groupBy("brand").agg(F.count("*").alias("bn"))
+    n_orders = baskets.agg(F.count("*").alias("n"))
+
+    ba = brand_n.select(
+        F.col("brand").alias("ante_brand"), F.col("bn").alias("bn_a")
+    )
+    bc = brand_n.select(
+        F.col("brand").alias("cons_brand"), F.col("bn").alias("bn_c")
+    )
+    return (
+        pairs.join(F.broadcast(ba), "ante_brand")
+        .join(F.broadcast(bc), "cons_brand")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "ante_brand",
+            "cons_brand",
+            "pair_n",
+            F.round(F.col("pair_n") / F.col("n"), 6).alias("support"),
+            F.round(F.col("pair_n") / F.col("bn_a"), 6).alias("confidence"),
+            F.round(
+                F.col("pair_n") * F.col("n") / (F.col("bn_a") * F.col("bn_c")),
+                6,
+            ).alias("lift"),
+        )
+    )

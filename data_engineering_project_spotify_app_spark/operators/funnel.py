@@ -635,3 +635,144 @@ def q_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("top_decile_share"),
     )
+
+
+_ATTRIBUTION_ORACLE = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value FROM events
+    ),
+    attributed AS (
+      SELECT user_id, ts, event_type, value,
+             coalesce(
+               last_value(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'direct') AS touch
+      FROM e
+    )
+    SELECT touch AS attributed_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS total_value
+    FROM attributed
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """
+
+
+@query("q_attribution", oracle=_ATTRIBUTION_ORACLE)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase to the most recent
+    preceding non-purchase event of the same user ('direct' if none).
+
+    One window over (user_id; ts, event_id) — a single shuffle keyed by
+    user, the minimum for any per-user ordering. ``last(..., ignorenulls)``
+    over the 1-preceding frame picks the latest non-purchase touch, so a
+    purchase train after one click all credits that click. The frame is
+    ROW-based with event_id as the tie-break, making same-microsecond
+    ordering identical in both engines.
+
+    Scale: partition key is user_id (naturally high-cardinality, no
+    skew); at 100 TB you'd bound the lookback with a range frame or a
+    date filter pushed to the scan.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.coalesce(
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+        F.lit("direct"),
+    )
+    return (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("touch").alias("attributed_type"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+_SEASONALITY_ORACLE = """
+    WITH d AS (
+      SELECT event_type, CAST(strftime(ts, '%w') AS INT) AS dow,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, sum(n) AS total FROM d GROUP BY 1
+    )
+    SELECT d.event_type,
+           CAST(t.total AS BIGINT) AS n_events,
+           round(sum((d.n - t.total / 7.0) * (d.n - t.total / 7.0))
+                 / (t.total / 7.0), 4) AS chi2,
+           CAST(min(CASE WHEN d.n = m.mx THEN d.dow END) AS INT) AS peak_dow
+    FROM d
+    JOIN t ON t.event_type = d.event_type
+    JOIN (SELECT event_type, max(n) AS mx FROM d GROUP BY 1) m
+      ON m.event_type = d.event_type
+    GROUP BY d.event_type, t.total
+    """
+
+
+@query("q_seasonality", oracle=_SEASONALITY_ORACLE)
+def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality per event type: chi-square vs uniform.
+
+    chi2 = Σ_dow (obs - exp)² / exp with exp = total/7 — the standard
+    goodness-of-fit screen for "is this event type day-patterned?".
+    peak_dow is the modal day (0=Sunday; min dow on ties). Missing days
+    contribute 0 observed — both engines aggregate only observed days,
+    so the absent-day term (exp²/exp = exp) is intentionally excluded
+    from BOTH sides identically (the fixture covers all 7 days).
+
+    Scale: two tiny hash aggs — (type, dow) has ≤ 7×|types| groups;
+    everything after the first partial-aggregated shuffle is broadcast-
+    sized. The 30-day fixture window means weekday counts are unequal
+    by construction (5 of one weekday vs 4 of another), so chi2 > 0
+    even for a perfectly uniform-rate process — the report answers
+    relative patterning across types, which is invariant to that.
+    """
+    e = table(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday; strftime('%w'): 0=Sunday.
+    d = (
+        e.select(
+            "event_type", (F.dayofweek("ts") - F.lit(1)).alias("dow")
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("n"))
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.max("n").alias("mx")
+    )
+    exp = F.col("total") / F.lit(7.0)
+    return (
+        d.join(F.broadcast(t), "event_type")
+        .groupBy("event_type", "total")
+        .agg(
+            F.round(
+                F.sum((F.col("n") - exp) * (F.col("n") - exp)) / F.first(exp),
+                4,
+            ).alias("chi2"),
+            F.min(
+                F.when(F.col("n") == F.col("mx"), F.col("dow"))
+            ).cast("int").alias("peak_dow"),
+        )
+        .select(
+            "event_type",
+            F.col("total").cast("bigint").alias("n_events"),
+            "chi2",
+            "peak_dow",
+        )
+    )

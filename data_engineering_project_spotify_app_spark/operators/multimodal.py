@@ -317,3 +317,52 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     return extract_features(binary_df)
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    SELECT sha256(text) AS payload_sha256,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(length(text)) AS BIGINT) AS payload_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup of opaque BINARY payloads by content digest.
+
+    The multimodal twin of q_dedup_exact (dedup.py:78): image/audio/video
+    blobs can't be compared as text, so identity is the SHA-256 of the
+    raw bytes — computed JVM-side on the binary column (no decode, no
+    Python). Output is one row per distinct payload with the kept
+    representative (min doc_id) and the copy count; a storage layer
+    would keep one blob per row of this table.
+
+    Oracle equivalence: the payload is the UTF-8 encoding of
+    documents.text and the fixture text is ASCII, so sha256(text) in
+    DuckDB hashes the identical byte string.
+
+    Scale: the only shuffle key is the 32-byte digest — uniform by
+    construction, partial-aggregated map-side; 100 TB of blobs shuffle
+    only (digest, min_id, count, bytes) tuples. The blob bytes
+    themselves never leave the scan stage.
+    """
+    d = table(spark, sf_dir, "documents")
+    payloads = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return (
+        payloads.select(
+            F.sha2("payload", 256).alias("payload_sha256"),
+            "doc_id",
+            F.length("payload").cast("bigint").alias("nbytes"),
+        )
+        .groupBy("payload_sha256")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+            F.min("nbytes").alias("payload_bytes"),
+        )
+    )

@@ -47,6 +47,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all_modules() -> None:
     """Import every operator module so registration side-effects run."""
     from data_engineering_project_spotify_app_spark.operators import (  # noqa: F401
+        affinity,
         bpe,
         clusters,
         core,
@@ -62,6 +63,7 @@ def load_all_modules() -> None:
         ivf_adc,
         linedup,
         mlops,
+        moments,
         pq,
         quality,
         scale_ops,

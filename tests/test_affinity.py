@@ -1,0 +1,90 @@
+"""Association-rule identities + attribution/seasonality semantics.
+
+The DuckDB-differential equality is covered by test_oracle_parity; these
+pin the *mathematical* identities of the measures and a pandas reference
+for last-touch attribution.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from data_engineering_project_spotify_app_spark.operators.affinity import (
+    q_association_rules,
+)
+from data_engineering_project_spotify_app_spark.operators.funnel import (
+    q_attribution,
+    q_seasonality,
+)
+from data_engineering_project_spotify_app_spark.tables import table
+
+
+def test_association_rule_identities(spark, sf_dir):
+    rules = q_association_rules(spark, sf_dir).toPandas()
+    assert len(rules) > 0
+    by_pair = {
+        (r.ante_brand, r.cons_brand): r for r in rules.itertuples(index=False)
+    }
+    for (a, b), r in by_pair.items():
+        rev = by_pair.get((b, a))
+        if rev is not None:
+            # support and lift are symmetric in {A,B}; confidence is not.
+            assert abs(r.support - rev.support) < 1e-9
+            assert abs(r.lift - rev.lift) < 2e-6  # each rounded to 6
+        # lift = confidence / P(cons) => confidence = support/P(ante):
+        # both > 0 and confidence >= support always.
+        assert 0 < r.support <= r.confidence <= 1.0 + 1e-9
+        assert r.lift > 0
+
+
+def test_attribution_matches_pandas(spark, sf_dir):
+    e = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .toPandas()
+    )
+    e = e.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    out_rows = []
+    for _, g in e.groupby("user_id", sort=False):
+        last_touch = None
+        for r in g.itertuples(index=False):
+            if r.event_type == "purchase":
+                out_rows.append((last_touch or "direct", r.value))
+            else:
+                last_touch = r.event_type
+    ref = (
+        pd.DataFrame(out_rows, columns=["attributed_type", "value"])
+        .groupby("attributed_type")
+        .agg(n_purchases=("value", "size"), total_value=("value", "sum"))
+        .reset_index()
+    )
+    ref["total_value"] = ref["total_value"].round(4)
+    got = (
+        q_attribution(spark, sf_dir)
+        .toPandas()
+        .sort_values("attributed_type")
+        .reset_index(drop=True)
+    )
+    ref = ref.sort_values("attributed_type").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"n_purchases": "int64"}),
+        ref.astype({"n_purchases": "int64"}),
+        check_exact=False,
+        atol=1e-4,
+    )
+
+
+def test_seasonality_semantics(spark, sf_dir):
+    out = q_seasonality(spark, sf_dir).toPandas()
+    e = table(spark, sf_dir, "events").toPandas()
+    for r in out.itertuples(index=False):
+        sub = e[e.event_type == r.event_type]
+        assert r.n_events == len(sub)
+        # dayofweek with 0=Sunday, matching strftime('%w').
+        dow = ((sub["ts"].dt.dayofweek + 1) % 7).value_counts()
+        exp = len(sub) / 7.0
+        chi2 = float(((dow - exp) ** 2 / exp).sum())
+        assert abs(chi2 - r.chi2) < 1e-3
+        assert r.peak_dow == int(min(dow[dow == dow.max()].index))
+        assert 0 <= r.peak_dow <= 6

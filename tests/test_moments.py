@@ -1,0 +1,56 @@
+"""Distributed covariance + PCA vs a direct numpy reference."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from data_engineering_project_spotify_app_spark.operators.moments import (
+    assemble_covariance,
+    pca_top_components,
+    q_embedding_covariance,
+)
+from data_engineering_project_spotify_app_spark.tables import table
+
+
+def _collect_matrix(spark, sf_dir) -> np.ndarray:
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+
+def test_covariance_matches_numpy(spark, sf_dir):
+    x = _collect_matrix(spark, sf_dir)
+    ref = np.cov(x.T, bias=True)  # population covariance, d × d
+    got = assemble_covariance(
+        [r.asDict() for r in q_embedding_covariance(spark, sf_dir).collect()]
+    )
+    assert got.shape == ref.shape
+    # Engine output is rounded to 6 decimals; allow that quantization.
+    assert np.abs(got - ref).max() < 1e-6
+
+
+def test_pca_top_components(spark, sf_dir):
+    x = _collect_matrix(spark, sf_dir)
+    ref_cov = np.cov(x.T, bias=True)
+    ref_vals, ref_vecs = np.linalg.eigh(ref_cov)
+    ref_order = np.argsort(ref_vals)[::-1]
+
+    vals, comps = pca_top_components(spark, sf_dir, k=2)
+    assert vals[0] >= vals[1] > 0
+    np.testing.assert_allclose(vals, ref_vals[ref_order][:2], atol=1e-4)
+    # Eigenvectors are sign-ambiguous: compare |cosine| of spans.
+    for k in range(2):
+        ref_v = ref_vecs[:, ref_order[k]]
+        cos = abs(float(comps[k] @ ref_v))
+        assert cos > 0.999, f"component {k} misaligned: |cos|={cos}"
+    # Eigen-residual on the engine's own matrix: C v ≈ λ v.
+    got_cov = assemble_covariance(
+        [r.asDict() for r in q_embedding_covariance(spark, sf_dir).collect()]
+    )
+    for k in range(2):
+        resid = np.abs(got_cov @ comps[k] - vals[k] * comps[k]).max()
+        assert resid < 1e-4, resid
