@@ -448,3 +448,99 @@ def burst_detect_stream(
         F.round(z, 4).alias("z"),
         (F.round(z, 4) >= z_threshold).alias("is_burst"),
     )
+
+
+def burst_detect_refit(
+    events: DataFrame,
+    store_dir: str,
+    z_threshold: float = 2.0,
+) -> "object":
+    """Burst flagging with a CONTINUOUSLY RE-FIT baseline (foreachBatch).
+
+    burst_detect_stream scores against a baseline trained once batch-side;
+    production re-fits that baseline on a schedule. This is the re-fit
+    loop as one self-contained streaming pipeline:
+
+    per micro-batch (epoch):
+      1. BASELINE — read the persistent day-count store and fit per-type
+         (mu, sd) over complete history days STRICTLY BEFORE the batch's
+         first day (train on history, score the live window; a day never
+         scores against partials of itself).
+      2. SCORE — z-score the batch's per-(type, day) counts against that
+         baseline; a type with no history flows with z = NULL ("no
+         baseline yet", not a silent drop). Flags append to
+         ``store_dir/flags`` with the epoch id.
+      3. MERGE — append the batch's (type, day, n) partials to the store.
+         The store is MERGE-ON-READ: append-only partial rows, summed at
+         read time, so a crash between 2 and 3 never corrupts it (re-fit
+         reads a prefix; the restarted batch re-appends). Periodic
+         compaction of the partials is sources.ingest.compact_entity's
+         verified-swap job.
+
+    Returns the DataStreamWriter (caller starts it). Scale: each batch
+    reduces to O(types × days) tuples before anything is written; the
+    baseline frame is O(types) and broadcast into the score join.
+    """
+    import os
+
+    from pyspark.sql import functions as SF
+
+    counts_path = os.path.join(store_dir, "daycounts")
+    flags_path = os.path.join(store_dir, "flags")
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        day_counts = (
+            batch_df.select(SF.to_date("ts").alias("day"), "event_type")
+            .groupBy("event_type", "day")
+            .agg(SF.count("*").alias("n"))
+            .cache()
+        )
+        try:
+            first_day = day_counts.agg(SF.min("day")).collect()[0][0]
+            if first_day is None:
+                return
+            try:
+                store = spark.read.parquet(counts_path)
+            except Exception:
+                store = None
+            if store is not None:
+                baseline = (
+                    store.filter(SF.col("day") < SF.lit(first_day))
+                    .groupBy("event_type", "day")
+                    .agg(SF.sum("n").alias("dn"))
+                    .groupBy("event_type")
+                    .agg(
+                        SF.avg("dn").alias("mu"),
+                        SF.stddev_pop("dn").alias("sd"),
+                    )
+                )
+                scored = day_counts.join(
+                    SF.broadcast(baseline), "event_type", "left"
+                )
+            else:
+                scored = day_counts.select(
+                    "*",
+                    SF.lit(None).cast("double").alias("mu"),
+                    SF.lit(None).cast("double").alias("sd"),
+                )
+            z = SF.when(SF.col("sd") == 0, SF.lit(0.0)).otherwise(
+                (SF.col("n") - SF.col("mu")) / SF.col("sd")
+            )
+            (
+                scored.select(
+                    SF.lit(epoch_id).alias("epoch"),
+                    "day",
+                    "event_type",
+                    SF.col("n").alias("n_events"),
+                    SF.round(z, 4).alias("z"),
+                    (SF.round(z, 4) >= z_threshold).alias("is_burst"),
+                )
+                .write.mode("append")
+                .parquet(flags_path)
+            )
+            day_counts.write.mode("append").parquet(counts_path)
+        finally:
+            day_counts.unpersist()
+
+    return events.writeStream.foreachBatch(process).outputMode("update")
