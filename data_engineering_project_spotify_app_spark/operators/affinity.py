@@ -137,3 +137,89 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_AUDIENCE_ORACLE = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tn AS (SELECT event_type, count(*) AS un FROM ut GROUP BY 1),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           CAST(i.n_both AS BIGINT) AS n_both,
+           CAST(ta.un AS BIGINT) AS n_a,
+           CAST(tb.un AS BIGINT) AS n_b,
+           round(i.n_both * 1.0 / (ta.un + tb.un - i.n_both), 6) AS jaccard
+    FROM inter i
+    JOIN tn ta ON ta.event_type = i.type_a
+    JOIN tn tb ON tb.event_type = i.type_b
+    """
+
+
+@query("q_audience_overlap", oracle=_AUDIENCE_ORACLE)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: exact Jaccard of user sets
+    for every unordered type pair — "how much of the clicking audience
+    also purchases?". Same in-plan pair generation as
+    q_association_rules at the user grain: ONE collect_set shuffle per
+    user, unordered pairs exploded inside codegen, |types|²-sized
+    everything after. |A∪B| folds from the per-type totals
+    (n_a + n_b − n_both) — no second pass over users.
+
+    The exact twin of what q_kmv_set_ops estimates with sketches; at
+    100 TB you run THIS for the handful of headline pairs and the
+    sketch for the full pairwise matrix.
+    """
+    ut = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    sets = ut.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                "ts",
+                lambda a: F.filter(
+                    F.transform(
+                        "ts",
+                        lambda b: F.struct(
+                            a.alias("type_a"), b.alias("type_b")
+                        ),
+                    ),
+                    lambda s: s["type_a"] < s["type_b"],
+                ),
+            )
+        )
+    )
+    inter = (
+        sets.select(pair.alias("pr"))
+        .select("pr.type_a", "pr.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    tn = ut.groupBy("event_type").agg(F.count("*").alias("un"))
+    ta = tn.select(F.col("event_type").alias("type_a"), F.col("un").alias("n_a"))
+    tb = tn.select(F.col("event_type").alias("type_b"), F.col("un").alias("n_b"))
+    return (
+        inter.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -776,3 +776,130 @@ def q_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_dow",
         )
     )
+
+
+_LEVEL_SHIFT_ORACLE = """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, n,
+             avg(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS pre_mean,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS pre_n,
+             avg(n) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+               AS post_mean,
+             count(*) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING)
+               AS post_n
+      FROM d
+    )
+    SELECT event_type, day,
+           CAST(n AS BIGINT) AS n_events,
+           round(pre_mean, 4) AS pre_mean,
+           round(post_mean, 4) AS post_mean,
+           round(post_mean - pre_mean, 4) AS shift
+    FROM w
+    WHERE pre_n = 3 AND post_n = 3
+    """
+
+
+@query("q_level_shift", oracle=_LEVEL_SHIFT_ORACLE)
+def q_level_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift (change-point) screen on the daily event-rate series:
+    for every day with a full 3-day window on BOTH sides, the jump
+    between the trailing-3-day mean (strictly before the day) and the
+    3-day mean starting at the day. The complement to q_burst_detection:
+    bursts catch one-day spikes vs a global baseline; this catches
+    SUSTAINED rate changes (deploys, campaign starts) the spike z-score
+    smears out. Row-count ROWS frames + the full-window predicate make
+    both engines agree exactly at series edges.
+
+    Scale: the daily pre-agg reduces the stream to |types|×|days| rows
+    BEFORE the window shuffle, so the per-type ordered windows run over
+    a tiny frame regardless of corpus size — the window partition key is
+    event_type, acceptable precisely because of that pre-reduction.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    d = (
+        e.select("event_type", F.to_date("ts").alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    wp = Window.partitionBy("event_type").orderBy("day")
+    pre = wp.rowsBetween(-3, -1)
+    post = wp.rowsBetween(0, 2)
+    return (
+        d.select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n_events"),
+            F.avg("n").over(pre).alias("pre_raw"),
+            F.count("*").over(pre).alias("pre_n"),
+            F.avg("n").over(post).alias("post_raw"),
+            F.count("*").over(post).alias("post_n"),
+        )
+        .filter((F.col("pre_n") == 3) & (F.col("post_n") == 3))
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.round("pre_raw", 4).alias("pre_mean"),
+            F.round("post_raw", 4).alias("post_mean"),
+            # Rounded LAST from the raw means (round(a-b) != round(a)-round(b)).
+            F.round(F.col("post_raw") - F.col("pre_raw"), 4).alias("shift"),
+        )
+    )
+
+
+_TRIGRAM_PATHS_ORACLE = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type AS t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    ORDER BY n DESC, t1, t2, t3
+    LIMIT 20
+    """
+
+
+@query("q_trigram_paths", oracle=_TRIGRAM_PATHS_ORACLE)
+def q_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 behavior paths: consecutive event-type triples
+    within one user's (ts, event_id)-ordered timeline — the order-2
+    extension of q_markov_transitions (same shuffle, two leads instead
+    of one lag). Deterministic top-k tie-break on the path itself.
+
+    Scale: one user-keyed window shuffle; the path counts are at most
+    |types|³ rows and the global top-20 is a tiny final sort.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            F.col("event_type").alias("t1"),
+            F.lead("event_type", 1).over(w).alias("t2"),
+            F.lead("event_type", 2).over(w).alias("t3"),
+        )
+        .filter(F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(20)
+    )

@@ -415,3 +415,30 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
         .select("pc.part_key", "pc.cnt")
     )
     return contrib.groupBy("part_key").agg(F.sum("cnt").alias("n_triangles"))
+
+
+@query(
+    "q_degree_histogram",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT src, count(*) AS degree FROM e0 GROUP BY src)
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(count(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1
+    """,
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph: how many nodes have
+    each degree — the first diagnostic run on any derived graph (heavy
+    right tail ⇒ hub nodes ⇒ salt or cap before any per-node pairwise
+    op; the bucket caps in dedup.py exist because of exactly this
+    shape). Edges are emitted in both orientations, so out-degree =
+    total degree.
+
+    Scale: degree is a hash agg on src over the edge list, and the
+    histogram re-agg is |distinct degrees| rows — two partial-aggregated
+    shuffles, each strictly smaller than its input.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))

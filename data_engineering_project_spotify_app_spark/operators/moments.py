@@ -126,3 +126,115 @@ def pca_top_components(spark: SparkSession, sf_dir: str, k: int = 2):
     vals, vecs = np.linalg.eigh(m)
     order = np.argsort(vals)[::-1][:k]
     return vals[order], vecs[:, order].T
+
+
+_QUANT_ORACLE = f"""
+    WITH pos AS (
+      SELECT CAST(unnest(generate_series(1, {EMB_DIM})) AS INT) AS i
+    ),
+    v AS (
+      SELECT p.i, CAST(e.embedding[p.i] AS DOUBLE) AS x
+      FROM embeddings e, pos p
+    ),
+    st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM v GROUP BY i),
+    d AS (
+      SELECT v.i, v.x, st.mn, (st.mx - st.mn) / 255.0 AS sc,
+             CASE WHEN st.mx = st.mn THEN st.mn
+                  ELSE st.mn + floor((v.x - st.mn) / ((st.mx - st.mn) / 255.0)
+                                     + 0.5) * ((st.mx - st.mn) / 255.0)
+             END AS dq
+      FROM v JOIN st ON st.i = v.i
+    )
+    SELECT i AS dim,
+           round(min(mn), 6) AS zero_point,
+           round(min(sc), 9) AS q_scale,
+           round(avg((dq - x) * (dq - x)), 9) AS mse
+    FROM d GROUP BY i
+    """
+
+
+@query("q_embedding_quantize", oracle=_QUANT_ORACLE)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension INT8 affine quantization report: for each dim, the
+    (zero_point, scale) affine code with 256 levels over the observed
+    range, and the reconstruction MSE it would cost — the calibration
+    table an embedding store computes before quantizing 100 TB of
+    vectors (the storage/recall trade behind q_pq_encode's codebooks;
+    this is the uniform-scalar baseline PQ must beat).
+
+    Two corpus passes, both mapInPandas over Arrow batches with numpy
+    column-min/max/SSE per partition — per-dim partials only, the
+    vectors never shuffle. Between passes the d-row stats frame is
+    collected to the driver (KB-sized at any corpus scale, the same
+    split as pca_top_components) and closed over by the second pass.
+    Quantization uses floor(v + 0.5) — identical half-away rounding in
+    numpy and DuckDB, so dq is the SAME double in both engines; only
+    the MSE mean is summation-order-sensitive, handled by round(9).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def stats_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "i": np.arange(1, x.shape[1] + 1, dtype=np.int32),
+                    "mn": x.min(axis=0),
+                    "mx": x.max(axis=0),
+                }
+            )
+
+    stats = (
+        e.select("embedding")
+        .mapInPandas(stats_gen, "i int, mn double, mx double")
+        .groupBy("i")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .collect()
+    )
+    dim = max(r["i"] for r in stats)
+    mn = np.zeros(dim)
+    mx = np.zeros(dim)
+    for r in stats:
+        mn[r["i"] - 1] = r["mn"]
+        mx[r["i"] - 1] = r["mx"]
+    sc = (mx - mn) / 255.0
+
+    def sse_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                dq = mn + np.floor((x - mn) / sc + 0.5) * sc
+            dq = np.where(mx == mn, mn, dq)
+            err = dq - x
+            yield pd.DataFrame(
+                {
+                    "i": np.arange(1, x.shape[1] + 1, dtype=np.int32),
+                    "n": np.full(x.shape[1], len(pdf), dtype=np.int64),
+                    "sse": (err * err).sum(axis=0),
+                }
+            )
+
+    stat_rows = spark.createDataFrame(
+        [(i + 1, float(mn[i]), float(sc[i])) for i in range(dim)],
+        "i int, zp double, sc double",
+    )
+    return (
+        e.select("embedding")
+        .mapInPandas(sse_gen, "i int, n long, sse double")
+        .groupBy("i")
+        .agg(F.sum("n").alias("n"), F.sum("sse").alias("sse"))
+        .join(F.broadcast(stat_rows), "i")
+        .select(
+            F.col("i").alias("dim"),
+            F.round("zp", 6).alias("zero_point"),
+            F.round("sc", 9).alias("q_scale"),
+            F.round(F.col("sse") / F.col("n"), 9).alias("mse"),
+        )
+    )

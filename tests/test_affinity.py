@@ -88,3 +88,63 @@ def test_seasonality_semantics(spark, sf_dir):
         assert abs(chi2 - r.chi2) < 1e-3
         assert r.peak_dow == int(min(dow[dow == dow.max()].index))
         assert 0 <= r.peak_dow <= 6
+
+
+def test_audience_overlap_identities(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.affinity import (
+        q_audience_overlap,
+    )
+
+    out = q_audience_overlap(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["type_a"] < r["type_b"]
+        assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
+        union = r["n_a"] + r["n_b"] - r["n_both"]
+        assert abs(r["jaccard"] - r["n_both"] / union) < 1e-6
+
+
+def test_trigram_paths_consistent_with_markov(spark, sf_dir):
+    """Σ trigram counts (over ALL paths) = Σ per-user max(0, n_events-2);
+    and every path's count can't exceed its prefix bigram's count."""
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_markov_transitions,
+        q_trigram_paths,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+    from pyspark.sql import functions as F
+
+    bigrams = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in q_markov_transitions(spark, sf_dir).collect()
+    }
+    for r in q_trigram_paths(spark, sf_dir).collect():
+        assert r["n"] <= bigrams[(r["t1"], r["t2"])]
+        assert r["n"] <= bigrams[(r["t2"], r["t3"])]
+
+
+def test_level_shift_matches_pandas(spark, sf_dir):
+    import pandas as pd
+
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_level_shift,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    e = table(spark, sf_dir, "events").toPandas()
+    e["day"] = e["ts"].dt.date
+    got = q_level_shift(spark, sf_dir).toPandas()
+    for etype, g in e.groupby("event_type"):
+        daily = g.groupby("day").size().sort_index()
+        sub = got[got.event_type == etype].set_index("day")
+        days = list(daily.index)
+        for k, day in enumerate(days):
+            if k < 3 or k > len(days) - 3:
+                assert day not in sub.index
+                continue
+            pre = daily.iloc[k - 3 : k].mean()
+            post = daily.iloc[k : k + 3].mean()
+            r = sub.loc[day]
+            assert abs(r["pre_mean"] - round(pre, 4)) < 1e-9
+            assert abs(r["post_mean"] - round(post, 4)) < 1e-9
+            assert abs(r["shift"] - round(post - pre, 4)) < 1e-9

@@ -8,6 +8,7 @@ from data_engineering_project_spotify_app_spark.operators.moments import (
     assemble_covariance,
     pca_top_components,
     q_embedding_covariance,
+    q_embedding_quantize,
 )
 from data_engineering_project_spotify_app_spark.tables import table
 
@@ -54,3 +55,19 @@ def test_pca_top_components(spark, sf_dir):
     for k in range(2):
         resid = np.abs(got_cov @ comps[k] - vals[k] * comps[k]).max()
         assert resid < 1e-4, resid
+
+
+def test_quantize_error_bound(spark, sf_dir):
+    """Uniform INT8 quantization error is bounded by (scale/2)² per value,
+    so per-dim MSE must be ≤ scale²/4 (and ≥ 0)."""
+    out = q_embedding_quantize(spark, sf_dir).collect()
+    assert len(out) == 64
+    for r in out:
+        assert r["q_scale"] >= 0
+        assert 0 <= r["mse"] <= r["q_scale"] ** 2 / 4 + 1e-12, r
+    # Quantization at 8 bits should be a small relative error: MSE far
+    # below the dim's variance (range²/12 would be 1-bit).
+    x = _collect_matrix(spark, sf_dir)
+    var = x.var(axis=0)
+    for r in out:
+        assert r["mse"] < var[r["dim"] - 1] / 100
