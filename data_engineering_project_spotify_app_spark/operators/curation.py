@@ -514,3 +514,116 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out.select(*cols)
+
+
+_QNORM_ORACLE = """
+    WITH s AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ),
+    g AS (
+      SELECT n_chars AS val,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS gr
+      FROM documents
+    ),
+    nn AS (SELECT count(*) AS n FROM documents),
+    p AS (
+      SELECT doc_id, source, n_chars,
+             CASE WHEN ns = 1 THEN 0.5
+                  ELSE (r - 1.0) / (ns - 1.0) END AS pct
+      FROM s
+    ),
+    pos AS (
+      SELECT p.*, 1.0 + p.pct * (nn.n - 1.0) AS pos FROM p CROSS JOIN nn
+    )
+    SELECT pos.doc_id, pos.source,
+           CAST(pos.n_chars AS BIGINT) AS n_chars,
+           round(pos.pct, 6) AS pct,
+           round(lo.val + (pos.pos - floor(pos.pos)) * (hi.val - lo.val), 4)
+             AS normalized
+    FROM pos
+    JOIN g lo ON lo.gr = CAST(floor(pos.pos) AS BIGINT)
+    JOIN g hi ON hi.gr = CAST(ceil(pos.pos) AS BIGINT)
+    """
+
+
+@query("q_quantile_normalize", oracle=_QNORM_ORACLE)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization across sources: map each document's
+    length onto the GLOBAL length distribution at its WITHIN-SOURCE
+    percentile — after it, every source has the same marginal
+    distribution (the microarray-normalization trick, standard for
+    making per-source quality/length scores comparable before a global
+    threshold is applied; the cross-source twin of q_robust_scale's
+    per-source winsorized z).
+
+    Scale-safe ranking, zero data-sized windows:
+    - ONE two-phase global rank over the composite key (source,
+      n_chars, doc_id) yields within-source ranks after subtracting
+      each source's broadcast min-rank (the q_epoch_shuffle pattern —
+      a per-source window would funnel corpus/|sources| through one
+      task);
+    - a SECOND two-phase rank over (n_chars, doc_id) gives the global
+      order; the percentile position interpolates between the two
+      bracketing globally-ranked values via two integer-rank joins
+      (shuffle joins on a dense bigint key — co-partitioned, no skew).
+    """
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        two_phase_global_rank,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    # Within-source rank from ONE composite-key global rank.
+    comp = two_phase_global_rank(
+        d, [F.col("source"), F.col("n_chars"), F.col("doc_id")], 8
+    ).withColumnRenamed("rn", "crn")
+    src_off = comp.groupBy("source").agg(
+        F.min("crn").alias("min_rn"), F.count("*").alias("ns")
+    )
+    p = (
+        comp.join(F.broadcast(src_off), "source")
+        .withColumn("r", F.col("crn") - F.col("min_rn") + 1)
+        .withColumn(
+            "pct",
+            F.when(F.col("ns") == 1, F.lit(0.5)).otherwise(
+                (F.col("r") - 1.0) / (F.col("ns") - 1.0)
+            ),
+        )
+        .select("doc_id", "source", "n_chars", "pct", "n")
+    )
+    # Global order of values for the interpolation lookup.
+    g = (
+        two_phase_global_rank(
+            d.select(F.col("n_chars").alias("val"), "doc_id"),
+            [F.col("val"), F.col("doc_id")],
+            8,
+        )
+        .select("val", F.col("rn").alias("gr"))
+    )
+    pos = F.lit(1.0) + F.col("pct") * (F.col("n") - F.lit(1.0))
+    lo = g.select(F.col("gr").alias("lo_gr"), F.col("val").alias("lo_val"))
+    hi = g.select(F.col("gr").alias("hi_gr"), F.col("val").alias("hi_val"))
+    return (
+        p.withColumn("pos", pos)
+        .withColumn("lo_gr", F.floor("pos").cast("bigint"))
+        .withColumn("hi_gr", F.ceil("pos").cast("bigint"))
+        .join(lo, "lo_gr")
+        .join(hi, "hi_gr")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round("pct", 6).alias("pct"),
+            F.round(
+                F.col("lo_val")
+                + (F.col("pos") - F.floor("pos"))
+                * (F.col("hi_val") - F.col("lo_val")),
+                4,
+            ).alias("normalized"),
+        )
+    )

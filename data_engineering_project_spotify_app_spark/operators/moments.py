@@ -128,6 +128,42 @@ def pca_top_components(spark: SparkSession, sf_dir: str, k: int = 2):
     return vals[order], vecs[:, order].T
 
 
+def _dim_stats(e: DataFrame):
+    """Distributed per-dim (min, max) + derived INT8 scale, collected to
+    the driver (d rows — KB-sized at any corpus scale). One mapInPandas
+    pass with numpy column partials per partition."""
+    import numpy as np
+    import pandas as pd
+
+    def stats_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "i": np.arange(1, x.shape[1] + 1, dtype=np.int32),
+                    "mn": x.min(axis=0),
+                    "mx": x.max(axis=0),
+                }
+            )
+
+    stats = (
+        e.select("embedding")
+        .mapInPandas(stats_gen, "i int, mn double, mx double")
+        .groupBy("i")
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .collect()
+    )
+    dim = max(r["i"] for r in stats)
+    mn = np.zeros(dim)
+    mx = np.zeros(dim)
+    for r in stats:
+        mn[r["i"] - 1] = r["mn"]
+        mx[r["i"] - 1] = r["mx"]
+    return mn, mx, (mx - mn) / 255.0
+
+
 _QUANT_ORACLE = f"""
     WITH pos AS (
       SELECT CAST(unnest(generate_series(1, {EMB_DIM})) AS INT) AS i
@@ -175,34 +211,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = table(spark, sf_dir, "embeddings")
-
-    def stats_gen(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            yield pd.DataFrame(
-                {
-                    "i": np.arange(1, x.shape[1] + 1, dtype=np.int32),
-                    "mn": x.min(axis=0),
-                    "mx": x.max(axis=0),
-                }
-            )
-
-    stats = (
-        e.select("embedding")
-        .mapInPandas(stats_gen, "i int, mn double, mx double")
-        .groupBy("i")
-        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
-        .collect()
-    )
-    dim = max(r["i"] for r in stats)
-    mn = np.zeros(dim)
-    mx = np.zeros(dim)
-    for r in stats:
-        mn[r["i"] - 1] = r["mn"]
-        mx[r["i"] - 1] = r["mx"]
-    sc = (mx - mn) / 255.0
+    mn, mx, sc = _dim_stats(e)
 
     def sse_gen(batches):
         for pdf in batches:
@@ -222,7 +231,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     stat_rows = spark.createDataFrame(
-        [(i + 1, float(mn[i]), float(sc[i])) for i in range(dim)],
+        [(i + 1, float(mn[i]), float(sc[i])) for i in range(len(mn))],
         "i int, zp double, sc double",
     )
     return (
@@ -237,4 +246,155 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sc", 9).alias("q_scale"),
             F.round(F.col("sse") / F.col("n"), 9).alias("mse"),
         )
+    )
+
+
+ANNQ_QUERIES = 10  # vec_id < ANNQ_QUERIES are the probe queries
+ANNQ_K = 5
+
+
+_ANNQ_ORACLE = f"""
+    WITH pos AS (
+      SELECT CAST(unnest(generate_series(1, {EMB_DIM})) AS INT) AS i
+    ),
+    v AS (
+      SELECT e.vec_id, p.i, CAST(e.embedding[p.i] AS DOUBLE) AS x
+      FROM embeddings e, pos p
+    ),
+    st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM v GROUP BY i),
+    d AS (
+      SELECT v.vec_id, v.i,
+             CASE WHEN st.mx = st.mn THEN st.mn
+                  ELSE st.mn + floor((v.x - st.mn) / ((st.mx - st.mn) / 255.0)
+                                     + 0.5) * ((st.mx - st.mn) / 255.0)
+             END AS dq
+      FROM v JOIN st ON st.i = v.i
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(dq * dq)) AS nrm FROM d GROUP BY 1),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             sum(q.dq * c.dq) AS dot
+      FROM d q JOIN d c ON c.i = q.i AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {ANNQ_QUERIES}
+      GROUP BY 1, 2
+    ),
+    sims AS (
+      SELECT dots.query_id, dots.neighbor_id,
+             round(dots.dot / (nq.nrm * nc.nrm), 4) + 0.0 AS sim
+      FROM dots
+      JOIN nrm nq ON nq.vec_id = dots.query_id
+      JOIN nrm nc ON nc.vec_id = dots.neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM sims
+    )
+    WHERE rnk <= {ANNQ_K}
+    """
+
+
+@query("q_ann_quantized", oracle=_ANNQ_ORACLE)
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k over INT8-DEQUANTIZED vectors: search on the 4×-
+    compressed representation q_embedding_quantize calibrates — the
+    memory/recall trade every large vector store makes (SQ8 in FAISS
+    terms). Same query protocol as q_cosine_topk (its exact twin), so
+    the two registrations side-by-side measure what 8-bit costs.
+
+    Spark path: per-dim stats collected once (KB-sized), then ONE
+    mapInPandas pass quantizes each Arrow batch and GEMMs it against
+    the broadcast dequantized query block — corpus never shuffles;
+    only (query × batch-top-k) candidate rows leave the scan, and the
+    final per-query rank runs over ≤ queries × k rows.
+
+    floor(v+0.5) quantization is bit-identical in numpy and DuckDB
+    (see q_embedding_quantize), so sims agree to the last double and
+    round(4) + vec_id tie-break pins the ranking across engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    mn, mx, sc = _dim_stats(e)
+
+    def dq_mat(x: "np.ndarray") -> "np.ndarray":
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dq = mn + np.floor((x - mn) / sc + 0.5) * sc
+        return np.where(mx == mn, mn, dq)
+
+    q_rows = (
+        e.filter(F.col("vec_id") < ANNQ_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    q_rows.sort(key=lambda r: r["vec_id"])
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    qm = dq_mat(
+        np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in q_rows])
+    )
+    q_nrm = np.sqrt((qm * qm).sum(axis=1))
+
+    def sim_gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            dq = dq_mat(x)
+            nrm = np.sqrt((dq * dq).sum(axis=1))
+            sims = (dq @ qm.T) / (nrm[:, None] * q_nrm[None, :])
+            n_batch, n_q = sims.shape
+            vec_ids = pdf["vec_id"].to_numpy()
+            # Batch-local top-k per query bounds the shuffle to
+            # (queries × k) rows per batch.
+            k = min(ANNQ_K, n_batch)
+            out_q, out_v, out_s = [], [], []
+            for j in range(n_q):
+                col = sims[:, j]
+                mask = vec_ids != q_ids[j]
+                cand = np.where(mask)[0]
+                if len(cand) == 0:
+                    continue
+                take = cand[np.argsort(-col[cand])[: k]]
+                out_q.append(np.full(len(take), q_ids[j]))
+                out_v.append(vec_ids[take])
+                out_s.append(col[take])
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_v),
+                    "sim": np.concatenate(out_s),
+                }
+            )
+
+    cands = e.select("vec_id", "embedding").mapInPandas(
+        sim_gen, "query_id long, neighbor_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    return (
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            (F.round("sim", 4) + F.lit(0.0)).alias("sim"),
+            F.col("sim").alias("_raw"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_raw").desc(), "neighbor_id"
+                )
+            )
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= ANNQ_K)
+        .drop("_raw")
     )

@@ -65,6 +65,7 @@ def load_all_modules() -> None:
         mlops,
         moments,
         pq,
+        privacy,
         quality,
         scale_ops,
         search,

@@ -71,3 +71,31 @@ def test_quantize_error_bound(spark, sf_dir):
     var = x.var(axis=0)
     for r in out:
         assert r["mse"] < var[r["dim"] - 1] / 100
+
+
+def test_ann_quantized_recall_vs_exact(spark, sf_dir):
+    """8-bit quantization should barely perturb cosine top-k: mean
+    recall@5 vs the exact brute-force ranking must stay high."""
+    from data_engineering_project_spotify_app_spark.operators.moments import (
+        ANNQ_K,
+        ANNQ_QUERIES,
+        q_ann_quantized,
+    )
+    from data_engineering_project_spotify_app_spark.operators.similarity import (
+        q_cosine_topk,
+    )
+
+    exact = {}
+    for r in q_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in q_ann_quantized(spark, sf_dir).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(range(ANNQ_QUERIES))
+    recalls = []
+    for qid, nbrs in got.items():
+        assert len(nbrs) == ANNQ_K
+        if qid in exact:
+            ex = exact[qid]
+            recalls.append(len(nbrs & set(list(ex)[: ANNQ_K])) / ANNQ_K)
+    assert recalls and sum(recalls) / len(recalls) >= 0.8, recalls
