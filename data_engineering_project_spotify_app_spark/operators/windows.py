@@ -379,3 +379,112 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("v", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("v").isNull().alias("is_gap"),
     )
+
+
+_ROLLING_MEDIAN_ORACLE = """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             round(sum(value), 4) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, total,
+           round(median(total) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM d
+    """
+
+
+@query("q_rolling_median", oracle=_ROLLING_MEDIAN_ORACLE)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day rolling MEDIAN of daily value totals per event
+    type — the robust twin of the rolling means in q_sliding_window /
+    q_trailing_30d (one outlier day drags a trailing mean for a week;
+    the median shrugs it off, which is why ops dashboards plot both).
+
+    Spark has no exact median window function; the engine collects the
+    row frame into an array IN CODEGEN (collect_list over the 7-row
+    frame), sorts it, and picks/averages the middle — exact, and legal
+    precisely because the frame is 7 elements, not the partition. The
+    daily totals are rounded BEFORE the median so both engines order
+    identical doubles (the resample_ffill lesson); an even frame
+    averages the two middle values, matching DuckDB's interpolating
+    median.
+
+    Scale: the daily pre-agg reduces to |types|×|days| rows before any
+    window; the per-type ordered window runs over that tiny frame (the
+    q_level_shift posture).
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("total"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    arr = F.sort_array(F.collect_list("total").over(w))
+    n = F.size(arr)
+    mid = F.floor((n + 1) / 2).cast("int")
+    med = F.when(n % 2 == 1, F.element_at(arr, mid)).otherwise(
+        (
+            F.element_at(arr, mid)
+            + F.element_at(arr, (mid + 1).cast("int"))
+        )
+        / 2.0
+    )
+    return d.select(
+        "event_type", "day", "total", F.round(med, 4).alias("med7")
+    )
+
+
+_ACTIVE_USERS_ORACLE = """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM d GROUP BY 1),
+    first_seen AS (SELECT user_id, min(day) AS day FROM d GROUP BY 1),
+    new_u AS (SELECT day, count(*) AS new_users FROM first_seen GROUP BY 1)
+    SELECT dau.day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(coalesce(new_u.new_users, 0) AS BIGINT) AS new_users,
+           CAST(sum(coalesce(new_u.new_users, 0)) OVER (
+             ORDER BY dau.day ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS BIGINT) AS cumulative_users
+    FROM dau LEFT JOIN new_u ON new_u.day = dau.day
+    """
+
+
+@query("q_active_users", oracle=_ACTIVE_USERS_ORACLE)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAU / new-user / cumulative-distinct panel: per day, distinct
+    active users, users seen for the FIRST time, and the running total
+    of distinct users ever seen — cumulative count-distinct expressed
+    scale-safely as "cumsum of first-seen days" (a running
+    count(DISTINCT) window would re-scan the full user set per day).
+
+    Scale: two hash aggs keyed by day and by user (both partial-
+    aggregated); the only window runs over the |days|-sized panel.
+    """
+    d = table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    dau = d.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    new_u = (
+        d.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        dau.join(new_u, "day", "left")
+        .select(
+            "day",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn("cumulative_users", F.sum("new_users").over(w))
+    )

@@ -1,0 +1,45 @@
+"""Pandas references for the rolling-median and active-users panels."""
+
+from __future__ import annotations
+
+from data_engineering_project_spotify_app_spark.operators.windows import (
+    q_active_users,
+    q_rolling_median,
+)
+from data_engineering_project_spotify_app_spark.tables import table
+
+
+def test_rolling_median_matches_pandas(spark, sf_dir):
+    e = table(spark, sf_dir, "events").toPandas()
+    e["day"] = e["ts"].dt.date
+    daily = (
+        e.groupby(["event_type", "day"])["value"]
+        .sum()
+        .round(4)
+        .reset_index(name="total")
+        .sort_values(["event_type", "day"])
+    )
+    got = {
+        (r["event_type"], r["day"]): (r["total"], r["med7"])
+        for r in q_rolling_median(spark, sf_dir).collect()
+    }
+    assert len(got) == len(daily)
+    for etype, g in daily.groupby("event_type"):
+        med = g["total"].rolling(7, min_periods=1).median()
+        for (_, row), m in zip(g.iterrows(), med):
+            tot, med7 = got[(etype, row["day"])]
+            assert abs(tot - row["total"]) < 1e-9
+            assert abs(med7 - round(m, 4)) < 1e-9, (etype, row["day"])
+
+
+def test_active_users_invariants(spark, sf_dir):
+    rows = sorted(q_active_users(spark, sf_dir).collect(), key=lambda r: r["day"])
+    e = table(spark, sf_dir, "events").toPandas()
+    total_users = e["user_id"].nunique()
+    cum = 0
+    for r in rows:
+        cum += r["new_users"]
+        assert r["cumulative_users"] == cum
+        assert r["new_users"] <= r["dau"]
+    assert rows[-1]["cumulative_users"] == total_users
+    assert rows[0]["new_users"] == rows[0]["dau"]  # day 1: everyone is new
