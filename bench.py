@@ -126,6 +126,19 @@ HEADLINE = [
     "q_ab_test",
     "q_snapshot_diff",
     "q_pareto_report",
+    # round-6 continuation: affinity/moments/privacy/window families
+    "q_association_rules",
+    "q_audience_overlap",
+    "q_embedding_covariance",
+    "q_embedding_quantize",
+    "q_ann_quantized",
+    "q_multimodal_dedup",
+    "q_quantile_normalize",
+    "q_attribution",
+    "q_level_shift",
+    "q_rolling_median",
+    "q_active_users",
+    "q_dp_release",
 ]
 
 

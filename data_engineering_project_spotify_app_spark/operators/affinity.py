@@ -223,3 +223,95 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+BRIDGE_Y0, BRIDGE_Y1 = 1996, 1997
+
+
+_BRIDGE_ORACLE = f"""
+    WITH y AS (
+      SELECT p.p_brand AS brand,
+             CAST(year(l.l_shipdate) AS INT) AS yr,
+             sum(l.l_quantity) AS qty,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE year(l.l_shipdate) IN ({BRIDGE_Y0}, {BRIDGE_Y1})
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.brand,
+             a.qty AS q0, a.rev AS r0, a.rev / a.qty AS p0,
+             b.qty AS q1, b.rev AS r1, b.rev / b.qty AS p1
+      FROM y a JOIN y b ON b.brand = a.brand
+      WHERE a.yr = {BRIDGE_Y0} AND b.yr = {BRIDGE_Y1}
+    )
+    SELECT brand,
+           round(r1 - r0, 2) AS delta_rev,
+           round((p1 - p0) * q0, 2) AS price_effect,
+           round(p0 * (q1 - q0), 2) AS volume_effect,
+           round((p1 - p0) * (q1 - q0), 2) AS mix_effect
+    FROM w
+    """
+
+
+@query("q_revenue_bridge", oracle=_BRIDGE_ORACLE)
+def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per brand: ΔRev decomposed into
+    price, volume, and cross (mix) effects —
+    ΔR = Δp·q₀ + p₀·Δq + Δp·Δq, the additive decomposition every
+    finance review runs (p = realized unit price = rev/qty). The
+    identity is exact before rounding; tests pin it.
+
+    Scale: ONE scan of lineitem with the year filter pushed to the
+    parquet reader, broadcast dim join to brand, and a |brands|×2
+    aggregate; the year-pivot self-join runs on the tiny aggregate,
+    never the fact.
+    """
+    li = (
+        table(spark, sf_dir, "lineitem")
+        # Range predicate on the raw column (not year()) so it reaches
+        # the parquet scan as a pushed filter / row-group prune.
+        .filter(
+            (F.col("l_shipdate") >= F.lit(f"{BRIDGE_Y0}-01-01"))
+            & (F.col("l_shipdate") < F.lit(f"{BRIDGE_Y1 + 1}-01-01"))
+        )
+        .select(
+            "l_partkey",
+            F.year("l_shipdate").alias("yr"),
+            "l_quantity",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "net"
+            ),
+        )
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    y = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), "yr")
+        .agg(F.sum("l_quantity").alias("qty"), F.sum("net").alias("rev"))
+    )
+    y0 = y.filter(F.col("yr") == BRIDGE_Y0).select(
+        "brand",
+        F.col("qty").alias("q0"),
+        F.col("rev").alias("r0"),
+        (F.col("rev") / F.col("qty")).alias("p0"),
+    )
+    y1 = y.filter(F.col("yr") == BRIDGE_Y1).select(
+        "brand",
+        F.col("qty").alias("q1"),
+        F.col("rev").alias("r1"),
+        (F.col("rev") / F.col("qty")).alias("p1"),
+    )
+    return y0.join(y1, "brand").select(
+        "brand",
+        F.round(F.col("r1") - F.col("r0"), 2).alias("delta_rev"),
+        F.round((F.col("p1") - F.col("p0")) * F.col("q0"), 2).alias(
+            "price_effect"
+        ),
+        F.round(F.col("p0") * (F.col("q1") - F.col("q0")), 2).alias(
+            "volume_effect"
+        ),
+        F.round(
+            (F.col("p1") - F.col("p0")) * (F.col("q1") - F.col("q0")), 2
+        ).alias("mix_effect"),
+    )

@@ -100,3 +100,83 @@ def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("avg_value"),
     )
+
+
+_CDC_ORACLE = """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value FROM events
+    ),
+    last_err AS (
+      SELECT user_id, max(row(ts, event_id)) AS le
+      FROM e WHERE event_type = 'error' GROUP BY 1
+    ),
+    live AS (
+      SELECT e.user_id, e.ts, e.event_id, e.value
+      FROM e LEFT JOIN last_err x ON x.user_id = e.user_id
+      WHERE e.event_type <> 'error'
+        AND (x.le IS NULL OR row(e.ts, e.event_id) > x.le)
+    )
+    SELECT user_id,
+           round(sum(value), 4) AS balance,
+           CAST(count(*) AS BIGINT) AS n_ops,
+           max(ts) AS last_ts
+    FROM live GROUP BY 1
+    """
+
+
+@query("q_cdc_apply", oracle=_CDC_ORACLE)
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-log apply with tombstones: fold each user's ordered
+    event log into final state — non-error events accumulate into the
+    balance; an 'error' event is a TOMBSTONE that wipes the user's
+    state (everything before it is dead). Users whose log ends in a
+    wipe (no live events after the last tombstone) do not appear —
+    exactly a compacted changelog topic's read view (insert/update =
+    upsert, error = delete marker).
+
+    Same single-shuffle fold as q_funnel (funnel.py): ONE
+    groupBy(user_id) collect of (ts, event_id, type, value), sorted in
+    codegen, folded with the ``aggregate`` HOF — no self-join against
+    a "last tombstone" subquery, no second pass. The (ts, event_id)
+    composite sort key is a strict total order, so the fold (and the
+    oracle's row()-comparison formulation) see the same log order
+    under timestamp ties. Per-user log must fit a task — bounded in
+    any real CDC window (the funnel.py scale note).
+    """
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    logs = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type", "value"))
+        ).alias("log")
+    )
+    acc0 = F.struct(
+        F.lit(0.0).alias("bal"),
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(None).cast("timestamp").alias("last_ts"),
+    )
+
+    def step(acc, x):
+        is_tomb = x["event_type"] == F.lit("error")
+        return F.struct(
+            F.when(is_tomb, F.lit(0.0))
+            .otherwise(acc["bal"] + x["value"])
+            .alias("bal"),
+            F.when(is_tomb, F.lit(0).cast("bigint"))
+            .otherwise(acc["n"] + 1)
+            .alias("n"),
+            F.when(is_tomb, F.lit(None).cast("timestamp"))
+            .otherwise(x["ts"])
+            .alias("last_ts"),
+        )
+
+    folded = logs.select(
+        "user_id", F.aggregate("log", acc0, step).alias("st")
+    )
+    return folded.filter(F.col("st.n") > 0).select(
+        "user_id",
+        F.round("st.bal", 4).alias("balance"),
+        F.col("st.n").alias("n_ops"),
+        F.col("st.last_ts").alias("last_ts"),
+    )

@@ -148,3 +148,46 @@ def test_level_shift_matches_pandas(spark, sf_dir):
             assert abs(r["pre_mean"] - round(pre, 4)) < 1e-9
             assert abs(r["post_mean"] - round(post, 4)) < 1e-9
             assert abs(r["shift"] - round(post - pre, 4)) < 1e-9
+
+
+def test_revenue_bridge_identity(spark, sf_dir):
+    """The bridge is additive before rounding:
+    delta_rev == price + volume + mix (within 4 rounding quanta)."""
+    from data_engineering_project_spotify_app_spark.operators.affinity import (
+        q_revenue_bridge,
+    )
+
+    rows = q_revenue_bridge(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        resid = r["delta_rev"] - (
+            r["price_effect"] + r["volume_effect"] + r["mix_effect"]
+        )
+        assert abs(resid) < 0.04, r  # 4 columns each rounded to 0.01
+
+
+def test_cdc_apply_matches_pandas(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.incremental import (
+        q_cdc_apply,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    e = (
+        table(spark, sf_dir, "events")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ref = {}
+    for r in e.itertuples(index=False):
+        bal, n, last = ref.get(r.user_id, (0.0, 0, None))
+        if r.event_type == "error":
+            ref[r.user_id] = (0.0, 0, None)
+        else:
+            ref[r.user_id] = (bal + r.value, n + 1, r.ts)
+    ref = {u: v for u, v in ref.items() if v[1] > 0}
+    got = {r["user_id"]: r for r in q_cdc_apply(spark, sf_dir).collect()}
+    assert set(got) == set(ref)
+    for u, (bal, n, last) in ref.items():
+        assert abs(got[u]["balance"] - round(bal, 4)) < 1e-6
+        assert got[u]["n_ops"] == n
+        assert got[u]["last_ts"] == last
