@@ -1,0 +1,80 @@
+"""Plan pins for the round-6 continuation operators (100 TB posture)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_plans import plan_of, pushed_filters
+
+
+def test_revenue_bridge_pushdown_and_broadcast(spark, sf_dir):
+    """The shipdate range predicate must reach the parquet scan (it is
+    written against the raw column, not year()), and the part dim join
+    must broadcast."""
+    plan = plan_of(spark, sf_dir, "q_revenue_bridge")
+    pushed = pushed_filters(plan)
+    assert any("l_shipdate" in p for p in pushed), plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_association_rules",
+        "q_audience_overlap",
+        "q_degree_histogram",
+        "q_attribution",
+        "q_cdc_apply",
+    ],
+)
+def test_affinity_family_no_sort_merge_join(spark, sf_dir, name):
+    """Every join in these plans is either a broadcast of a tiny
+    aggregate or nonexistent (in-plan pair generation / fold) — a
+    SortMergeJoin would mean a fact-sized side got shuffled for a
+    |brands|/|types|-sized frame."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_quantile_normalize_rank_is_two_phase(spark, sf_dir):
+    """Both global rankings inside q_quantile_normalize must be the
+    two-phase range-partitioned form; the only unpartitioned windows
+    run over per-range count frames (rankutil.py contract)."""
+    plan = plan_of(spark, sf_dir, "q_quantile_normalize")
+    assert "rangepartitioning" in plan, plan
+    assert "windowspecdefinition(pid#" in plan, plan
+
+
+def test_covariance_and_quantize_have_no_data_shuffle(spark, sf_dir):
+    """The moment/stat passes shuffle only O(d²)/O(d) partial rows:
+    no Exchange may carry the embedding column itself."""
+    for name in ["q_embedding_covariance", "q_embedding_quantize"]:
+        plan = plan_of(spark, sf_dir, name)
+        for block in plan.split("\n\n"):
+            if "Exchange" in block and "embedding" in block:
+                raise AssertionError(
+                    f"{name}: an Exchange carries the embedding column\n{plan}"
+                )
+
+
+def test_multimodal_dedup_shuffles_digests_only(spark, sf_dir):
+    """The blob bytes must stay in the scan stage: the aggregate
+    exchange carries the 32-byte digest, never the payload column."""
+    plan = plan_of(spark, sf_dir, "q_multimodal_dedup")
+    import re
+
+    for m in re.finditer(r"\(\d+\) Exchange[\s\S]*?(?=\n\(\d+\)|\Z)", plan):
+        # the binary column is `payload#N`; `payload_sha256#N` is the digest
+        assert not re.search(r"payload#\d", m.group(0)), plan
+
+
+def test_level_shift_and_rolling_median_preaggregate(spark, sf_dir):
+    """The per-type ordered windows must consume the |types|×|days|
+    daily aggregate, not raw events: a HashAggregate appears BELOW the
+    Window in the plan tree."""
+    for name in ["q_level_shift", "q_rolling_median"]:
+        plan = plan_of(spark, sf_dir, name)
+        tree = plan.split("\n(1)")[0]
+        win = tree.find("Window")
+        agg = tree.rfind("HashAggregate")
+        assert win != -1 and agg != -1 and agg > win, (name, tree)
