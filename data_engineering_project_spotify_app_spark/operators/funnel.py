@@ -903,3 +903,92 @@ def q_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "t1", "t2", "t3")
         .limit(20)
     )
+
+
+_LTV_ORACLE = """
+    WITH fs AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ),
+    cohorts AS (
+      SELECT user_id, date_trunc('week', d0) AS cohort_week, d0 FROM fs
+    ),
+    csize AS (
+      SELECT cohort_week, count(*) AS cohort_users
+      FROM cohorts GROUP BY 1
+    ),
+    rev AS (
+      SELECT c.cohort_week,
+             CAST(floor(date_diff('day', c.d0, CAST(e.ts AS DATE)) / 7)
+                  AS INT) AS age_week,
+             sum(e.value) AS week_value
+      FROM events e
+      JOIN cohorts c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_week,
+           r.age_week,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           round(r.week_value, 4) AS week_value,
+           round(sum(r.week_value) OVER (
+                   PARTITION BY r.cohort_week ORDER BY r.age_week
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / s.cohort_users, 4) AS cum_ltv
+    FROM rev r JOIN csize s ON s.cohort_week = r.cohort_week
+    """
+
+
+@query("q_cohort_ltv", oracle=_LTV_ORACLE)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: per signup-week cohort (first-seen week) and
+    account-age week, the purchase value landed that week and the
+    running cumulative value PER COHORT USER — the panel behind every
+    "does LTV pay back CAC by week N" decision, and the revenue twin
+    of q_cohort_retention's activity matrix.
+
+    Scale: first-seen is one user-keyed hash agg; revenue lands on the
+    (cohort_week × age_week) grid BEFORE any window, so the cumulative
+    sum runs over a panel of at most |weeks|² rows. Age is measured
+    from the user's OWN first day (not the cohort week start), so two
+    users of one cohort age independently — the standard convention.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    cohorts = fs.select(
+        "user_id", "d0", F.date_trunc("week", "d0").cast("date").alias(
+            "cohort_week"
+        )
+    )
+    csize = cohorts.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("d0")) / 7
+            ).cast("int").alias("age_week"),
+        )
+        .agg(F.sum("value").alias("week_value"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(csize), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_week",
+            "cohort_users",
+            F.round("week_value", 4).alias("week_value"),
+            F.round(
+                F.sum("week_value").over(w) / F.col("cohort_users"), 4
+            ).alias("cum_ltv"),
+        )
+    )

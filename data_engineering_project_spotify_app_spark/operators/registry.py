@@ -67,6 +67,7 @@ def load_all_modules() -> None:
         pq,
         privacy,
         quality,
+        regress,
         scale_ops,
         search,
         similarity,

@@ -191,3 +191,62 @@ def test_cdc_apply_matches_pandas(spark, sf_dir):
         assert abs(got[u]["balance"] - round(bal, 4)) < 1e-6
         assert got[u]["n_ops"] == n
         assert got[u]["last_ts"] == last
+
+
+def test_price_elasticity_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from data_engineering_project_spotify_app_spark.operators.regress import (
+        q_price_elasticity,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    li = table(spark, sf_dir, "lineitem").toPandas()
+    part = table(spark, sf_dir, "part").toPandas()[["p_partkey", "p_brand"]]
+    df = li.merge(part, left_on="l_partkey", right_on="p_partkey")
+    got = {r["brand"]: r for r in q_price_elasticity(spark, sf_dir).collect()}
+    for brand, g in df.groupby("p_brand"):
+        lp = np.log(g["l_extendedprice"] / g["l_quantity"])
+        lq = np.log(g["l_quantity"])
+        slope, intercept = np.polyfit(lp, lq, 1)
+        r = got[brand]
+        assert r["n"] == len(g)
+        assert abs(r["elasticity"] - slope) < 1e-4
+        assert abs(r["intercept"] - intercept) < 1e-4
+        assert -1e-9 <= r["r2"] <= 1 + 1e-9
+
+
+def test_cohort_ltv_monotone_and_totals(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_cohort_ltv,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    rows = q_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r["cohort_week"], []).append(r)
+    total_rev = 0.0
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age_week"])
+        prev = 0.0
+        for r in rs:
+            assert r["week_value"] > 0
+            assert r["cum_ltv"] >= prev - 1e-9  # cumulative ⇒ monotone
+            prev = r["cum_ltv"]
+        total_rev += sum(r["week_value"] for r in rs)
+    e = table(spark, sf_dir, "events").toPandas()
+    purchases = e[e.event_type == "purchase"]["value"].sum()
+    assert abs(total_rev - purchases) < 0.05 * max(1.0, abs(purchases)) / 10
+
+
+def test_seasonal_naive_bias_within_mape(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.regress import (
+        q_seasonal_naive,
+    )
+
+    for r in q_seasonal_naive(spark, sf_dir).collect():
+        assert r["mape"] >= 0
+        assert abs(r["bias"]) <= r["mape"] + 1e-9  # |E[x]| <= E[|x|]
+        assert r["n_days_scored"] > 0
