@@ -627,3 +627,63 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("normalized"),
         )
     )
+
+
+_MI_ORACLE = """
+    WITH c AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    nn AS (SELECT sum(n) AS total FROM c),
+    ms AS (SELECT source, sum(n) AS ns FROM c GROUP BY 1),
+    ml AS (SELECT lang, sum(n) AS nl FROM c GROUP BY 1)
+    SELECT c.source, c.lang,
+           CAST(c.n AS BIGINT) AS n,
+           round(ln(c.n * 1.0 * nn.total / (ms.ns * ml.nl)), 6) AS pmi,
+           round((c.n * 1.0 / nn.total)
+                 * ln(c.n * 1.0 * nn.total / (ms.ns * ml.nl)), 6)
+             AS mi_contribution
+    FROM c
+    JOIN ms ON ms.source = c.source
+    JOIN ml ON ml.lang = c.lang
+    CROSS JOIN nn
+    """
+
+
+@query("q_source_lang_mi", oracle=_MI_ORACLE)
+def q_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information decomposition of the source × language
+    contingency table: per cell, the pointwise MI and its contribution
+    p(s,l)·ln(p(s,l)/p(s)p(l)) — summing the last column gives
+    MI(source; lang), the confounding screen run before attributing a
+    quality difference to "source" when it is really "language" (the
+    categorical twin of q_cooccurrence_pmi's term-pair PMI).
+
+    Scale: one partial-aggregated pass to the |sources|×|langs| table;
+    marginals and the total are broadcast-sized re-aggregations of it.
+    Zero cells are absent (observed-support convention, matching the
+    oracle row-for-row); their p·ln p → 0 contribution is the correct
+    limit anyway.
+    """
+    c = (
+        table(spark, sf_dir, "documents")
+        .groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+    nn = c.agg(F.sum("n").alias("total"))
+    ms = c.groupBy("source").agg(F.sum("n").alias("ns"))
+    ml = c.groupBy("lang").agg(F.sum("n").alias("nl"))
+    pmi = F.log(F.col("n") * F.col("total") / (F.col("ns") * F.col("nl")))
+    return (
+        c.join(F.broadcast(ms), "source")
+        .join(F.broadcast(ml), "lang")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "source",
+            "lang",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(pmi, 6).alias("pmi"),
+            F.round((F.col("n") / F.col("total")) * pmi, 6).alias(
+                "mi_contribution"
+            ),
+        )
+    )

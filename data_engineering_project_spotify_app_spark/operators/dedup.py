@@ -1480,3 +1480,108 @@ def q_dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(n_all == 0, F.lit(0.0)).otherwise(n_both / n_all), 4
         ).alias("agreement"),
     )
+
+
+WJACCARD_THRESHOLD = 0.05
+
+
+@query(
+    "q_weighted_jaccard",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, lang, source, {_BIGRAMS} AS bg
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, lang, source, unnest(bg) AS shingle FROM grams
+    ),
+    nn AS (SELECT count(*) AS n FROM documents),
+    w AS (
+      SELECT lang, source, shingle,
+             ln((SELECT n FROM nn) * 1.0 / count(*)) AS w
+      FROM sh GROUP BY 1, 2, 3
+    ),
+    docw AS (
+      SELECT s.doc_id, sum(w.w) AS dw
+      FROM sh s JOIN w ON w.lang = s.lang AND w.source = s.source
+                      AND w.shingle = s.shingle
+      GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(w.w) AS wcommon
+      FROM sh a
+      JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN w ON w.lang = a.lang AND w.source = a.source
+            AND w.shingle = a.shingle
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.wcommon / (wa.dw + wb.dw - i.wcommon), 4) AS wjaccard
+    FROM inter i
+    JOIN docw wa ON wa.doc_id = i.doc_a
+    JOIN docw wb ON wb.doc_id = i.doc_b
+    WHERE i.wcommon / (wa.dw + wb.dw - i.wcommon) >= {WJACCARD_THRESHOLD}
+    """,
+)
+def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted Jaccard near-dup pairs: boilerplate shingles that
+    appear everywhere contribute ~ln(1)=0, rare content-bearing
+    shingles dominate — the standard fix for plain Jaccard's blindness
+    to WHICH shingles overlap (two docs sharing only stock phrases
+    stop looking like near-dups; two docs sharing a rare passage light
+    up). w(s) = ln(N/df(s)); sim = Σ_{{A∩B}} w / Σ_{{A∪B}} w.
+
+    Same single-shuffle bucket-collect as ngram_jaccard_pairs — and
+    the df the weight needs IS the bucket size, so weighting is free:
+    each shingle bucket carries its own ln(N/df), pair rows sum w
+    instead of counting, per-doc total weights fold from the same
+    buckets (one extra explode over bucket doc-lists, no second
+    tokenize pass). |A∪B| folds as dwa + dwb − wcommon.
+    """
+    docs = table_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
+    )
+    grams = toks.select(
+        "doc_id", "lang", "source", word_bigrams(F.col("tok")).alias("bg")
+    )
+    sh = grams.select(
+        "doc_id", "lang", "source", F.explode("bg").alias("shingle")
+    )
+    n_docs = docs.agg(F.count("*").alias("n"))
+    buckets = (
+        sh.groupBy("lang", "source", "shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("ds", F.log(F.col("n") / F.size("ds")).alias("w"))
+    )
+    docw = (
+        buckets.select(F.explode("ds").alias("doc_id"), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("dw"))
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b))))"
+        )
+    ).alias("pr")
+    inter = (
+        buckets.filter(F.size("ds") > 1)
+        .select(pair, "w")
+        .select("pr.doc_a", "pr.doc_b", "w")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("w").alias("wcommon"))
+    )
+    wa = docw.select(F.col("doc_id").alias("doc_a"), F.col("dw").alias("dwa"))
+    wb = docw.select(F.col("doc_id").alias("doc_b"), F.col("dw").alias("dwb"))
+    sim = F.col("wcommon") / (F.col("dwa") + F.col("dwb") - F.col("wcommon"))
+    return (
+        inter.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .filter(sim >= WJACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(sim, 4).alias("wjaccard"))
+    )

@@ -992,3 +992,120 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv"),
         )
     )
+
+
+_INTERARRIVAL_ORACLE = """
+    WITH gaps AS (
+      SELECT event_type,
+             date_diff('microseconds',
+                       lag(ts) OVER (PARTITION BY user_id, event_type
+                                     ORDER BY ts, event_id),
+                       ts) / 1e6 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(gap_s, 0.9), 4) AS p90_s,
+           round(quantile_cont(gap_s, 0.99), 4) AS p99_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    """
+
+
+@query("q_interarrival", oracle=_INTERARRIVAL_ORACLE)
+def q_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: p50/p90/p99 of
+    the gap (seconds) between a user's consecutive events of one type —
+    the latency-histogram view of user behavior (burst cadence, polling
+    intervals, organic pacing) that mean-based rates hide.
+
+    One window keyed by (user_id, event_type) — high-cardinality, no
+    skew — then an exact interpolated percentile per type (Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``, the q_robust_scale
+    verified pairing; at 100 TB swap for approx_percentile, same plan).
+    Gaps are computed in whole microseconds (both engines subtract at
+    the timestamp's native precision) and divided to seconds, so the
+    doubles agree exactly.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            )
+            / 1e6
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("gap_s", F.lit(0.9)), 4).alias("p90_s"),
+        F.round(F.percentile("gap_s", F.lit(0.99)), 4).alias("p99_s"),
+    )
+
+
+_NEW_RETURNING_ORACLE = """
+    WITH fs AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(e.ts AS DATE) AS day, e.user_id, e.value,
+             CAST(e.ts AS DATE) = fs.d0 AS is_new
+      FROM events e JOIN fs ON fs.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT day,
+           CAST(count(DISTINCT CASE WHEN is_new THEN user_id END)
+                AS BIGINT) AS new_buyers,
+           CAST(count(DISTINCT CASE WHEN NOT is_new THEN user_id END)
+                AS BIGINT) AS returning_buyers,
+           round(sum(CASE WHEN is_new THEN value ELSE 0 END), 4)
+             AS new_revenue,
+           round(sum(CASE WHEN NOT is_new THEN value ELSE 0 END), 4)
+             AS returning_revenue
+    FROM p GROUP BY 1
+    """
+
+
+@query("q_new_vs_returning", oracle=_NEW_RETURNING_ORACLE)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily revenue split by buyer tenure: purchases on a user's very
+    first active day are "new", everything later "returning" — the
+    growth-accounting panel (is revenue acquisition- or
+    retention-driven?) that pairs with q_active_users' volume view.
+
+    Scale: first-seen is the same user-keyed min as q_active_users;
+    the join back is co-partitioned on user_id under AQE; the daily
+    split is one conditional aggregate over the |days| grid.
+    """
+    e = table(spark, sf_dir, "events")
+    fs = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fs, "user_id")
+        .select(
+            F.to_date("ts").alias("day"),
+            "user_id",
+            "value",
+            (F.to_date("ts") == F.col("d0")).alias("is_new"),
+        )
+    )
+    return p.groupBy("day").agg(
+        F.countDistinct(
+            F.when(F.col("is_new"), F.col("user_id"))
+        ).alias("new_buyers"),
+        F.countDistinct(
+            F.when(~F.col("is_new"), F.col("user_id"))
+        ).alias("returning_buyers"),
+        F.round(
+            F.sum(F.when(F.col("is_new"), F.col("value")).otherwise(0.0)), 4
+        ).alias("new_revenue"),
+        F.round(
+            F.sum(F.when(~F.col("is_new"), F.col("value")).otherwise(0.0)), 4
+        ).alias("returning_revenue"),
+    )

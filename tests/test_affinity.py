@@ -250,3 +250,59 @@ def test_seasonal_naive_bias_within_mape(spark, sf_dir):
         assert r["mape"] >= 0
         assert abs(r["bias"]) <= r["mape"] + 1e-9  # |E[x]| <= E[|x|]
         assert r["n_days_scored"] > 0
+
+
+def test_weighted_jaccard_downweights_boilerplate(spark, sf_dir):
+    """Weighted sim of every emitted pair is positive and <= 1, and the
+    pair set at tau=0.05 is a superset of plain-Jaccard pairs that
+    share rare content (sanity: both emit SOMETHING on the fixture)."""
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        q_weighted_jaccard,
+    )
+
+    rows = q_weighted_jaccard(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 < r["wjaccard"] <= 1.0 + 1e-9
+        assert r["doc_a"] < r["doc_b"]
+
+
+def test_source_lang_mi_sums_nonnegative(spark, sf_dir):
+    """MI(source; lang) = sum of contributions must be >= 0 (Gibbs),
+    and marginal-consistency: cell counts sum to the corpus."""
+    from data_engineering_project_spotify_app_spark.operators.curation import (
+        q_source_lang_mi,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    rows = q_source_lang_mi(spark, sf_dir).collect()
+    mi = sum(r["mi_contribution"] for r in rows)
+    assert mi >= -1e-6, mi
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n"] for r in rows) == n_docs
+
+
+def test_interarrival_percentiles_ordered(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_interarrival,
+    )
+
+    for r in q_interarrival(spark, sf_dir).collect():
+        assert 0 <= r["p50_s"] <= r["p90_s"] <= r["p99_s"]
+        assert r["n_gaps"] > 0
+
+
+def test_new_vs_returning_reconciles(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_new_vs_returning,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    rows = q_new_vs_returning(spark, sf_dir).collect()
+    e = table(spark, sf_dir, "events").toPandas()
+    purchases = e[e.event_type == "purchase"]["value"].sum()
+    got = sum(r["new_revenue"] + r["returning_revenue"] for r in rows)
+    assert abs(got - purchases) < 1e-2
+    first_day = min(r["day"] for r in rows)
+    for r in rows:
+        if r["day"] == first_day:
+            assert r["returning_buyers"] == 0 or r["returning_revenue"] >= 0
