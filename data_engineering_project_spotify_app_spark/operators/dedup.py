@@ -1540,7 +1540,20 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (one extra explode over bucket doc-lists, no second
     tokenize pass). |A∪B| folds as dwa + dwb − wcommon.
     """
-    docs = table_parallel(spark, sf_dir, "documents")
+    return weighted_jaccard_pairs(table_parallel(spark, sf_dir, "documents"))
+
+
+def weighted_jaccard_pairs(
+    docs: DataFrame, df_cap: int | str | None = None
+) -> DataFrame:
+    """IDF-weighted Jaccard pairs over a (doc_id, lang, source, text)
+    frame; see q_weighted_jaccard. ``df_cap`` is the production skew
+    guard — buckets (shingles) above the doc-frequency cap are excluded
+    from PAIR GENERATION only: weights and per-doc totals still come
+    from the full bucket set, so emitted sims stay exact; pairs that
+    share ONLY ultra-common shingles are the (deliberate) recall cost,
+    and those are precisely the pairs IDF weighting already scores ≈ 0.
+    """
     toks = docs.select(
         "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
     )
@@ -1569,8 +1582,16 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y -> struct(x AS doc_a, y AS doc_b))))"
         )
     ).alias("pr")
+    pair_buckets = buckets.filter(F.size("ds") > 1)
+    if df_cap == "auto":
+        cap = docs.agg(_auto_cap(F.count("*")).alias("df_cap"))
+        pair_buckets = pair_buckets.crossJoin(F.broadcast(cap)).filter(
+            F.size("ds") <= F.col("df_cap")
+        )
+    elif df_cap is not None:
+        pair_buckets = pair_buckets.filter(F.size("ds") <= df_cap)
     inter = (
-        buckets.filter(F.size("ds") > 1)
+        pair_buckets
         .select(pair, "w")
         .select("pr.doc_a", "pr.doc_b", "w")
         .groupBy("doc_a", "doc_b")

@@ -849,3 +849,76 @@ def decayed_engagement_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ATTRIB_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("attributed_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+ATTRIB_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_touch", T.StringType())]
+)
+
+
+def _attrib_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    last_touch = state.get[0] if state.exists else None
+    out: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for r in pdf.itertuples(index=False):
+            if r.event_type == "purchase":
+                out.append(
+                    (
+                        user_id,
+                        int(r.event_id),
+                        r.ts,
+                        last_touch or "direct",
+                        float(r.value),
+                    )
+                )
+            else:
+                last_touch = r.event_type
+    state.update((last_touch,))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_id", "ts", "attributed_type", "value",
+            ],
+        )
+
+
+def attribution_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of q_attribution (funnel.py): one attributed row
+    per PURCHASE as it lands, crediting the user's most recent
+    preceding non-purchase touch — O(1) state per user (just the last
+    touch type), the canonical "enrich the conversion at arrival time"
+    shape that batch last-touch reports recompute nightly.
+
+    Equivalence contract (pinned in tests/test_attribution_stream.py):
+    identical to the batch window when events arrive in (ts, event_id)
+    order — rows are sorted within each micro-batch, and cross-batch
+    order holds when the producer drops files in order (the debounce
+    op's same in-order slicing assumption). A late purchase attributes
+    to the state at PROCESSING time — the documented streaming
+    approximation; bound it with a watermark-driven reorder buffer
+    upstream if exact late-data semantics are required.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attrib_fn,
+        outputStructType=ATTRIB_SCHEMA,
+        stateStructType=ATTRIB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

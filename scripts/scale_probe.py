@@ -30,6 +30,7 @@ from data_engineering_project_spotify_app_spark.operators.dedup import (  # noqa
     minhash_signatures_df,
     ngram_jaccard_pairs,
     simhash_hamming_pairs_df,
+    weighted_jaccard_pairs,
 )
 from data_engineering_project_spotify_app_spark.operators.linedup import (  # noqa: E402
     dedup_lines,
@@ -162,6 +163,11 @@ def main() -> None:
                     )
                 )
             ).count(),
+        ),
+        (
+            "weighted_jaccard (capped)",
+            lambda d=docs1: weighted_jaccard_pairs(d, df_cap="auto").count(),
+            lambda d=docsM: weighted_jaccard_pairs(d, df_cap="auto").count(),
         ),
         (
             "incremental_dedup (delta)",
