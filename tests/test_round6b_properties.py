@@ -103,8 +103,16 @@ def test_revenue_bridge_is_an_identity(p0, q0, p1, q1):
     delta = p1 * q1 - p0 * q0
     decomposed = (p1 - p0) * q0 + p0 * (q1 - q0) + (p1 - p0) * (q1 - q0)
     # identity is exact in reals; in floats the error scales with the
-    # TERM magnitudes (p·q), not with delta (which can cancel to ~0)
-    scale = max(1.0, p0 * q0, p1 * q1)
+    # largest INTERMEDIATE term (e.g. Δp·q0 can dwarf both revenues),
+    # not with delta (which can cancel to ~0)
+    scale = max(
+        1.0,
+        p0 * q0,
+        p1 * q1,
+        abs((p1 - p0) * q0),
+        abs(p0 * (q1 - q0)),
+        abs((p1 - p0) * (q1 - q0)),
+    )
     assert abs(delta - decomposed) <= 1e-12 * scale
 
 
