@@ -2363,3 +2363,68 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "markup_ratio"
         ),
     )
+
+
+_READABILITY_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_TOK}) AS BIGINT) AS n_words,
+             CAST(greatest(
+               len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                         - 84.6 * (n_syllables * 1.0 / n_words), 4)
+             AS flesch
+    FROM m WHERE n_words > 0
+    """
+
+
+@query("q_readability", oracle=_READABILITY_ORACLE)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document, with the standard distributed
+    approximation: syllables ≈ vowel groups ([aeiouy]+ runs), sentences
+    ≈ terminal-punctuation runs (min 1). Joins the quality ladder as
+    the readability axis (q_quality_score measures length/symbol
+    hygiene; this measures sentence/word complexity — LLM corpus work
+    uses both as cheap pre-filters before model-based scoring).
+
+    Scale: pure per-row projection, zero shuffles; the regex counters
+    are codegen regexp_extract_all sizes — the same Java-and-RE2-safe
+    character-class subset as q_html_extract, so DuckDB counts the
+    identical runs.
+    """
+    t = F.col("text")
+    n_words = F.size(tokens(t)).cast("bigint")
+    n_sentences = F.greatest(
+        F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"), F.lit(1)
+    ).cast("bigint")
+    n_syllables = F.expr(
+        "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+    ).cast("bigint")
+    return (
+        table_parallel(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sentences.alias("n_sentences"),
+            n_syllables.alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+                - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+                4,
+            ).alias("flesch"),
+        )
+    )

@@ -488,3 +488,45 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cumulative_users", F.sum("new_users").over(w))
     )
+
+
+_ROLLING_DAU_ORACLE = """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    cover AS (
+      SELECT DISTINCT d.day AS day, u.user_id
+      FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+    )
+    SELECT day, CAST(count(*) AS BIGINT) AS dau7
+    FROM cover GROUP BY 1
+    """
+
+
+@query("q_rolling_dau", oracle=_ROLLING_DAU_ORACLE)
+def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (WAU-style) — the
+    windowed COUNT DISTINCT that has no partial-aggregatable window
+    form. The scale idiom is COVER-WINDOW EXPLOSION: each (user,
+    active-day) pair is exploded into the ≤7 report days whose trailing
+    window it falls in, the (day, user) pairs are deduped, and a plain
+    hash count per day finishes — a bounded 7× fan-out of the already
+    user-day-deduped frame instead of a 7-way self-join of the panel or
+    a per-day re-scan. Report days are restricted to OBSERVED days
+    (semi-join with the day panel), so both engines emit the same grid.
+    """
+    e = table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    cover = (
+        ud.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", 6))
+            ).alias("day"),
+            "user_id",
+        )
+        .join(days, "day", "left_semi")
+        .distinct()
+    )
+    return cover.groupBy("day").agg(F.count("*").alias("dau7"))

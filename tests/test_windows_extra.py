@@ -43,3 +43,49 @@ def test_active_users_invariants(spark, sf_dir):
         assert r["new_users"] <= r["dau"]
     assert rows[-1]["cumulative_users"] == total_users
     assert rows[0]["new_users"] == rows[0]["dau"]  # day 1: everyone is new
+
+
+def test_rolling_dau_brackets_daily_dau(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.windows import (
+        q_rolling_dau,
+    )
+
+    dau = {r["day"]: r["dau"] for r in q_active_users(spark, sf_dir).collect()}
+    total = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    rows = sorted(q_rolling_dau(spark, sf_dir).collect(), key=lambda r: r["day"])
+    assert {r["day"] for r in rows} == set(dau)
+    first = rows[0]
+    assert first["dau7"] == dau[first["day"]]  # day 1: window is just day 1
+    for r in rows:
+        assert dau[r["day"]] <= r["dau7"] <= total
+
+
+def test_readability_matches_python(spark, sf_dir):
+    import re
+
+    from data_engineering_project_spotify_app_spark.operators.textops import (
+        q_readability,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, sf_dir, "documents").collect()
+    }
+    got = {r["doc_id"]: r for r in q_readability(spark, sf_dir).collect()}
+    checked = 0
+    for doc_id, text in list(docs.items())[:50]:
+        words = len(re.findall(r"[a-z0-9]+", text.lower()))
+        if words == 0:
+            assert doc_id not in got
+            continue
+        r = got[doc_id]
+        sents = max(len(re.findall(r"[.!?]+", text)), 1)
+        syl = len(re.findall(r"[aeiouy]+", text.lower()))
+        assert r["n_sentences"] == sents
+        assert r["n_syllables"] == syl
+        flesch = 206.835 - 1.015 * (r["n_words"] / sents) - 84.6 * (
+            syl / r["n_words"]
+        )
+        assert abs(r["flesch"] - round(flesch, 4)) < 1e-9
+        checked += 1
+    assert checked > 10
