@@ -398,3 +398,54 @@ def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= ANNQ_K)
         .drop("_raw")
     )
+
+
+def pca_project(
+    spark: SparkSession, sf_dir: str, k: int = 2
+) -> DataFrame:
+    """Distributed PCA APPLY: project every embedding onto the top-k
+    principal components (computed by pca_top_components — distributed
+    covariance + local eigensolve), centered at the corpus mean. One
+    mapInPandas pass with the k×d component matrix closed over (KB-
+    sized); each Arrow batch is one GEMM. Returns (vec_id, scores
+    array<double>) — the dimensionality-reduced corpus a downstream
+    ANN/clustering stage would consume.
+
+    Not registered: the eigensolve isn't SQL-expressible, so there is
+    no DuckDB twin; tests/test_moments.py pins the spectral identities
+    instead (score variance per component == its eigenvalue,
+    cross-component decorrelation, centering).
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+    _, comps = pca_top_components(spark, sf_dir, k)
+    parts = covariance_partials(e)
+    mean_rows = (
+        parts.filter(F.col("i") == F.col("j"))
+        .groupBy("i")
+        .agg((F.sum("sx") / F.sum("n")).alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(max(r["i"] for r in mean_rows))
+    for r in mean_rows:
+        mu[r["i"] - 1] = r["mu"]
+    w = np.asarray(comps, dtype=np.float64)  # k × d
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            scores = (x - mu) @ w.T  # N × k
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "scores": list(scores),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_id long, scores array<double>"
+    )

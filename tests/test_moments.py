@@ -99,3 +99,22 @@ def test_ann_quantized_recall_vs_exact(spark, sf_dir):
             ex = exact[qid]
             recalls.append(len(nbrs & set(list(ex)[: ANNQ_K])) / ANNQ_K)
     assert recalls and sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_pca_project_spectral_identities(spark, sf_dir):
+    """Projected scores must carry the spectrum: per-component variance
+    equals the eigenvalue, components are decorrelated, scores are
+    centered."""
+    from data_engineering_project_spotify_app_spark.operators.moments import (
+        pca_project,
+        pca_top_components,
+    )
+
+    vals, _ = pca_top_components(spark, sf_dir, k=2)
+    rows = pca_project(spark, sf_dir, k=2).collect()
+    s = np.stack([np.asarray(r["scores"]) for r in rows])
+    assert s.shape[1] == 2
+    np.testing.assert_allclose(s.mean(axis=0), [0.0, 0.0], atol=1e-9)
+    np.testing.assert_allclose(s.var(axis=0), vals, rtol=1e-3)
+    corr = np.corrcoef(s[:, 0], s[:, 1])[0, 1]
+    assert abs(corr) < 0.02, corr
