@@ -87,3 +87,49 @@ def q_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("noisy_n"),
         F.lit(float(EPSILON)).alias("epsilon"),
     )
+
+
+K_ANON = 5
+
+
+_KANON_ORACLE = f"""
+    WITH qi AS (
+      SELECT n_name AS nation, c_mktsegment AS segment,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS n
+      FROM customer
+      JOIN nation ON n_nationkey = c_nationkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT nation, segment, bal_band, CAST(n AS BIGINT) AS group_size
+    FROM qi WHERE n < {K_ANON}
+    """
+
+
+@query("q_k_anonymity", oracle=_KANON_ORACLE)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of a quasi-identifier combination (nation ×
+    market segment × $1000 balance band): every QI group smaller than
+    k={K_ANON} — the rows a release of "anonymized" customer data
+    would leave re-identifiable, and the generalization loop's input
+    (widen bands / suppress until this report is empty). Sweeney's
+    classic audit as one hash aggregate.
+
+    Scale: one partial-aggregated groupBy on the QI tuple; the nation
+    dim broadcasts. Output is bounded by the QI-space size, not the
+    table.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    qi = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias(
+                "bal_band"
+            ),
+        )
+        .agg(F.count("*").alias("group_size"))
+    )
+    return qi.filter(F.col("group_size") < K_ANON)

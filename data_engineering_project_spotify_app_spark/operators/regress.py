@@ -165,3 +165,145 @@ def q_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bias"
         ),
     )
+
+
+PSI_SPLIT = "2024-01-16"  # reference = days before, current = days from
+PSI_BINS = 10
+
+
+_PSI_ORACLE = f"""
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(ts AS DATE) < DATE '{PSI_SPLIT}' AS is_ref
+      FROM events
+    ),
+    edges_l AS (
+      SELECT event_type,
+             quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                   0.6, 0.7, 0.8, 0.9]) AS qs
+      FROM e WHERE is_ref GROUP BY 1
+    ),
+    edges AS (
+      SELECT event_type, unnest(qs) AS edge FROM edges_l
+    ),
+    binned AS (
+      SELECT e.event_type, e.is_ref,
+             1 + sum(CASE WHEN e.value > x.edge THEN 1 ELSE 0 END) AS bin
+      FROM (SELECT row_number() OVER () AS rid, * FROM e) e
+      JOIN edges x ON x.event_type = e.event_type
+      GROUP BY e.rid, e.event_type, e.is_ref
+    ),
+    grid AS (
+      SELECT DISTINCT b.event_type, g.bin
+      FROM binned b, (SELECT unnest(generate_series(1, {PSI_BINS})) AS bin) g
+    ),
+    counts AS (
+      SELECT g.event_type, g.bin,
+             coalesce(sum(CASE WHEN NOT b.is_ref THEN 1 END), 0) AS nc,
+             coalesce(sum(CASE WHEN b.is_ref THEN 1 END), 0) AS nr
+      FROM grid g
+      LEFT JOIN binned b
+        ON b.event_type = g.event_type AND b.bin = g.bin
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, sum(nc) AS tc, sum(nr) AS tr FROM counts GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(t.tr AS BIGINT) AS n_ref,
+           CAST(t.tc AS BIGINT) AS n_cur,
+           round(sum(
+             ((c.nc + 0.5) / (t.tc + 5.0) - (c.nr + 0.5) / (t.tr + 5.0))
+             * ln(((c.nc + 0.5) / (t.tc + 5.0))
+                  / ((c.nr + 0.5) / (t.tr + 5.0)))
+           ), 6) AS psi
+    FROM counts c JOIN tot t ON t.event_type = c.event_type
+    GROUP BY 1, 2, 3
+    """
+
+
+@query("q_psi_drift", oracle=_PSI_ORACLE)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the per-type value distribution:
+    reference window (before {PSI_SPLIT}) vs current — THE production
+    drift gate for model inputs (rule of thumb: psi < 0.1 stable,
+    > 0.25 investigate). Decile edges are fit on the REFERENCE only
+    (exact interpolated percentiles, the verified percentile ≡
+    quantile_cont pairing), both halves are binned by those edges, and
+    PSI = Σ (p_cur − p_ref)·ln(p_cur/p_ref) with add-½ smoothing so an
+    empty bin contributes finitely and identically in both engines.
+
+    Scale: the 9 edges per type are a tiny broadcast frame; binning is
+    a 9-comparison in-plan fold over one scan (sum of indicators, no
+    per-row UDF); everything after is |types|×10 rows.
+    """
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        (F.to_date("ts") < F.lit(PSI_SPLIT).cast("date")).alias("is_ref"),
+    )
+    ks = list(range(1, PSI_BINS))
+    edges = (
+        e.filter("is_ref")
+        .groupBy("event_type")
+        .agg(
+            F.array(
+                *[F.percentile("value", F.lit(k / 10.0)) for k in ks]
+            ).alias("edges")
+        )
+    )
+    binned = (
+        e.join(F.broadcast(edges), "event_type")
+        .select(
+            "event_type",
+            "is_ref",
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(
+                        "edges", lambda edge: F.col("value") > edge
+                    )
+                )
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("nc"),
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("nr"),
+        )
+    )
+    grid = (
+        binned.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                table(spark, sf_dir, "events")
+                .sparkSession.range(1, PSI_BINS + 1)
+                .select(F.col("id").cast("bigint").alias("bin"))
+            )
+        )
+    )
+    counts = (
+        grid.join(binned, ["event_type", "bin"], "left")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("nc", F.lit(0)).alias("nc"),
+            F.coalesce("nr", F.lit(0)).alias("nr"),
+        )
+    )
+    tot = counts.groupBy("event_type").agg(
+        F.sum("nc").alias("tc"), F.sum("nr").alias("tr")
+    )
+    pc = (F.col("nc") + 0.5) / (F.col("tc") + 5.0)
+    pr = (F.col("nr") + 0.5) / (F.col("tr") + 5.0)
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .groupBy(
+            "event_type",
+            F.col("tr").cast("bigint").alias("n_ref"),
+            F.col("tc").cast("bigint").alias("n_cur"),
+        )
+        .agg(F.round(F.sum((pc - pr) * F.log(pc / pr)), 6).alias("psi"))
+        .select("event_type", "n_ref", "n_cur", "psi")
+    )

@@ -306,3 +306,34 @@ def test_new_vs_returning_reconciles(spark, sf_dir):
     for r in rows:
         if r["day"] == first_day:
             assert r["returning_buyers"] == 0 or r["returning_revenue"] >= 0
+
+
+def test_psi_drift_properties(spark, sf_dir):
+    """PSI >= 0 always (it is a symmetrized KL); the fixture's halves
+    come from one stationary generator, so drift should read 'stable'
+    (psi well under the 0.25 action threshold); ref+cur = all events."""
+    from data_engineering_project_spotify_app_spark.operators.regress import (
+        q_psi_drift,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    rows = q_psi_drift(spark, sf_dir).collect()
+    n_events = table(spark, sf_dir, "events").count()
+    assert sum(r["n_ref"] + r["n_cur"] for r in rows) == n_events
+    for r in rows:
+        assert r["psi"] >= -1e-9, r
+        # stationary fixture => stable, but finite-sample PSI has a
+        # positive bias ~ bins/n per half; allow for it at tiny SFs
+        n_min = min(r["n_ref"], r["n_cur"])
+        assert r["psi"] < 0.25 + 30.0 / n_min, r
+
+
+def test_k_anonymity_groups_are_small(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.privacy import (
+        K_ANON,
+        q_k_anonymity,
+    )
+
+    rows = q_k_anonymity(spark, sf_dir).collect()
+    for r in rows:
+        assert 1 <= r["group_size"] < K_ANON
