@@ -123,10 +123,9 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Derive frequencies and the total from the SAME basket aggregate the
     # pairs come from (ob is distinct, so exploding baskets reproduces it
-    # exactly): every consumer shares one lineage up to the basket
-    # Exchange, which Spark then reuses (ReusedExchange) instead of
-    # re-scanning lineitem once per frame — measured 16 scans → 4 and
-    # 2.0 s → sub-second at sf0.1.
+    # exactly) — with the persist above, every consumer reads one
+    # materialized frame instead of re-running the scan→join→distinct
+    # lineage (see the measured numbers on the persist comment).
     brand_n = (
         baskets.select(F.explode("bs").alias("brand"))
         .groupBy("brand")
@@ -340,4 +339,98 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("p1") - F.col("p0")) * (F.col("q1") - F.col("q0")), 2
         ).alias("mix_effect"),
+    )
+
+
+ITEM_CF_K = 5
+
+
+_ITEM_CF_ORACLE = f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_i AS (SELECT l_partkey AS p, count(*) AS n FROM op GROUP BY 1),
+    c AS (
+      SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*) AS c
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT c.src, c.dst,
+             round(c.c / sqrt(na.n * nb.n), 4) + 0.0 AS cos_sim
+      FROM c
+      JOIN n_i na ON na.p = c.src
+      JOIN n_i nb ON nb.p = c.dst
+    )
+    SELECT src, dst, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY src ORDER BY cos_sim DESC, dst) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {ITEM_CF_K}
+    """
+
+
+@query("q_item_cf", oracle=_ITEM_CF_ORACLE)
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-{ITEM_CF_K} "also bought"
+    neighbors per part by co-occurrence cosine c_ij/√(n_i·n_j)
+    (Sarwar et al., WWW'01 — the workhorse recommender before any
+    embedding model, and the exact-counts twin of what the ANN family
+    approximates). Differs from q_association_rules in grain (item,
+    not brand), normalization (cosine, not lift), and output shape
+    (per-item ranked neighbor list).
+
+    Scale: co-occurrence counts come from the same single-shuffle
+    basket build as copurchase_edges — per-order fanout is order-size²
+    (bounded by the schema), never corpus². Item frequencies fold from
+    the same baskets; the per-src top-k window is keyed by item
+    (high-cardinality, no skew). Ranking uses the ROUNDED cosine with
+    a dst tie-break — reproducible across engines.
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_distinct(F.collect_list("l_partkey")).alias("ps"))
+        .persist()
+    )
+    pair = F.explode(
+        F.expr(
+            "flatten(transform(ps, x -> transform("
+            "filter(ps, y -> y != x), y -> struct(x AS src, y AS dst))))"
+        )
+    ).alias("pr")
+    c = (
+        baskets.select(pair)
+        .select("pr.src", "pr.dst")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+    )
+    n_i = (
+        baskets.select(F.explode("ps").alias("p"))
+        .groupBy("p")
+        .agg(F.count("*").alias("n"))
+    )
+    na = n_i.select(F.col("p").alias("src"), F.col("n").alias("na"))
+    nb = n_i.select(F.col("p").alias("dst"), F.col("n").alias("nb"))
+    scored = (
+        c.join(na, "src")
+        .join(nb, "dst")
+        .select(
+            "src",
+            "dst",
+            (
+                F.round(F.col("c") / F.sqrt(F.col("na") * F.col("nb")), 4)
+                + F.lit(0.0)
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(), "dst")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= ITEM_CF_K)
     )

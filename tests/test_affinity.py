@@ -337,3 +337,29 @@ def test_k_anonymity_groups_are_small(spark, sf_dir):
     rows = q_k_anonymity(spark, sf_dir).collect()
     for r in rows:
         assert 1 <= r["group_size"] < K_ANON
+
+
+def test_item_cf_neighbor_lists(spark, sf_dir):
+    """Per-item neighbor lists: ranked 1..k without gaps, cosine in
+    (0,1], non-self, and symmetric raw similarity (cos(i,j)==cos(j,i)
+    whenever both directions appear)."""
+    from data_engineering_project_spotify_app_spark.operators.affinity import (
+        ITEM_CF_K,
+        q_item_cf,
+    )
+
+    rows = q_item_cf(spark, sf_dir).collect()
+    by_src = {}
+    sim = {}
+    for r in rows:
+        assert r["src"] != r["dst"]
+        assert 0 < r["cos_sim"] <= 1.0 + 1e-9
+        by_src.setdefault(r["src"], []).append(r["rnk"])
+        sim[(r["src"], r["dst"])] = r["cos_sim"]
+    for src, rnks in by_src.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= ITEM_CF_K
+    both = [(k, v) for k, v in sim.items() if (k[1], k[0]) in sim]
+    assert both  # symmetry check has support
+    for (a, b), v in both:
+        assert abs(v - sim[(b, a)]) < 1e-9
