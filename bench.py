@@ -139,6 +139,22 @@ HEADLINE = [
     "q_rolling_median",
     "q_active_users",
     "q_dp_release",
+    # round-6 continuation, second wave: regression/CF/drift/privacy
+    "q_item_cf",
+    "q_weighted_jaccard",
+    "q_psi_drift",
+    "q_rolling_dau",
+    "q_price_elasticity",
+    "q_revenue_bridge",
+    "q_cdc_apply",
+    "q_k_anonymity",
+    "q_source_lang_mi",
+    "q_seasonal_naive",
+    "q_type_correlation",
+    "q_cohort_ltv",
+    "q_readability",
+    "q_interarrival",
+    "q_new_vs_returning",
 ]
 
 

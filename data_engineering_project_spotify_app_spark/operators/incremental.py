@@ -161,7 +161,10 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_tomb = x["event_type"] == F.lit("error")
         return F.struct(
             F.when(is_tomb, F.lit(0.0))
-            .otherwise(acc["bal"] + x["value"])
+            # coalesce matches SQL SUM's null-skipping: a NULL value must
+            # not poison the running balance (fixture has none; guard
+            # anyway so the fold and the oracle agree on any input)
+            .otherwise(acc["bal"] + F.coalesce(x["value"], F.lit(0.0)))
             .alias("bal"),
             F.when(is_tomb, F.lit(0).cast("bigint"))
             .otherwise(acc["n"] + 1)
