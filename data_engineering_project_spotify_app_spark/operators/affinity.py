@@ -418,8 +418,8 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = n_i.select(F.col("p").alias("src"), F.col("n").alias("na"))
     nb = n_i.select(F.col("p").alias("dst"), F.col("n").alias("nb"))
     scored = (
-        c.join(na, "src")
-        .join(nb, "dst")
+        c.join(F.broadcast(na), "src")
+        .join(F.broadcast(nb), "dst")
         .select(
             "src",
             "dst",
