@@ -1299,3 +1299,41 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.col(c) for c in _STATS_COLS])).alias("s")
     )
     return stacked.select("s.*")
+
+
+_VARIANT_ORACLE = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract(props, '$.k') AS INT)) AS INT)
+             AS min_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INT)) AS INT)
+             AS max_k,
+           round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k
+    FROM events
+    GROUP BY 1
+    """
+
+
+@query("q_variant_props", oracle=_VARIANT_ORACLE)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` once into the binary variant encoding, then typed
+    ``variant_get`` paths — the modern engine surface for JSON columns
+    (shredded binary layout; path access without per-row string
+    re-parsing, unlike q_json_props' get_json_object which re-parses
+    the text per extraction). Same answers, different storage story —
+    at 100 TB you'd land the column AS variant at ingest and this
+    query's scan never touches JSON text at all.
+    """
+    e = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )

@@ -442,3 +442,58 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
+@query(
+    "q_bfs_recursive",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    bfs (part, hops) AS (
+      SELECT p_partkey, 0 FROM part WHERE p_partkey % {SEED_MOD} = 0
+      UNION
+      SELECT e0.dst, bfs.hops + 1
+      FROM bfs JOIN e0 ON e0.src = bfs.part
+      WHERE bfs.hops < {MAX_HOPS}
+    )
+    SELECT part AS part_key, CAST(min(hops) AS INT) AS hops
+    FROM bfs GROUP BY part
+    """,
+)
+def q_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS via Spark 4's native ``WITH RECURSIVE`` — the
+    DECLARATIVE-iteration twin of q_bfs_hops (graphs.py:107), same
+    semantics, same oracle. Exists to exercise the engine's recursive
+    SQL surface end-to-end: a user migrating warehouse recursive CTEs
+    runs them as-is.
+
+    Scale caveat, measured and deliberate: Spark's recursive CTE
+    currently supports UNION ALL only, so this form enumerates bounded
+    WALKS (≈3.6M rows at sf0.01 for depth ≤ {MAX_HOPS}) and dedupes at
+    the end, where the plan-unrolled frontier BFS expands each node
+    once (left_anti against the visited set). For production graphs
+    q_bfs_hops is the path; this is surface parity, not the scale
+    form.
+    """
+    # walk enumeration needs headroom over the 1M-row default
+    # (runtime-settable SQL conf, same defensive pattern as
+    # tables._ensure_session_confs)
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
+    edges = copurchase_edges(spark, sf_dir)
+    edges.createOrReplaceTempView("bfs_edges_v")
+    seeds = table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") % SEED_MOD == 0
+    ).select("p_partkey")
+    seeds.createOrReplaceTempView("bfs_seeds_v")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE bfs (part, hops) AS (
+          SELECT p_partkey, 0 FROM bfs_seeds_v
+          UNION ALL
+          SELECT e.dst, bfs.hops + 1
+          FROM bfs JOIN bfs_edges_v e ON e.src = bfs.part
+          WHERE bfs.hops < {MAX_HOPS}
+        )
+        SELECT part AS part_key, CAST(min(hops) AS INT) AS hops
+        FROM bfs GROUP BY part
+        """
+    )
