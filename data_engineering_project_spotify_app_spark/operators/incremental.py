@@ -183,3 +183,89 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("st.n").alias("n_ops"),
         F.col("st.last_ts").alias("last_ts"),
     )
+
+
+# First-md5-hex-digit bands: digits 0-1 of 16 => ~1/8 of keys are "delta".
+_DELTA_BAND = 2
+_O_BAND = (
+    "(instr('0123456789abcdef', "
+    "substr(md5(CAST(o_orderkey AS {s})), 1, 1)) - 1)"
+)
+_C_BAND = (
+    "(instr('0123456789abcdef', "
+    "substr(md5(CAST(c_custkey AS {s})), 1, 1)) - 1)"
+)
+
+
+_IVM_ORACLE = f"""
+    WITH o_old AS (
+      SELECT * FROM orders WHERE {_O_BAND.format(s='VARCHAR')} >= {_DELTA_BAND}
+    ),
+    o_new AS (
+      SELECT * FROM orders WHERE {_O_BAND.format(s='VARCHAR')} < {_DELTA_BAND}
+    ),
+    c_old AS (
+      SELECT * FROM customer WHERE {_C_BAND.format(s='VARCHAR')} >= {_DELTA_BAND}
+    ),
+    c_new AS (
+      SELECT * FROM customer WHERE {_C_BAND.format(s='VARCHAR')} < {_DELTA_BAND}
+    )
+    SELECT o.o_orderkey, c.c_custkey, 'dA_B' AS term,
+           round(o.o_totalprice, 2) AS totalprice
+    FROM o_new o JOIN c_old c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT o.o_orderkey, c.c_custkey, 'A_dB', round(o.o_totalprice, 2)
+    FROM o_old o JOIN c_new c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT o.o_orderkey, c.c_custkey, 'dA_dB', round(o.o_totalprice, 2)
+    FROM o_new o JOIN c_new c ON c.c_custkey = o.o_custkey
+    """
+
+
+@query("q_incremental_join", oracle=_IVM_ORACLE)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN: the delta of
+    V = A ⋈ B under inserts ΔA, ΔB is EXACTLY
+    ΔV = (ΔA ⋈ B) ∪ (A ⋈ ΔB) ∪ (ΔA ⋈ ΔB) — the classic join-delta
+    algebra (Blakeley et al., SIGMOD'86) that lets a materialized
+    orders⋈customer view refresh with O(|Δ|·avg-fanout) work instead
+    of recomputing |A∪ΔA| ⋈ |B∪ΔB|. Emitted rows carry their algebra
+    term as provenance. Deltas are deterministic md5 key-bands (the
+    q_dataset_split idiom) so both engines see identical snapshots;
+    tests pin the invariant old-view ∪ ΔV == full-view.
+
+    Scale: every term joins a DELTA side — ~1/8 of one input — so the
+    small side broadcasts (hinted for ΔB; AQE sizes ΔA's joins), and
+    the base relations are only ever scanned, never shuffled twice.
+    At 100 TB the base sides would be bucketed on the join key
+    (sources/bucketed.py), making the big-side scans exchange-free.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o_band = F.expr(_O_BAND.format(s="STRING"))
+    c_band = F.expr(_C_BAND.format(s="STRING"))
+    o_old, o_new = o.filter(o_band >= _DELTA_BAND), o.filter(
+        o_band < _DELTA_BAND
+    )
+    c_old, c_new = c.filter(c_band >= _DELTA_BAND), c.filter(
+        c_band < _DELTA_BAND
+    )
+
+    def term(odf: DataFrame, cdf: DataFrame, tag: str, bc) -> DataFrame:
+        cside = F.broadcast(cdf) if bc else cdf
+        return odf.join(
+            cside, odf.o_custkey == cdf.c_custkey
+        ).select(
+            "o_orderkey",
+            "c_custkey",
+            F.lit(tag).alias("term"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+
+    return (
+        term(o_new, c_old, "dA_B", bc=False)
+        .unionByName(term(o_old, c_new, "A_dB", bc=True))
+        .unionByName(term(o_new, c_new, "dA_dB", bc=True))
+    )

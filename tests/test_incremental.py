@@ -36,3 +36,49 @@ def test_merge_invariant_to_split_point(spark, cutover):
     assert _rollup_at(spark, cutover) == _rollup_at(
         spark, incremental.CUTOVER
     )
+
+
+def test_incremental_join_invariant(spark, sf_dir):
+    """IVM correctness: (A_old ⋈ B_old) ∪ ΔV == (A∪ΔA) ⋈ (B∪ΔB), and
+    the three delta terms partition ΔV (disjoint, no overlap)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators.incremental import (
+        _C_BAND,
+        _DELTA_BAND,
+        _O_BAND,
+        q_incremental_join,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    delta = q_incremental_join(spark, sf_dir)
+    # terms partition: no (orderkey, custkey) appears under two terms
+    dup = (
+        delta.groupBy("o_orderkey", "c_custkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    full = o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "c_custkey"
+    )
+    o_band = F.expr(_O_BAND.format(s="STRING"))
+    c_band = F.expr(_C_BAND.format(s="STRING"))
+    old_view = (
+        o.filter(o_band >= _DELTA_BAND)
+        .join(
+            c.filter(c_band >= _DELTA_BAND),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select("o_orderkey", "c_custkey")
+    )
+    rebuilt = old_view.unionByName(delta.select("o_orderkey", "c_custkey"))
+    assert rebuilt.count() == full.count()
+    assert rebuilt.exceptAll(full).count() == 0
+    assert full.exceptAll(rebuilt).count() == 0
