@@ -1109,3 +1109,75 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("is_new"), F.col("value")).otherwise(0.0)), 4
         ).alias("returning_revenue"),
     )
+
+
+ABANDON_WINDOW_MIN = 60
+
+
+_ABANDON_ORACLE = f"""
+    WITH w AS (
+      SELECT user_id, event_id, ts, event_type,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_purchase_ts
+      FROM events
+    )
+    SELECT user_id, event_id, ts AS view_ts,
+           next_purchase_ts IS NOT NULL AS purchased_later,
+           coalesce(next_purchase_ts
+                      <= ts + INTERVAL {ABANDON_WINDOW_MIN} MINUTE,
+                    false) AS converted_1h
+    FROM w
+    WHERE event_type = 'view'
+      AND (next_purchase_ts IS NULL
+           OR next_purchase_ts > ts + INTERVAL {ABANDON_WINDOW_MIN} MINUTE)
+    """
+
+
+@query("q_abandoned_views", oracle=_ABANDON_ORACLE)
+def q_abandoned_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abandonment: view events with NO purchase by the same user within
+    the next {ABANDON_WINDOW_MIN} minutes — the time-bounded ANTI-join
+    (q_interval_join's inner-match complement) behind every retargeting
+    feed. One reverse-frame window per user computes the NEXT purchase
+    timestamp (running conditional min over the following rows), so
+    the bounded non-match test needs no join at all — the single
+    user-keyed shuffle every per-user ordering pays, nothing more.
+    Frame order carries the event_id tie-break; a purchase in the same
+    microsecond as the view counts as converting (CURRENT ROW is in
+    the frame) in both engines identically.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    bound = F.col("ts") + F.expr(
+        f"INTERVAL {ABANDON_WINDOW_MIN} MINUTES"
+    )
+    return (
+        e.withColumn("next_purchase_ts", next_p)
+        .filter(
+            (F.col("event_type") == "view")
+            & (
+                F.col("next_purchase_ts").isNull()
+                | (F.col("next_purchase_ts") > bound)
+            )
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("view_ts"),
+            F.col("next_purchase_ts").isNotNull().alias("purchased_later"),
+            F.coalesce(
+                F.col("next_purchase_ts") <= bound, F.lit(False)
+            ).alias("converted_1h"),
+        )
+    )

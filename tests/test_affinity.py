@@ -363,3 +363,37 @@ def test_item_cf_neighbor_lists(spark, sf_dir):
     assert both  # symmetry check has support
     for (a, b), v in both:
         assert abs(v - sim[(b, a)]) < 1e-9
+
+
+def test_abandoned_views_matches_pandas(spark, sf_dir):
+    import pandas as pd
+
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        ABANDON_WINDOW_MIN,
+        q_abandoned_views,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    e = (
+        table(spark, sf_dir, "events")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    ref = set()
+    bound = pd.Timedelta(minutes=ABANDON_WINDOW_MIN)
+    for uid, g in e.groupby("user_id"):
+        rows = list(g.itertuples(index=False))
+        for i, r in enumerate(rows):
+            if r.event_type != "view":
+                continue
+            nxt = [
+                x.ts for x in rows[i:] if x.event_type == "purchase"
+            ]
+            if not nxt or min(nxt) > r.ts + bound:
+                ref.add((uid, r.event_id))
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in q_abandoned_views(spark, sf_dir).collect()
+    }
+    assert got == ref
+    assert len(got) > 0  # 30-day fixture must contain abandonment
