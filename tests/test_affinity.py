@@ -397,3 +397,21 @@ def test_abandoned_views_matches_pandas(spark, sf_dir):
     }
     assert got == ref
     assert len(got) > 0  # 30-day fixture must contain abandonment
+
+
+def test_uplift_reconciles_with_sessionize(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_uplift,
+    )
+    from data_engineering_project_spotify_app_spark.operators.windows import (
+        q_sessionize,
+    )
+
+    r = q_uplift(spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    n_sessions = q_sessionize(spark, sf_dir).count()
+    assert row["n_click_sessions"] + row["n_other_sessions"] == n_sessions
+    assert row["n_click_sessions"] > 0 and row["n_other_sessions"] > 0
+    assert 0 <= row["p_click"] <= 1 and 0 <= row["p_other"] <= 1
+    assert abs(row["uplift_abs"] - (row["p_click"] - row["p_other"])) < 2e-6
