@@ -155,6 +155,11 @@ HEADLINE = [
     "q_readability",
     "q_interarrival",
     "q_new_vs_returning",
+    # round-6 continuation, third wave: IVM, variant, anti-join, uplift
+    "q_incremental_join",
+    "q_variant_props",
+    "q_abandoned_views",
+    "q_uplift",
 ]
 
 
