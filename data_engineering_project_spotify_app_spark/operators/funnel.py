@@ -1293,3 +1293,151 @@ def q_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ct") / F.col("nt")) / (F.col("cc") / F.col("nc")), 6
         ).alias("relative_risk"),
     )
+
+
+_TTC_ORACLE = """
+    WITH f AS (
+      SELECT user_id,
+             min(ts) AS t0,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+      FROM events GROUP BY 1
+    ),
+    d AS (
+      SELECT user_id, tp IS NOT NULL AS converted,
+             CASE WHEN tp IS NOT NULL
+                  THEN date_diff('microseconds', t0, tp) / 86400000000.0
+             END AS days
+      FROM f
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           round(sum(CASE WHEN converted THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS conversion_rate,
+           round(quantile_cont(days, 0.5), 4) AS median_days,
+           round(quantile_cont(days, 0.9), 4) AS p90_days
+    FROM d
+    """
+
+
+@query("q_time_to_convert", oracle=_TTC_ORACLE)
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-event summary: days from a user's first touch to their
+    first purchase — conversion rate plus the median/p90 of the
+    conversion-lag distribution among converters (the survival-curve
+    summary row; users who never purchase are the censored mass that
+    the rate, not the quantiles, accounts for).
+
+    Scale: one user-keyed conditional-min aggregate reduces the stream
+    to a row per user; the exact interpolated percentiles run over
+    that frame (percentile ≡ quantile_cont, the verified pairing —
+    swap for approx_percentile at 100 TB, same plan). Lag computed in
+    whole microseconds then divided, so doubles agree exactly.
+    """
+    e = table(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min("ts").alias("t0"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("tp"),
+    )
+    d = f.select(
+        F.col("tp").isNotNull().alias("converted"),
+        F.when(
+            F.col("tp").isNotNull(),
+            (F.unix_micros("tp") - F.unix_micros("t0")) / 86400000000.0,
+        ).alias("days"),
+    )
+    return d.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias(
+            "n_converted"
+        ),
+        F.round(
+            F.sum(F.when(F.col("converted"), 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("conversion_rate"),
+        F.round(F.percentile("days", F.lit(0.5)), 4).alias("median_days"),
+        F.round(F.percentile("days", F.lit(0.9)), 4).alias("p90_days"),
+    )
+
+
+_TOP_MOVERS_ORACLE = """
+    WITH w AS (
+      SELECT p.p_brand AS brand,
+             CAST(date_trunc('week', l.l_shipdate) AS DATE) AS week,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT brand, week, rev,
+             lag(rev) OVER (PARTITION BY brand ORDER BY week) AS prev
+      FROM w
+    ),
+    last_week AS (SELECT max(week) AS wk FROM d WHERE prev IS NOT NULL)
+    SELECT brand,
+           round(rev, 2) AS revenue,
+           round(prev, 2) AS prev_revenue,
+           round((rev - prev) / prev, 6) AS wow_change,
+           CAST(row_number() OVER (
+             ORDER BY abs((rev - prev) / prev) DESC, brand) AS BIGINT)
+             AS rnk
+    FROM d, last_week
+    WHERE d.week = last_week.wk AND prev IS NOT NULL
+    QUALIFY rnk <= 10
+    """
+
+
+@query("q_top_movers", oracle=_TOP_MOVERS_ORACLE)
+def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending report: the 10 brands with the largest week-over-week
+    relative revenue swing in the LATEST complete week — the "what
+    changed" screen run after every weekly close (pairs with
+    q_revenue_bridge, which explains WHY a mover moved).
+
+    Scale: the fact reduces to the |brands|×|weeks| panel first
+    (broadcast dim join, partial-aggregated); the lag window, the
+    latest-week filter, and the global top-10 all run on that panel.
+    Ranking on abs relative change with a brand tie-break.
+    """
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_shipdate",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    w = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.to_date(F.date_trunc("week", "l_shipdate")).alias("week"),
+        )
+        .agg(F.sum("net").alias("rev"))
+    )
+    lagw = Window.partitionBy("brand").orderBy("week")
+    d = w.withColumn("prev", F.lag("rev").over(lagw)).filter(
+        F.col("prev").isNotNull()
+    )
+    last_week = d.agg(F.max("week").alias("wk"))
+    chg = (F.col("rev") - F.col("prev")) / F.col("prev")
+    ranked = (
+        d.join(F.broadcast(last_week), d.week == F.col("wk"))
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.abs(chg).desc(), "brand"))
+            .cast("bigint"),
+        )
+        .filter(F.col("rnk") <= 10)
+    )
+    return ranked.select(
+        "brand",
+        F.round("rev", 2).alias("revenue"),
+        F.round("prev", 2).alias("prev_revenue"),
+        F.round(chg, 6).alias("wow_change"),
+        "rnk",
+    )

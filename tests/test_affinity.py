@@ -415,3 +415,37 @@ def test_uplift_reconciles_with_sessionize(spark, sf_dir):
     assert row["n_click_sessions"] > 0 and row["n_other_sessions"] > 0
     assert 0 <= row["p_click"] <= 1 and 0 <= row["p_other"] <= 1
     assert abs(row["uplift_abs"] - (row["p_click"] - row["p_other"])) < 2e-6
+
+
+def test_time_to_convert_summary(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_time_to_convert,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    r = q_time_to_convert(spark, sf_dir).collect()[0]
+    n_users = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert r["n_users"] == n_users
+    assert 0 < r["n_converted"] <= r["n_users"]
+    assert abs(r["conversion_rate"] - r["n_converted"] / r["n_users"]) < 1e-6
+    assert 0 <= r["median_days"] <= r["p90_days"] <= 30  # 30-day fixture
+
+
+def test_top_movers_ranked_by_abs_change(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_top_movers,
+    )
+
+    rows = sorted(q_top_movers(spark, sf_dir).collect(), key=lambda r: r["rnk"])
+    assert 0 < len(rows) <= 10
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    prev = float("inf")
+    for r in rows:
+        assert abs(r["wow_change"]) <= prev + 1e-9
+        prev = abs(r["wow_change"])
+        assert abs(
+            r["wow_change"]
+            - (r["revenue"] - r["prev_revenue"]) / r["prev_revenue"]
+        ) < 1e-4
