@@ -113,6 +113,11 @@ def test_bfs_plan_is_one_unrolled_dag(spark):
     import io
     import contextlib
 
+    # A persisted frame from an earlier test with an identical subplan
+    # (q_item_cf's baskets == the co-purchase edge build) would be
+    # substituted into this plan as InMemoryRelation — assert on a
+    # clean cache (see tests/test_plans.plan_of).
+    spark.catalog.clearCache()
     df = registry.QUERIES["q_bfs_hops"](spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -19,6 +19,11 @@ registry.load_all_modules()
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
+    # Plan-shape assertions must see the query's OWN plan: a persist()
+    # left by an earlier test (e.g. q_item_cf's basket frame, whose
+    # subplan exactly matches the co-purchase edge build) would be
+    # substituted as InMemoryRelation into unrelated plans.
+    spark.catalog.clearCache()
     df = registry.QUERIES[name](spark, sf_dir)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
