@@ -687,3 +687,65 @@ def q_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ZIPF_ORACLE = f"""
+    WITH tf AS (
+      SELECT t.tok, count(*) AS freq
+      FROM (SELECT unnest({TOKENS_SQL.format(col='text')}) AS tok
+            FROM documents) t
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT freq,
+             row_number() OVER (ORDER BY freq DESC, tok) AS rnk
+      FROM tf
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(CAST(freq AS DOUBLE)),
+                            ln(CAST(rnk AS DOUBLE))), 6) AS zipf_exponent,
+           round(regr_intercept(ln(CAST(freq AS DOUBLE)),
+                                ln(CAST(rnk AS DOUBLE))), 6) AS intercept,
+           round(regr_r2(ln(CAST(freq AS DOUBLE)),
+                         ln(CAST(rnk AS DOUBLE))), 6) AS r2
+    FROM ranked
+    """
+
+
+@query("q_zipf_fit", oracle=_ZIPF_ORACLE)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency)
+    on ln(rank) — natural text sits near exponent −1 with high r²;
+    synthetic, templated, or spam-heavy corpora bend the curve, which
+    makes this single row a cheap corpus-health fingerprint (and the
+    law behind every "cap the stop-head" heuristic in the dedup/PMI
+    family).
+
+    Scale: term counting is the standard explode→partial-agg; the
+    frequency ranking is the TWO-PHASE global rank (rankutil.py — a
+    vocabulary is millions of rows at 100 TB, so no single-partition
+    window), and the fit is the one-pass closed-form regr_* aggregate
+    over (ln rank, ln freq). Rank ties broken by token so both engines
+    rank identically.
+    """
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        two_phase_global_rank,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = two_phase_global_rank(
+        tf, [F.col("freq").desc(), F.col("tok")], 8
+    )
+    lr = F.log(F.col("rn").cast("double"))
+    lf = F.log(F.col("freq").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_exponent"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("r2"),
+    )

@@ -307,3 +307,43 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum((pc - pr) * F.log(pc / pr)), 6).alias("psi"))
         .select("event_type", "n_ref", "n_cur", "psi")
     )
+
+
+_FANO_ORACLE = """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(CAST(n AS DOUBLE)), 4) AS mean_daily,
+           round(var_pop(CAST(n AS DOUBLE)), 4) AS var_daily,
+           round(var_pop(CAST(n AS DOUBLE)) / avg(CAST(n AS DOUBLE)), 6)
+             AS fano
+    FROM d GROUP BY 1
+    """
+
+
+@query("q_burstiness", oracle=_FANO_ORACLE)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor) of daily volumes per event
+    type: var/mean of the daily-count series — 1 for a Poisson arrival
+    process, > 1 overdispersed (bursty), < 1 regular. One number that
+    says whether q_burst_detection has anything to find, and the
+    statistic capacity planners size queues by.
+
+    Scale: the q_level_shift posture — one partial-aggregated daily
+    panel, then a |types|-group moment aggregate over it.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    nd = F.col("n").cast("double")
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg(nd), 4).alias("mean_daily"),
+        F.round(F.var_pop(nd), 4).alias("var_daily"),
+        F.round(F.var_pop(nd) / F.avg(nd), 6).alias("fano"),
+    )

@@ -449,3 +449,28 @@ def test_top_movers_ranked_by_abs_change(spark, sf_dir):
             r["wow_change"]
             - (r["revenue"] - r["prev_revenue"]) / r["prev_revenue"]
         ) < 1e-4
+
+
+def test_zipf_fit_is_plausible(spark, sf_dir):
+    """Natural-ish token streams give a negative exponent with a strong
+    fit; intercept is ln(freq) of the (extrapolated) rank-1 term."""
+    from data_engineering_project_spotify_app_spark.operators.curation import (
+        q_zipf_fit,
+    )
+
+    r = q_zipf_fit(spark, sf_dir).collect()[0]
+    assert r["n_terms"] > 20  # synthetic fixture vocab is small
+    assert r["zipf_exponent"] < 0
+    assert 0 <= r["r2"] <= 1
+
+
+def test_burstiness_identities(spark, sf_dir):
+    """fano == var/mean (recomputed), positive, finite."""
+    from data_engineering_project_spotify_app_spark.operators.regress import (
+        q_burstiness,
+    )
+
+    for r in q_burstiness(spark, sf_dir).collect():
+        assert r["n_days"] > 0 and r["mean_daily"] > 0
+        assert r["var_daily"] >= 0
+        assert abs(r["fano"] - r["var_daily"] / r["mean_daily"]) < 1e-2
