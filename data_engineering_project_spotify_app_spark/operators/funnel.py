@@ -1441,3 +1441,59 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chg, 6).alias("wow_change"),
         "rnk",
     )
+
+
+_VELOCITY_ORACLE = f"""
+    WITH funnel AS ({_FUNNEL_ORACLE.replace(chr(10) + '    ', chr(10))}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN funnel_stage >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clicked,
+           CAST(sum(CASE WHEN funnel_stage >= 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchased,
+           round(quantile_cont(
+             date_diff('microseconds', t_view, t_click) / 3600000000.0,
+             0.5), 4) AS median_view_to_click_h,
+           round(quantile_cont(
+             date_diff('microseconds', t_click, t_purchase) / 3600000000.0,
+             0.5), 4) AS median_click_to_purchase_h
+    FROM funnel
+    """
+
+
+@query("q_funnel_velocity", oracle=_VELOCITY_ORACLE)
+def q_funnel_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel VELOCITY: how fast users move between ordered stages —
+    stage-reach counts plus the median view→click and click→purchase
+    lags (hours) over q_funnel's per-user state rows. The companion
+    question to q_funnel's "how far" and q_time_to_convert's
+    first-touch lag: a stage that converts well but slowly is a
+    different product problem than one that loses users outright.
+
+    Composes the registered fold (same single user-keyed shuffle);
+    quantiles skip NULL stage timestamps in both engines identically
+    (users who never reached the stage contribute to counts only).
+    Lags in whole microseconds → hours, so doubles agree exactly.
+    """
+    f = q_funnel(spark, sf_dir)
+    v2c = (
+        F.unix_micros("t_click") - F.unix_micros("t_view")
+    ) / 3600000000.0
+    c2p = (
+        F.unix_micros("t_purchase") - F.unix_micros("t_click")
+    ) / 3600000000.0
+    return f.agg(
+        F.count("*").alias("n_users"),
+        F.sum(
+            F.when(F.col("funnel_stage") >= 2, 1).otherwise(0)
+        ).alias("n_clicked"),
+        F.sum(
+            F.when(F.col("funnel_stage") >= 3, 1).otherwise(0)
+        ).alias("n_purchased"),
+        F.round(F.percentile(v2c, F.lit(0.5)), 4).alias(
+            "median_view_to_click_h"
+        ),
+        F.round(F.percentile(c2p, F.lit(0.5)), 4).alias(
+            "median_click_to_purchase_h"
+        ),
+    )

@@ -474,3 +474,19 @@ def test_burstiness_identities(spark, sf_dir):
         assert r["n_days"] > 0 and r["mean_daily"] > 0
         assert r["var_daily"] >= 0
         assert abs(r["fano"] - r["var_daily"] / r["mean_daily"]) < 1e-2
+
+
+def test_funnel_velocity_reconciles_with_funnel(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_funnel,
+        q_funnel_velocity,
+    )
+
+    r = q_funnel_velocity(spark, sf_dir).collect()[0]
+    stages = [row["funnel_stage"] for row in q_funnel(spark, sf_dir).collect()]
+    assert r["n_users"] == len(stages)
+    assert r["n_clicked"] == sum(1 for s in stages if s >= 2)
+    assert r["n_purchased"] == sum(1 for s in stages if s >= 3)
+    assert r["n_purchased"] <= r["n_clicked"] <= r["n_users"]
+    assert r["median_view_to_click_h"] >= 0
+    assert r["median_click_to_purchase_h"] >= 0
