@@ -434,3 +434,68 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= ITEM_CF_K)
     )
+
+
+_HHI_ORACLE = """
+    WITH rev AS (
+      SELECT n.n_name AS nation, p.p_brand AS brand,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS r
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT nation, sum(r) AS t FROM rev GROUP BY 1)
+    SELECT rev.nation,
+           CAST(count(*) AS BIGINT) AS n_brands,
+           round(sum((rev.r / tot.t) * (rev.r / tot.t)), 6) AS hhi,
+           round(max(rev.r / tot.t), 6) AS top_share
+    FROM rev JOIN tot ON tot.nation = rev.nation
+    GROUP BY 1
+    """
+
+
+@query("q_market_hhi", oracle=_HHI_ORACLE)
+def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index per market (customer
+    nation): Σ share² of brand revenue — 1/n_brands for a perfectly
+    even market, → 1 as one brand dominates; plus the top brand's
+    share. The antitrust-grade concentration statistic that pairs with
+    q_pareto_report's Gini view of user concentration.
+
+    Scale: the star join broadcasts every dimension (part, nation;
+    orders→customer is the one fact-sized hop and AQE sizes it); the
+    HHI itself runs over the |nations|×|brands| panel.
+    """
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net"),
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.col("p_brand").alias("brand")
+        )
+        .agg(F.sum("net").alias("r"))
+    )
+    tot = rev.groupBy("nation").agg(F.sum("r").alias("t"))
+    share = F.col("r") / F.col("t")
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation")
+        .agg(
+            F.count("*").alias("n_brands"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+            F.round(F.max(share), 6).alias("top_share"),
+        )
+    )

@@ -449,3 +449,98 @@ def pca_project(
     return e.select("vec_id", "embedding").mapInPandas(
         gen, "vec_id long, scores array<double>"
     )
+
+
+_ANISOTROPY_ORACLE = f"""
+    WITH pos AS (
+      SELECT CAST(unnest(generate_series(1, {EMB_DIM})) AS INT) AS i
+    ),
+    v AS (
+      SELECT e.vec_id, p.i, CAST(e.embedding[p.i] AS DOUBLE) AS x
+      FROM embeddings e, pos p
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+    u AS (
+      SELECT v.vec_id, v.i, v.x / nrm.nrm AS ux
+      FROM v JOIN nrm ON nrm.vec_id = v.vec_id
+    ),
+    s AS (SELECT i, sum(ux) AS su FROM u GROUP BY i),
+    agg AS (
+      SELECT (SELECT count(*) FROM nrm) AS n,
+             (SELECT sum(su * su) FROM s) AS ssq,
+             (SELECT avg(nrm) FROM nrm) AS mean_norm,
+             (SELECT stddev_pop(nrm) FROM nrm) AS sd_norm
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           round(mean_norm, 4) AS mean_norm,
+           round(sd_norm, 4) AS sd_norm,
+           round((ssq - n) / (n * (n - 1.0)), 6) AS mean_pairwise_cosine
+    FROM agg
+    """
+
+
+@query("q_embedding_anisotropy", oracle=_ANISOTROPY_ORACLE)
+def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space health check: norm distribution + ANISOTROPY —
+    the mean pairwise cosine over all C(n,2) vector pairs, computed
+    WITHOUT pairwise work via the exact identity
+    mean_cos = (‖Σuᵢ‖² − n) / (n(n−1)) for unit vectors uᵢ
+    (Σᵢ≠ⱼ uᵢ·uⱼ = ‖Σu‖² − Σ‖u‖²). High anisotropy (Ethayarajh,
+    EMNLP'19) means vectors crowd a narrow cone and cosine thresholds
+    lose contrast — the first thing to check before trusting
+    q_semantic_dedup/ANN thresholds on a new embedding model.
+
+    Scale: one mapInPandas pass folds each Arrow batch into a d-sized
+    unit-vector sum partial plus norm moments — O(d + 1) rows per
+    partition, no shuffle of vectors, no pairs anywhere. The test pins
+    the identity against brute-force pairwise cosine on the fixture.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            nrm = np.sqrt((x * x).sum(axis=1))
+            u = x / nrm[:, None]
+            su = u.sum(axis=0)
+            yield pd.DataFrame(
+                {
+                    "i": np.arange(1, x.shape[1] + 1, dtype=np.int32),
+                    "su": su,
+                    "n": np.full(x.shape[1], len(pdf), dtype=np.int64),
+                    "s_nrm": np.full(x.shape[1], nrm.sum()),
+                    "s_nrm2": np.full(x.shape[1], (nrm * nrm).sum()),
+                }
+            )
+
+    parts = e.select("embedding").mapInPandas(
+        gen, "i int, su double, n long, s_nrm double, s_nrm2 double"
+    )
+    dims = parts.groupBy("i").agg(
+        F.sum("su").alias("su"),
+        F.sum("n").alias("n"),
+        F.sum("s_nrm").alias("s_nrm"),
+        F.sum("s_nrm2").alias("s_nrm2"),
+    )
+    agg = dims.agg(
+        F.sum(F.col("su") * F.col("su")).alias("ssq"),
+        F.first("n").alias("n"),  # identical per dim
+        F.first("s_nrm").alias("s_nrm"),
+        F.first("s_nrm2").alias("s_nrm2"),
+    )
+    n = F.col("n").cast("double")
+    mean_norm = F.col("s_nrm") / n
+    var_norm = F.col("s_nrm2") / n - mean_norm * mean_norm
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_vectors"),
+        F.round(mean_norm, 4).alias("mean_norm"),
+        F.round(F.sqrt(var_norm), 4).alias("sd_norm"),
+        F.round(
+            (F.col("ssq") - n) / (n * (n - F.lit(1.0))), 6
+        ).alias("mean_pairwise_cosine"),
+    )

@@ -347,3 +347,67 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop(nd), 4).alias("var_daily"),
         F.round(F.var_pop(nd) / F.avg(nd), 6).alias("fano"),
     )
+
+
+_ACF_ORACLE = """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest([1, 7]) AS lag_d)
+    SELECT a.event_type,
+           CAST(l.lag_d AS INT) AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(CAST(a.n AS DOUBLE), CAST(b.n AS DOUBLE)), 6)
+             AS acf
+    FROM d a
+    CROSS JOIN lags l
+    JOIN d b ON b.event_type = a.event_type
+            AND b.day = a.day + l.lag_d
+    GROUP BY 1, 2
+    """
+
+
+@query("q_autocorrelation", oracle=_ACF_ORACLE)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily volume series at lags 1 and 7 days
+    per event type — the two numbers that justify (or kill) the
+    seasonal-naive baseline: high ACF(7) says "use last week", high
+    ACF(1) says "use yesterday", neither says "model harder".
+    Computed as Pearson corr of the panel joined to itself at a day
+    offset (the standard sample-ACF estimator on aligned pairs).
+
+    Scale: the q_level_shift posture again — the corpus reduces to the
+    |types|×|days| panel before the lag self-join, which is panel-
+    sized × 2 lags.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    lags = table(spark, sf_dir, "events").sparkSession.createDataFrame(
+        [(1,), (7,)], "lag_d int"
+    )
+    a = d.select("event_type", "day", F.col("n").alias("na"))
+    b = d.select(
+        "event_type", F.col("day").alias("bday"), F.col("n").alias("nb")
+    )
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (a.event_type == b.event_type)
+            & (F.col("bday") == F.date_add("day", F.col("lag_d"))),
+        )
+        .groupBy(a.event_type, F.col("lag_d").cast("int").alias("lag_days"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.corr(
+                    F.col("na").cast("double"), F.col("nb").cast("double")
+                ),
+                6,
+            ).alias("acf"),
+        )
+    )

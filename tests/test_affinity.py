@@ -490,3 +490,28 @@ def test_funnel_velocity_reconciles_with_funnel(spark, sf_dir):
     assert r["n_purchased"] <= r["n_clicked"] <= r["n_users"]
     assert r["median_view_to_click_h"] >= 0
     assert r["median_click_to_purchase_h"] >= 0
+
+
+def test_hhi_bounds(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.affinity import (
+        q_market_hhi,
+    )
+
+    for r in q_market_hhi(spark, sf_dir).collect():
+        assert r["n_brands"] >= 1
+        # HHI in [1/n, 1]; top share in [1/n, 1] and top_share^2 <= hhi
+        assert 1.0 / r["n_brands"] - 1e-6 <= r["hhi"] <= 1.0 + 1e-9
+        assert r["top_share"] ** 2 <= r["hhi"] + 1e-9
+        assert r["top_share"] >= 1.0 / r["n_brands"] - 1e-6
+
+
+def test_autocorrelation_bounds(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.regress import (
+        q_autocorrelation,
+    )
+
+    rows = q_autocorrelation(spark, sf_dir).collect()
+    assert {r["lag_days"] for r in rows} == {1, 7}
+    for r in rows:
+        assert -1 - 1e-9 <= r["acf"] <= 1 + 1e-9
+        assert r["n_pairs"] > 0

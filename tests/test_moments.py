@@ -118,3 +118,21 @@ def test_pca_project_spectral_identities(spark, sf_dir):
     np.testing.assert_allclose(s.var(axis=0), vals, rtol=1e-3)
     corr = np.corrcoef(s[:, 0], s[:, 1])[0, 1]
     assert abs(corr) < 0.02, corr
+
+
+def test_anisotropy_identity_vs_bruteforce(spark, sf_dir):
+    """mean_pairwise_cosine must equal the brute-force average cosine
+    over all C(n,2) pairs (the ||sum u||^2 identity, exactly)."""
+    from data_engineering_project_spotify_app_spark.operators.moments import (
+        q_embedding_anisotropy,
+    )
+
+    r = q_embedding_anisotropy(spark, sf_dir).collect()[0]
+    x = _collect_matrix(spark, sf_dir)
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = u @ u.T
+    n = len(u)
+    brute = (sims.sum() - n) / (n * (n - 1))
+    assert r["n_vectors"] == n
+    assert abs(r["mean_pairwise_cosine"] - brute) < 1e-6
+    assert abs(r["mean_norm"] - np.linalg.norm(x, axis=1).mean()) < 1e-3
