@@ -499,3 +499,52 @@ def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(share), 6).alias("top_share"),
         )
     )
+
+
+_CYCLE_ORACLE = """
+    WITH lag_days AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE)) AS DOUBLE) AS d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT priority,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(d), 4) AS mean_days,
+           round(quantile_cont(d, 0.5), 4) AS median_days,
+           round(quantile_cont(d, 0.9), 4) AS p90_days
+    FROM lag_days GROUP BY 1
+    """
+
+
+@query("q_order_cycle", oracle=_CYCLE_ORACLE)
+def q_order_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time per order priority: mean / median / p90
+    days from order placement to line shipment — the fulfillment-SLA
+    panel (does URGENT actually ship faster?), and the operational twin
+    of q_interarrival's behavioral gaps.
+
+    Scale: the fact-to-fact hop joins on the orderkey both sides
+    already carry (AQE-sized); lags reduce per (priority) with exact
+    interpolated percentiles over day-integer doubles — identical in
+    both engines (whole-day date_diff, no sub-day precision to drift).
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.to_date("l_shipdate"), F.to_date("o_orderdate")
+            ).cast("double").alias("d"),
+        )
+    )
+    return d.groupBy("priority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.avg("d"), 4).alias("mean_days"),
+        F.round(F.percentile("d", F.lit(0.5)), 4).alias("median_days"),
+        F.round(F.percentile("d", F.lit(0.9)), 4).alias("p90_days"),
+    )

@@ -1497,3 +1497,64 @@ def q_funnel_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_click_to_purchase_h"
         ),
     )
+
+
+_HOUR_PROFILE_ORACLE = """
+    WITH c AS (
+      SELECT event_type,
+             CAST(strftime(ts, '%w') AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hh,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    md AS (SELECT event_type, dow, sum(n) AS nd FROM c GROUP BY 1, 2),
+    mh AS (SELECT event_type, hh, sum(n) AS nh FROM c GROUP BY 1, 2),
+    tt AS (SELECT event_type, sum(n) AS t FROM c GROUP BY 1)
+    SELECT c.event_type, c.dow, c.hh,
+           CAST(c.n AS BIGINT) AS n,
+           round(c.n * 1.0 * tt.t / (md.nd * mh.nh), 4) AS lift
+    FROM c
+    JOIN md ON md.event_type = c.event_type AND md.dow = c.dow
+    JOIN mh ON mh.event_type = c.event_type AND mh.hh = c.hh
+    JOIN tt ON tt.event_type = c.event_type
+    """
+
+
+@query("q_hour_profile", oracle=_HOUR_PROFILE_ORACLE)
+def q_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity grid per event type, with the
+    INDEPENDENCE LIFT per cell: n·T/(n_dow·n_hour) — 1.0 where the
+    weekly and daily rhythms explain the cell, >1 where a specific
+    (day, hour) genuinely concentrates activity beyond both marginals
+    (the 2-D extension of q_seasonality's day-only χ², and the same
+    observed-vs-independence shape as q_source_lang_mi).
+
+    Scale: one partial-aggregated pass to the ≤ types×7×24 grid;
+    marginals are broadcast-sized re-aggregations of it.
+    """
+    c = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.dayofweek("ts") - F.lit(1)).alias("dow"),
+            F.hour("ts").alias("hh"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    md = c.groupBy("event_type", "dow").agg(F.sum("n").alias("nd"))
+    mh = c.groupBy("event_type", "hh").agg(F.sum("n").alias("nh"))
+    tt = c.groupBy("event_type").agg(F.sum("n").alias("t"))
+    return (
+        c.join(F.broadcast(md), ["event_type", "dow"])
+        .join(F.broadcast(mh), ["event_type", "hh"])
+        .join(F.broadcast(tt), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("hh").cast("int").alias("hh"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round(
+                F.col("n") * F.col("t") / (F.col("nd") * F.col("nh")), 4
+            ).alias("lift"),
+        )
+    )

