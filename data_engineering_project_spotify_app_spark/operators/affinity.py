@@ -548,3 +548,55 @@ def q_order_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("d", F.lit(0.5)), 4).alias("median_days"),
         F.round(F.percentile("d", F.lit(0.9)), 4).alias("p90_days"),
     )
+
+
+_AOV_ORACLE = """
+    WITH seq AS (
+      SELECT o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS k
+      FROM orders
+    ),
+    b AS (
+      SELECT CASE WHEN k >= 3 THEN '3+' ELSE CAST(k AS VARCHAR) END
+               AS order_index,
+             o_totalprice
+      FROM seq
+    )
+    SELECT order_index,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(o_totalprice), 2) AS aov,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS median_value
+    FROM b GROUP BY 1
+    """
+
+
+@query("q_aov_by_order_index", oracle=_AOV_ORACLE)
+def q_aov_by_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average order value by the customer's order INDEX (1st, 2nd,
+    3rd-plus) — do repeat orders grow or shrink? The panel behind
+    "first-order discounts pay back" debates, and the order-sequence
+    twin of q_new_vs_returning's daily split.
+
+    Scale: one customer-keyed row_number window (high-cardinality
+    key), then a 3-group aggregate with exact medians.
+    """
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    b = o.select(
+        "o_totalprice", F.row_number().over(w).alias("k")
+    ).select(
+        F.when(F.col("k") >= 3, F.lit("3+"))
+        .otherwise(F.col("k").cast("string"))
+        .alias("order_index"),
+        "o_totalprice",
+    )
+    return b.groupBy("order_index").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("aov"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias(
+            "median_value"
+        ),
+    )

@@ -544,3 +544,101 @@ def q_embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ssq") - n) / (n * (n - F.lit(1.0))), 6
         ).alias("mean_pairwise_cosine"),
     )
+
+
+OUTLIER_TOP_K = 20
+
+
+_EMB_OUTLIER_ORACLE = f"""
+    WITH pos AS (
+      SELECT CAST(unnest(generate_series(1, {EMB_DIM})) AS INT) AS i
+    ),
+    v AS (
+      SELECT e.vec_id, p.i, CAST(e.embedding[p.i] AS DOUBLE) AS x
+      FROM embeddings e, pos p
+    ),
+    mu AS (SELECT i, avg(x) AS m FROM v GROUP BY i),
+    dist AS (
+      SELECT v.vec_id,
+             sqrt(sum((v.x - mu.m) * (v.x - mu.m))) AS d
+      FROM v JOIN mu ON mu.i = v.i
+      GROUP BY 1
+    ),
+    st AS (SELECT avg(d) AS md, stddev_pop(d) AS sd FROM dist)
+    SELECT vec_id,
+           round(d, 4) AS dist_to_centroid,
+           round((d - st.md) / st.sd, 4) + 0.0 AS z,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT dist.vec_id, dist.d, st.md, st.sd,
+             row_number() OVER (ORDER BY dist.d DESC, dist.vec_id) AS rnk
+      FROM dist, st
+    ) q, st
+    WHERE rnk <= {OUTLIER_TOP_K}
+    """
+
+
+@query("q_embedding_outliers", oracle=_EMB_OUTLIER_ORACLE)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier mining: the {OUTLIER_TOP_K} vectors
+    farthest from the corpus centroid, with their distance z-scores —
+    the cheap first pass of embedding-based data cleaning (mislabeled/
+    garbage points sit in the far tail; SemDeDup-style pipelines drop
+    or re-inspect them before clustering).
+
+    Two passes, no pairwise work: the centroid folds from the same
+    d-sized per-partition sum partials as the covariance (collected —
+    KB at any scale), then one mapInPandas pass scores each Arrow
+    batch's distances against the broadcast centroid; the global
+    top-k is a TakeOrderedAndProject-sized rank over per-batch
+    candidates. Distance moments (for z) fold from the same second
+    pass. Ranking on the raw distance with vec_id tie-break.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    parts = covariance_partials(e)
+    mean_rows = (
+        parts.filter(F.col("i") == F.col("j"))
+        .groupBy("i")
+        .agg((F.sum("sx") / F.sum("n")).alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(max(r["i"] for r in mean_rows))
+    for r in mean_rows:
+        mu[r["i"] - 1] = r["mu"]
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d = np.sqrt(((x - mu) ** 2).sum(axis=1))
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "d": d}
+            )
+
+    dist = e.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_id long, d double"
+    )
+    st = dist.agg(
+        F.avg("d").alias("md"), F.stddev_pop("d").alias("sd")
+    )
+    w = Window.orderBy(F.col("d").desc(), "vec_id")
+    return (
+        dist.crossJoin(F.broadcast(st))
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= OUTLIER_TOP_K)
+        .select(
+            "vec_id",
+            F.round("d", 4).alias("dist_to_centroid"),
+            (
+                F.round((F.col("d") - F.col("md")) / F.col("sd"), 4)
+                + F.lit(0.0)
+            ).alias("z"),
+            "rnk",
+        )
+    )

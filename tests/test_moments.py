@@ -136,3 +136,25 @@ def test_anisotropy_identity_vs_bruteforce(spark, sf_dir):
     assert r["n_vectors"] == n
     assert abs(r["mean_pairwise_cosine"] - brute) < 1e-6
     assert abs(r["mean_norm"] - np.linalg.norm(x, axis=1).mean()) < 1e-3
+
+
+def test_embedding_outliers_vs_numpy(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.moments import (
+        OUTLIER_TOP_K,
+        q_embedding_outliers,
+    )
+
+    x = _collect_matrix(spark, sf_dir)
+    d = np.sqrt(((x - x.mean(axis=0)) ** 2).sum(axis=1))
+    order = sorted(range(len(d)), key=lambda i: (-d[i], i))
+    got = sorted(
+        q_embedding_outliers(spark, sf_dir).collect(), key=lambda r: r["rnk"]
+    )
+    assert len(got) == OUTLIER_TOP_K
+    # vec_id == row index in _collect_matrix (sorted by vec_id)
+    assert [r["vec_id"] for r in got] == order[:OUTLIER_TOP_K]
+    for r in got:
+        assert abs(r["dist_to_centroid"] - d[r["vec_id"]]) < 1e-3
+    zs = [r["z"] for r in got]
+    assert zs == sorted(zs, reverse=True)
+    assert zs[0] > 1.0  # the farthest point is a genuine tail point
