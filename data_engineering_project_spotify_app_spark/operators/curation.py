@@ -749,3 +749,60 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lf, lr), 6).alias("intercept"),
         F.round(F.regr_r2(lf, lr), 6).alias("r2"),
     )
+
+
+_HEAPS_ORACLE = f"""
+    WITH firsts AS (
+      SELECT t.tok, min(t.doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest({TOKENS_SQL.format(col='text')}) AS tok
+            FROM documents) t
+      GROUP BY 1
+    ),
+    nn AS (SELECT max(doc_id) AS mx FROM documents),
+    grid AS (SELECT unnest(generate_series(1, 10)) AS decile)
+    SELECT CAST(g.decile AS INT) AS decile,
+           CAST(count(CASE WHEN f.first_doc <= nn.mx * g.decile / 10.0
+                           THEN 1 END) AS BIGINT) AS vocab_size
+    FROM grid g, nn, firsts f
+    GROUP BY 1
+    """
+
+
+@query("q_heaps_law", oracle=_HEAPS_ORACLE)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct vocabulary size
+    after each tenth of the corpus (by doc_id order) — sublinear growth
+    (V ≈ K·Nᵝ, β < 1) is the natural-text signature; a FLAT curve
+    means a closed template vocabulary, a LINEAR one means ids/noise
+    minting new "words" forever (both are curation red flags; pairs
+    with q_zipf_fit's frequency view).
+
+    Scale: vocabulary first-occurrence is ONE min-aggregate per token
+    (map-side combined); the curve is a 10-bucket conditional count
+    over the (token, first_doc) frame — no per-prefix re-scan of the
+    corpus, which is the naive formulation's N²/10 trap.
+    """
+    d = table(spark, sf_dir, "documents")
+    firsts = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    deciles = d.sparkSession.range(1, 11).select(
+        F.col("id").cast("int").alias("decile")
+    )
+    return (
+        firsts.crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(deciles))
+        .groupBy("decile")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("first_doc")
+                    <= F.col("mx") * F.col("decile") / F.lit(10.0),
+                    1,
+                )
+            ).alias("vocab_size")
+        )
+    )

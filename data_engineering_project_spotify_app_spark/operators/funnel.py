@@ -1558,3 +1558,76 @@ def q_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+LINEAR_ATTR_WINDOW_MIN = 60
+
+
+_LINEAR_ATTR_ORACLE = f"""
+    WITH p AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.event_id AS purchase_id, e.event_type
+      FROM p JOIN events e
+        ON e.user_id = p.user_id
+       AND e.event_type <> 'purchase'
+       AND e.ts < p.ts
+       AND e.ts >= p.ts - INTERVAL {LINEAR_ATTR_WINDOW_MIN} MINUTE
+    ),
+    k AS (
+      SELECT purchase_id, count(*) AS n_touches FROM touches GROUP BY 1
+    )
+    SELECT t.event_type AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_touch_events,
+           round(sum(1.0 / k.n_touches), 4) AS credit
+    FROM touches t JOIN k ON k.purchase_id = t.purchase_id
+    GROUP BY 1
+    """
+
+
+@query("q_linear_attribution", oracle=_LINEAR_ATTR_ORACLE)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR multi-touch attribution: every non-purchase touch in the
+    {LINEAR_ATTR_WINDOW_MIN} minutes before a purchase shares the
+    credit equally (1/k each) — the equal-weight companion to
+    q_attribution's last-touch winner-takes-all; comparing the two
+    tables is how attribution-model debates are actually run.
+
+    ZERO joins on the Spark side: one per-user RANGE-frame window
+    (rangeBetween on epoch-micros over the purchase's preceding hour)
+    collects the touch types in-frame, and credit explodes as
+    1/size(frame) — the banded-window form of the oracle's range
+    self-join. Purchases with no in-window touch drop (credit has no
+    'direct' bucket here; q_attribution covers that convention).
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-LINEAR_ATTR_WINDOW_MIN * 60 * 1_000_000, -1)
+    )
+    touches = F.collect_list(
+        F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    ).over(w)
+    per_purchase = (
+        e.withColumn("touches", touches)
+        .filter(
+            (F.col("event_type") == "purchase") & (F.size("touches") > 0)
+        )
+        .select("event_id", "touches")
+    )
+    return (
+        per_purchase.select(
+            F.explode("touches").alias("touch_type"),
+            (F.lit(1.0) / F.size("touches")).alias("w"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_touch_events"),
+            F.round(F.sum("w"), 4).alias("credit"),
+        )
+    )

@@ -548,3 +548,49 @@ def test_order_cycle_percentiles_ordered(spark, sf_dir):
     for r in rows:
         assert 0 <= r["median_days"] <= r["p90_days"]
         assert r["n_lines"] > 0
+
+
+def test_heaps_curve_monotone_concave_ish(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.curation import (
+        q_heaps_law,
+    )
+
+    rows = sorted(
+        q_heaps_law(spark, sf_dir).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    sizes = [r["vocab_size"] for r in rows]
+    assert all(a <= b for a, b in zip(sizes, sizes[1:]))  # monotone
+    assert sizes[0] > 0
+    # sublinear growth: the second half adds fewer new terms than the first
+    assert sizes[-1] - sizes[4] <= sizes[4] - 0
+
+
+def test_linear_attribution_credit_conserved(spark, sf_dir):
+    """Total credit == number of purchases that HAD at least one touch
+    in the window (each such purchase distributes exactly 1.0)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        LINEAR_ATTR_WINDOW_MIN,
+        q_linear_attribution,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    rows = q_linear_attribution(spark, sf_dir).collect()
+    total_credit = sum(r["credit"] for r in rows)
+    e = table(spark, sf_dir, "events").toPandas()
+    import pandas as pd
+
+    bound = pd.Timedelta(minutes=LINEAR_ATTR_WINDOW_MIN)
+    n_attributed = 0
+    for uid, g in e.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        others = g[g.event_type != "purchase"]
+        for p in g[g.event_type == "purchase"].itertuples(index=False):
+            inwin = others[
+                (others.ts < p.ts) & (others.ts >= p.ts - bound)
+            ]
+            if len(inwin):
+                n_attributed += 1
+    assert abs(total_credit - n_attributed) < 0.01 * max(1, n_attributed)
