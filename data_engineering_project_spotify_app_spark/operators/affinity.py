@@ -600,3 +600,109 @@ def q_aov_by_order_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_value"
         ),
     )
+
+
+_ABC_ORACLE = """
+    WITH rev AS (
+      SELECT l_partkey AS part_key,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,4))) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT part_key, r,
+             sum(r) OVER (ORDER BY r DESC, part_key
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_r,
+             sum(r) OVER () AS tot
+      FROM rev
+    ),
+    classed AS (
+      SELECT part_key, r,
+             CASE WHEN cum_r / tot <= 0.8 THEN 'A'
+                  WHEN cum_r / tot <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM ranked
+    )
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(round(sum(r), 2) AS DOUBLE) AS revenue,
+           round(CAST(sum(r) AS DOUBLE) / CAST(max(tot2) AS DOUBLE), 6)
+             AS revenue_share
+    FROM (SELECT c.*, (SELECT sum(r) FROM rev) AS tot2 FROM classed c)
+    GROUP BY 1
+    """
+
+
+@query("q_abc_classification", oracle=_ABC_ORACLE)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A =
+    the head covering 80% of cumulative revenue, B = next 15%, C = the
+    tail — the Pareto cut every warehouse runs to decide what to stock
+    tightly (the categorical cousin of q_pareto_report's Gini).
+
+    Scale: per-part revenue is one partial-aggregated groupBy; the
+    cumulative share runs on the TWO-PHASE global rank's offsets (a
+    100 TB part catalog is still millions of rows — no single-task
+    window over it); the class summary is 3 rows.
+    """
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        two_phase_global_rank,
+    )
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    # DECIMAL sums: the cumulative class boundary (cum/tot <= 0.8) must
+    # not depend on float summation ORDER — decimal aggregation is exact
+    # and order-independent (the q_incremental_rollup convention), so the
+    # two-phase cumsum classifies identically to the oracle's sequential
+    # running sum even for parts landing exactly on a boundary.
+    rev = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,4)"
+            )
+        ).alias("r")
+    )
+    ranked = two_phase_global_rank(
+        rev, [F.col("r").desc(), F.col("part_key")], 8
+    )
+    # cumulative revenue by rank: per-range partial sums + broadcast
+    # offsets would be exact too, but the rank is already global and
+    # dense, so a range-partitioned running sum over rn stays parallel
+    # (pid-local window + broadcast offsets — the rankutil shape).
+    ranged = ranked.repartitionByRange(8, "rn").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    psums = ranged.groupBy("pid").agg(F.sum("r").alias("pr"))
+    off_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = psums.select(
+        "pid",
+        F.coalesce(
+            F.sum("pr").over(off_w),
+            # decimal zero, NOT 0.0: a double literal would coerce the
+            # whole cumulative chain back to float and reopen the
+            # order-sensitivity the decimal sums exist to close
+            F.lit(0).cast("decimal(28,4)"),
+        ).alias("off"),
+    )
+    local_w = W.partitionBy("pid").orderBy("rn")
+    tot = rev.agg(F.sum("r").alias("tot"))
+    classed = (
+        ranged.join(F.broadcast(offs), "pid")
+        .withColumn("cum_r", F.col("off") + F.sum("r").over(local_w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "abc_class",
+            F.when(F.col("cum_r") / F.col("tot") <= 0.8, "A")
+            .when(F.col("cum_r") / F.col("tot") <= 0.95, "B")
+            .otherwise("C"),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("r"), 2).cast("double").alias("revenue"),
+        F.round(
+            F.sum("r").cast("double") / F.first("tot").cast("double"), 6
+        ).alias("revenue_share"),
+    )

@@ -806,3 +806,64 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_size")
         )
     )
+
+
+TERM_BURST_TOP_K = 20
+
+
+_TERM_BURST_ORACLE = f"""
+    WITH occ AS (
+      SELECT doc_id, t.tok, count(*) AS k
+      FROM (SELECT doc_id, unnest({TOKENS_SQL.format(col='text')}) AS tok
+            FROM documents) t
+      GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT tok, sum(k) AS tf, count(*) AS df FROM occ GROUP BY 1
+    )
+    SELECT tok AS term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df,
+           round((tf - df) * 1.0 / tf, 4) AS repeat_rate,
+           round(tf * 1.0 / df, 4) AS mean_burst
+    FROM stats
+    ORDER BY tf DESC, tok
+    LIMIT {TERM_BURST_TOP_K}
+    """
+
+
+@query("q_term_burstiness", oracle=_TERM_BURST_ORACLE)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church & Gale): for the {TERM_BURST_TOP_K} most
+    frequent terms, how much usage CLUMPS — repeat_rate = share of
+    occurrences that are repeats within a document, mean_burst = mean
+    occurrences per containing document. Content words burst (a doc
+    about a topic repeats its nouns); function words scatter — the
+    distinction TF-IDF exploits, measured directly, and the reason a
+    per-doc cap on term counts (BM25's k1 saturation) exists.
+
+    Scale: one (doc, term) pre-aggregate off the explode (map-side
+    combined), one term-level re-aggregate, TakeOrdered top-k.
+    """
+    d = table(spark, sf_dir, "documents")
+    occ = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("k"))
+    )
+    stats = occ.groupBy("tok").agg(
+        F.sum("k").alias("tf"), F.count("*").alias("df")
+    )
+    return (
+        stats.select(
+            F.col("tok").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round((F.col("tf") - F.col("df")) / F.col("tf"), 4).alias(
+                "repeat_rate"
+            ),
+            F.round(F.col("tf") / F.col("df"), 4).alias("mean_burst"),
+        )
+        .orderBy(F.col("tf").desc(), "term")
+        .limit(TERM_BURST_TOP_K)
+    )

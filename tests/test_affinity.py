@@ -594,3 +594,30 @@ def test_linear_attribution_credit_conserved(spark, sf_dir):
             if len(inwin):
                 n_attributed += 1
     assert abs(total_credit - n_attributed) < 0.01 * max(1, n_attributed)
+
+
+def test_abc_classification_shares(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.affinity import (
+        q_abc_classification,
+    )
+
+    rows = {r["abc_class"]: r for r in q_abc_classification(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total_share = sum(r["revenue_share"] for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-4
+    # A covers ~80% of revenue with far fewer parts than its share
+    assert rows["A"]["revenue_share"] <= 0.8 + 0.02
+    assert rows["A"]["revenue_share"] > rows["B"]["revenue_share"]
+    n_total = sum(r["n_parts"] for r in rows.values())
+    assert rows["A"]["n_parts"] < 0.8 * n_total
+
+
+def test_term_burstiness_identities(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.curation import (
+        q_term_burstiness,
+    )
+
+    for r in q_term_burstiness(spark, sf_dir).collect():
+        assert r["df"] <= r["tf"]
+        assert abs(r["repeat_rate"] - round((r["tf"] - r["df"]) / r["tf"], 4)) < 1e-9
+        assert r["mean_burst"] >= 1.0
