@@ -364,3 +364,78 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= HARDNEG_K)
     )
+
+
+NEGSAMPLE_K = 3
+
+
+_NEGSAMPLE_ORACLE = f"""
+    WITH anchors AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label
+      FROM embeddings WHERE vec_id < {{n_anchors}}
+    ),
+    cands AS (
+      SELECT a.anchor_id, e.vec_id AS negative_id,
+             md5(CAST(a.anchor_id AS VARCHAR) || ':' ||
+                 CAST(e.vec_id AS VARCHAR)) AS h
+      FROM anchors a JOIN embeddings e
+        ON e.label <> a.anchor_label
+    )
+    SELECT anchor_id, negative_id, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT anchor_id, negative_id,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY h, negative_id) AS rnk
+      FROM cands
+    )
+    WHERE rnk <= {NEGSAMPLE_K}
+    """
+
+
+@query(
+    "q_negative_sampling",
+    oracle=_NEGSAMPLE_ORACLE.format(n_anchors=10),
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform negative sampling for contrastive training: for each
+    anchor, {NEGSAMPLE_K} DIFFERENT-LABEL negatives chosen by the
+    md5(anchor:candidate) race — "random" negatives that are stable
+    across runs, machines, retries, and engines (the q_dataset_split
+    determinism discipline). Completes the pair-mining trio: q_ann_*
+    finds positives, q_hard_negatives mines the hardest confusable
+    negatives, and this supplies the uniform background negatives a
+    contrastive loss needs alongside them.
+
+    Scale: the anchor block is small by definition and broadcasts; the
+    corpus is scanned once with the hash race fused in, and the
+    per-anchor top-k is a WindowGroupLimit-prunable rank (map-side
+    top-k per partition before the shuffle).
+    """
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    anchors = e.filter(F.col("vec_id") < N_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+    )
+    cands = (
+        F.broadcast(anchors)
+        .join(e, e.label != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            F.col("vec_id").alias("negative_id"),
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("vec_id").cast("string"),
+                )
+            ).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy("h", "negative_id")
+    return (
+        cands.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= NEGSAMPLE_K)
+        .select("anchor_id", "negative_id", "rnk")
+    )

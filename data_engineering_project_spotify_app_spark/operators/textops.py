@@ -2428,3 +2428,70 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flesch"),
         )
     )
+
+
+_LENGTH_BIAS_ORACLE = f"""
+    WITH m AS (
+      SELECT source, CAST(n_chars AS DOUBLE) AS len,
+             CAST(len({_TOK}) AS BIGINT) AS n_words,
+             CAST(greatest(
+               len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+               AS n_sentences,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS n_syllables
+      FROM documents
+    ),
+    scored AS (
+      SELECT source, len,
+             206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                     - 84.6 * (n_syllables * 1.0 / n_words) AS flesch
+      FROM m WHERE n_words > 0
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(corr(len, flesch), 6) AS corr_len_readability
+    FROM scored GROUP BY 1
+    """
+
+
+@query("q_length_bias", oracle=_LENGTH_BIAS_ORACLE)
+def q_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scorer length-bias audit: per source, the correlation between
+    document length and the readability score — a quality signal that
+    mostly tracks length is a length filter in disguise, and
+    length-confounded scores silently re-weight the corpus mix when a
+    single threshold is applied across sources (the audit to run
+    before trusting any scorer in the q_corpus_filter funnel; the
+    continuous cousin of q_source_lang_mi's categorical confounding
+    screen).
+
+    Scale: one codegen projection computes the score inline (same
+    expressions as q_readability), then a per-source corr — closed-form
+    sums, fully partial-aggregated (the regress.py posture).
+    """
+    t = F.col("text")
+    n_words = F.size(tokens(t)).cast("bigint")
+    n_sentences = F.greatest(
+        F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"), F.lit(1)
+    ).cast("bigint")
+    n_syllables = F.expr(
+        "size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+    ).cast("bigint")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sentences)
+        - F.lit(84.6) * (n_syllables / n_words)
+    )
+    scored = (
+        table_parallel(spark, sf_dir, "documents")
+        .filter(n_words > 0)
+        .select(
+            "source",
+            F.col("n_chars").cast("double").alias("len"),
+            flesch.alias("flesch"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.corr("len", "flesch"), 6).alias("corr_len_readability"),
+    )

@@ -621,3 +621,45 @@ def test_term_burstiness_identities(spark, sf_dir):
         assert r["df"] <= r["tf"]
         assert abs(r["repeat_rate"] - round((r["tf"] - r["df"]) / r["tf"], 4)) < 1e-9
         assert r["mean_burst"] >= 1.0
+
+
+def test_negative_sampling_contract(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.mlops import (
+        NEGSAMPLE_K,
+        N_ANCHORS,
+        q_negative_sampling,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    rows = q_negative_sampling(spark, sf_dir).collect()
+    by_anchor = {}
+    for r in rows:
+        assert labels[r["negative_id"]] != labels[r["anchor_id"]]
+        by_anchor.setdefault(r["anchor_id"], []).append(r["rnk"])
+    assert set(by_anchor) == set(range(N_ANCHORS))
+    for rnks in by_anchor.values():
+        assert sorted(rnks) == list(range(1, NEGSAMPLE_K + 1))
+    # determinism: a second run returns the identical pair set
+    again = {
+        (r["anchor_id"], r["negative_id"])
+        for r in q_negative_sampling(spark, sf_dir).collect()
+    }
+    assert again == {(r["anchor_id"], r["negative_id"]) for r in rows}
+
+
+def test_length_bias_bounds(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.textops import (
+        q_length_bias,
+    )
+
+    rows = q_length_bias(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_docs"] > 0
+        assert -1 - 1e-9 <= r["corr_len_readability"] <= 1 + 1e-9
