@@ -706,3 +706,86 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r").cast("double") / F.first("tot").cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+_PRICE_INDEX_ORACLE = """
+    WITH pm AS (
+      SELECT l_partkey AS part_key,
+             CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+             sum(l_quantity) AS q,
+             sum(l_extendedprice) / sum(l_quantity) AS p
+      FROM lineitem
+      GROUP BY 1, 2
+    )
+    SELECT b.month,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(b.p * a.q) / sum(a.p * a.q), 6) AS laspeyres,
+           round(sum(b.p * b.q) / sum(a.p * b.q), 6) AS paasche
+    FROM pm a
+    JOIN pm b ON b.part_key = a.part_key
+            AND b.month = a.month + INTERVAL 1 MONTH
+    GROUP BY 1
+    """
+
+
+@query("q_price_index", oracle=_PRICE_INDEX_ORACLE)
+def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month price indices: Laspeyres (current prices at
+    BASE-month quantities) and Paasche (at current quantities) over
+    parts present in both months — the index-number pair whose spread
+    brackets "true" inflation (Laspeyres overstates, Paasche
+    understates, substitution bias between them). The index-theory
+    companion to q_revenue_bridge's additive decomposition.
+
+    Scale: the fact reduces to the |parts|×|months| panel first; the
+    consecutive-month self-join runs on the panel keyed by part
+    (high-cardinality, no skew) and the index is one aggregate per
+    month.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    pm = (
+        li.groupBy(
+            F.col("l_partkey").alias("part_key"),
+            F.to_date(F.date_trunc("month", "l_shipdate")).alias("month"),
+        )
+        .agg(
+            F.sum("l_quantity").alias("q"),
+            (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
+        )
+    )
+    a = pm.select(
+        "part_key",
+        F.col("month").alias("base_month"),
+        F.col("q").alias("q0"),
+        F.col("p").alias("p0"),
+    )
+    b = pm.select(
+        "part_key",
+        F.col("month").alias("month"),
+        F.col("q").alias("q1"),
+        F.col("p").alias("p1"),
+    )
+    return (
+        a.join(
+            b,
+            (a.part_key == b.part_key)
+            & (
+                F.col("month")
+                == F.add_months(F.col("base_month"), 1)
+            ),
+        )
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(
+                F.sum(F.col("p1") * F.col("q0"))
+                / F.sum(F.col("p0") * F.col("q0")),
+                6,
+            ).alias("laspeyres"),
+            F.round(
+                F.sum(F.col("p1") * F.col("q1"))
+                / F.sum(F.col("p0") * F.col("q1")),
+                6,
+            ).alias("paasche"),
+        )
+    )

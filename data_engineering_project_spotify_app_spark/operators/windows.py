@@ -530,3 +530,54 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return cover.groupBy("day").agg(F.count("*").alias("dau7"))
+
+
+_STICKINESS_ORACLE = """
+    WITH ud AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+    days AS (SELECT DISTINCT day FROM ud),
+    wau AS (
+      SELECT d.day, count(DISTINCT u.user_id) AS wau
+      FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+      GROUP BY 1
+    )
+    SELECT dau.day,
+           CAST(dau.dau AS BIGINT) AS dau,
+           CAST(wau.wau AS BIGINT) AS wau,
+           round(dau.dau * 1.0 / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON wau.day = dau.day
+    """
+
+
+@query("q_stickiness", oracle=_STICKINESS_ORACLE)
+def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per day — the engagement-frequency ratio every
+    growth team tracks (1.0 = everyone active this week was active
+    today; 1/7 ≈ each weekly user shows up once). Composes the daily
+    distinct count with q_rolling_dau's cover-window trailing distinct;
+    both sides reduce to (day, user) pairs before any counting.
+    """
+    e = table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    days = ud.select("day").distinct()
+    wau = (
+        ud.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", 6))
+            ).alias("day"),
+            "user_id",
+        )
+        .join(days, "day", "left_semi")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("wau"))
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+    )

@@ -663,3 +663,21 @@ def test_length_bias_bounds(spark, sf_dir):
     for r in rows:
         assert r["n_docs"] > 0
         assert -1 - 1e-9 <= r["corr_len_readability"] <= 1 + 1e-9
+
+
+def test_price_index_bracketing(spark, sf_dir):
+    """Fisher bracketing: min(L,P) <= sqrt(L*P) <= max(L,P); indices
+    positive; matched-part counts positive."""
+    import math
+
+    from data_engineering_project_spotify_app_spark.operators.affinity import (
+        q_price_index,
+    )
+
+    rows = q_price_index(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        L, P = r["laspeyres"], r["paasche"]
+        assert L > 0 and P > 0 and r["n_parts"] > 0
+        fisher = math.sqrt(L * P)
+        assert min(L, P) - 1e-9 <= fisher <= max(L, P) + 1e-9

@@ -89,3 +89,18 @@ def test_readability_matches_python(spark, sf_dir):
         assert abs(r["flesch"] - round(flesch, 4)) < 1e-9
         checked += 1
     assert checked > 10
+
+
+def test_stickiness_bounds_and_reconciliation(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.windows import (
+        q_rolling_dau,
+        q_stickiness,
+    )
+
+    wau7 = {r["day"]: r["dau7"] for r in q_rolling_dau(spark, sf_dir).collect()}
+    rows = q_stickiness(spark, sf_dir).collect()
+    assert {r["day"] for r in rows} == set(wau7)
+    for r in rows:
+        assert r["wau"] == wau7[r["day"]]  # same trailing-distinct
+        assert 0 < r["stickiness"] <= 1.0 + 1e-9
+        assert r["dau"] <= r["wau"]
