@@ -642,3 +642,114 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+_SEPARABILITY_ORACLE = f"""
+    WITH pos AS (
+      SELECT CAST(unnest(generate_series(1, {EMB_DIM})) AS INT) AS i
+    ),
+    v AS (
+      SELECT e.vec_id, e.label, p.i,
+             CAST(e.embedding[p.i] AS DOUBLE) AS x
+      FROM embeddings e, pos p
+    ),
+    nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM v GROUP BY 1),
+    u AS (
+      SELECT v.vec_id, v.label, v.i, v.x / nrm.nrm AS ux
+      FROM v JOIN nrm ON nrm.vec_id = v.vec_id
+    ),
+    ls AS (
+      SELECT label, i, sum(ux) AS su,
+             count(DISTINCT vec_id) AS nl
+      FROM u GROUP BY 1, 2
+    ),
+    gs AS (SELECT i, sum(su) AS gsu FROM ls GROUP BY 1),
+    per_label AS (
+      SELECT ls.label,
+             max(ls.nl) AS nl,
+             sum(ls.su * ls.su) AS norm2,
+             sum(ls.su * gs.gsu) AS dotg
+      FROM ls JOIN gs ON gs.i = ls.i
+      GROUP BY 1
+    ),
+    tot AS (SELECT sum(nl) AS n FROM (SELECT label, max(nl) AS nl
+                                      FROM ls GROUP BY 1))
+    SELECT label,
+           CAST(nl AS BIGINT) AS n,
+           round((norm2 - nl) / (nl * (nl - 1.0)), 6) AS intra_cos,
+           round((dotg - norm2) / (nl * (tot.n - nl)), 6) AS inter_cos,
+           round((norm2 - nl) / (nl * (nl - 1.0))
+                 - (dotg - norm2) / (nl * (tot.n - nl)), 6) AS separation
+    FROM per_label, tot
+    """
+
+
+@query("q_label_separability", oracle=_SEPARABILITY_ORACLE)
+def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding separability WITHOUT pairwise work: mean
+    intra-label cosine vs mean cosine to the rest of the corpus, from
+    unit-vector sum identities alone —
+    intra_l = (‖s_l‖²−n_l)/(n_l(n_l−1)),
+    inter_l = (s_l·S−‖s_l‖²)/(n_l(N−n_l)) with s_l = Σ_label u, S = Σ u.
+    separation > 0 means the label forms a real cluster; ≈ 0 means the
+    labels are noise to this embedding — the one-pass screen before
+    trusting q_knn_classify / q_hard_negatives on a new model (the
+    labeled refinement of q_embedding_anisotropy's global cone).
+
+    Scale: one mapInPandas pass folds each Arrow batch into per-label
+    d-sums (labels × d tiny rows per partition); every cosine above is
+    arithmetic on those sums. The brute-force pairwise equality is
+    pinned in tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            u = x / np.sqrt((x * x).sum(axis=1))[:, None]
+            lab = pdf["label"].to_numpy()
+            for lb in np.unique(lab):
+                m = lab == lb
+                su = u[m].sum(axis=0)
+                yield pd.DataFrame(
+                    {
+                        "label": np.full(len(su), int(lb), dtype=np.int32),
+                        "i": np.arange(1, len(su) + 1, dtype=np.int32),
+                        "su": su,
+                        "nl": np.full(len(su), int(m.sum()), dtype=np.int64),
+                    }
+                )
+
+    ls = (
+        e.select("label", "embedding")
+        .mapInPandas(gen, "label int, i int, su double, nl long")
+        .groupBy("label", "i")
+        .agg(F.sum("su").alias("su"), F.sum("nl").alias("nl"))
+    )
+    gs = ls.groupBy("i").agg(F.sum("su").alias("gsu"))
+    per_label = (
+        ls.join(F.broadcast(gs), "i")
+        .groupBy("label")
+        .agg(
+            F.max("nl").alias("nl"),
+            F.sum(F.col("su") * F.col("su")).alias("norm2"),
+            F.sum(F.col("su") * F.col("gsu")).alias("dotg"),
+        )
+    )
+    tot = per_label.agg(F.sum("nl").alias("n"))
+    nl = F.col("nl").cast("double")
+    nn = F.col("n").cast("double")
+    intra = (F.col("norm2") - nl) / (nl * (nl - 1.0))
+    inter = (F.col("dotg") - F.col("norm2")) / (nl * (nn - nl))
+    return per_label.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.col("nl").cast("bigint").alias("n"),
+        F.round(intra, 6).alias("intra_cos"),
+        F.round(inter, 6).alias("inter_cos"),
+        F.round(intra - inter, 6).alias("separation"),
+    )

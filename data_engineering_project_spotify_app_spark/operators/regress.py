@@ -411,3 +411,72 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+
+_XMR_ORACLE = """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    mr AS (
+      SELECT event_type, day, n,
+             abs(n - lag(n) OVER (PARTITION BY event_type ORDER BY day))
+               AS moving_range
+      FROM d
+    ),
+    lim AS (
+      SELECT event_type,
+             avg(CAST(n AS DOUBLE)) AS xbar,
+             avg(CAST(moving_range AS DOUBLE)) AS mrbar
+      FROM mr GROUP BY 1
+    )
+    SELECT mr.event_type, mr.day,
+           CAST(mr.n AS BIGINT) AS n,
+           round(lim.xbar + 2.66 * lim.mrbar, 4) AS ucl,
+           round(lim.xbar - 2.66 * lim.mrbar, 4) AS lcl,
+           mr.n > lim.xbar + 2.66 * lim.mrbar
+             OR mr.n < lim.xbar - 2.66 * lim.mrbar AS out_of_control
+    FROM mr JOIN lim ON lim.event_type = mr.event_type
+    """
+
+
+@query("q_control_chart", oracle=_XMR_ORACLE)
+def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XmR (individuals/moving-range) control chart over daily volumes:
+    limits x̄ ± 2.66·MR̄ (the SPC constant for n=2 subgroups), each day
+    flagged in/out of control — Shewhart's common-vs-special-cause
+    split, the third anomaly lens next to q_burst_detection's global z
+    and q_level_shift's windowed means (XmR limits come from
+    POINT-TO-POINT variation, so a slow trend inflates z's baseline
+    sd but not MR̄).
+
+    Scale: the q_level_shift posture — daily panel first, one per-type
+    lag, limits are a broadcast |types|-row frame. The flag compares
+    UNROUNDED limits in both engines (rounding only the emitted
+    columns), so boundary days classify identically.
+    """
+    from pyspark.sql import Window
+
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    mr = d.withColumn(
+        "moving_range", F.abs(F.col("n") - F.lag("n").over(w))
+    )
+    lim = mr.groupBy("event_type").agg(
+        F.avg(F.col("n").cast("double")).alias("xbar"),
+        F.avg(F.col("moving_range").cast("double")).alias("mrbar"),
+    )
+    ucl = F.col("xbar") + 2.66 * F.col("mrbar")
+    lcl = F.col("xbar") - 2.66 * F.col("mrbar")
+    return mr.join(F.broadcast(lim), "event_type").select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(ucl, 4).alias("ucl"),
+        F.round(lcl, 4).alias("lcl"),
+        ((F.col("n") > ucl) | (F.col("n") < lcl)).alias("out_of_control"),
+    )

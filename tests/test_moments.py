@@ -158,3 +158,32 @@ def test_embedding_outliers_vs_numpy(spark, sf_dir):
     zs = [r["z"] for r in got]
     assert zs == sorted(zs, reverse=True)
     assert zs[0] > 1.0  # the farthest point is a genuine tail point
+
+
+def test_label_separability_vs_bruteforce(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.moments import (
+        q_label_separability,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    rows = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["vec_id"])
+    x = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    lab = np.array([r["label"] for r in rows])
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = u @ u.T
+    got = {r["label"]: r for r in q_label_separability(spark, sf_dir).collect()}
+    for lb in np.unique(lab):
+        m = lab == lb
+        nl = int(m.sum())
+        intra = (sims[np.ix_(m, m)].sum() - nl) / (nl * (nl - 1))
+        inter = sims[np.ix_(m, ~m)].mean()
+        r = got[int(lb)]
+        assert r["n"] == nl
+        assert abs(r["intra_cos"] - intra) < 1e-5, lb
+        assert abs(r["inter_cos"] - inter) < 1e-5, lb
+        assert abs(r["separation"] - (intra - inter)) < 2e-5
