@@ -789,3 +789,57 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("paasche"),
         )
     )
+
+
+_ORDER_GAP_ORACLE = """
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(date_diff('day',
+               lag(CAST(o_orderdate AS DATE)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey),
+               CAST(o_orderdate AS DATE)) AS DOUBLE) AS gap_days
+      FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_repeat_customers,
+           round(avg(gap_days), 4) AS mean_gap_days,
+           round(quantile_cont(gap_days, 0.5), 4) AS median_gap_days,
+           round(quantile_cont(gap_days, 0.9), 4) AS p90_gap_days
+    FROM g WHERE gap_days IS NOT NULL
+    """
+
+
+@query("q_order_gap", oracle=_ORDER_GAP_ORACLE)
+def q_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cycle: the distribution of days between a
+    customer's consecutive orders (mean / median / p90) — the number
+    replenishment reminders, churn definitions ("inactive = 2× median
+    gap"), and CLV models are all calibrated against; the order-grain
+    twin of q_interarrival's event gaps.
+
+    Scale: one customer-keyed lag window, exact interpolated
+    percentiles over the gap frame (one row per repeat order).
+    """
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"),
+            F.lag(F.to_date("o_orderdate")).over(w),
+        ).cast("double").alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return g.agg(
+        F.count("*").alias("n_gaps"),
+        F.countDistinct("o_custkey").alias("n_repeat_customers"),
+        F.round(F.avg("gap_days"), 4).alias("mean_gap_days"),
+        F.round(F.percentile("gap_days", F.lit(0.5)), 4).alias(
+            "median_gap_days"
+        ),
+        F.round(F.percentile("gap_days", F.lit(0.9)), 4).alias(
+            "p90_gap_days"
+        ),
+    )

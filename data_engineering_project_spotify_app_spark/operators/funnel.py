@@ -1631,3 +1631,115 @@ def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("w"), 4).alias("credit"),
         )
     )
+
+
+FUNNEL_WINDOW_H = 24
+
+
+_WINDOWED_FUNNEL_ORACLE = f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    u AS (SELECT DISTINCT user_id FROM e),
+    v AS (
+      SELECT user_id, min(ts) AS tv FROM e
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS tc
+      FROM e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.tv
+        AND e.ts <= v.tv + INTERVAL {FUNNEL_WINDOW_H} HOUR
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS tp
+      FROM e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.tc
+        AND e.ts <= c.tc + INTERVAL {FUNNEL_WINDOW_H} HOUR
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(v.tv) AS BIGINT) AS n_viewed,
+           CAST(count(c.tc) AS BIGINT) AS n_clicked_24h,
+           CAST(count(p.tp) AS BIGINT) AS n_purchased_24h,
+           round(count(p.tp) * 1.0 / count(v.tv), 6) AS view_to_purchase
+    FROM u
+    LEFT JOIN v ON v.user_id = u.user_id
+    LEFT JOIN c ON c.user_id = u.user_id
+    LEFT JOIN p ON p.user_id = u.user_id
+    """
+
+
+@query("q_funnel_windowed", oracle=_WINDOWED_FUNNEL_ORACLE)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUNDED funnel: each stage must fire within
+    {FUNNEL_WINDOW_H} h of the previous one (click ≤ 24 h after first
+    view, purchase ≤ 24 h after that click) — the conversion-window
+    convention real funnel reports use (a purchase three weeks after
+    the view is a different campaign), where q_funnel counts ordered
+    stages unboundedly. Same single-shuffle fold, the accumulator
+    carries the deadline.
+
+    Stage times are FIRST qualifying events (min after the previous
+    stage within its window), matching the oracle's relational
+    formulation; advance is strict (> previous stage ts).
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(*_STAGES)
+    )
+    evs = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_type"))
+        ).alias("evs")
+    )
+    bound_us = FUNNEL_WINDOW_H * 3600 * 1_000_000
+    acc0 = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("tv"),
+        F.lit(None).cast("timestamp").alias("tc"),
+        F.lit(None).cast("timestamp").alias("tp"),
+    )
+
+    def step(acc, x):
+        in_c_win = (
+            F.unix_micros(x["ts"]) - F.unix_micros(acc["tv"])
+        ) <= bound_us
+        in_p_win = (
+            F.unix_micros(x["ts"]) - F.unix_micros(acc["tc"])
+        ) <= bound_us
+        adv_v = (acc["stage"] == 0) & (x["event_type"] == "view")
+        adv_c = (
+            (acc["stage"] == 1)
+            & (x["event_type"] == "click")
+            & (x["ts"] > acc["tv"])
+            & in_c_win
+        )
+        adv_p = (
+            (acc["stage"] == 2)
+            & (x["event_type"] == "purchase")
+            & (x["ts"] > acc["tc"])
+            & in_p_win
+        )
+        return F.struct(
+            F.when(adv_v, 1)
+            .when(adv_c, 2)
+            .when(adv_p, 3)
+            .otherwise(acc["stage"])
+            .alias("stage"),
+            F.when(adv_v, x["ts"]).otherwise(acc["tv"]).alias("tv"),
+            F.when(adv_c, x["ts"]).otherwise(acc["tc"]).alias("tc"),
+            F.when(adv_p, x["ts"]).otherwise(acc["tp"]).alias("tp"),
+        )
+
+    folded = evs.select(F.aggregate("evs", acc0, step).alias("f"))
+    return folded.agg(
+        F.count("*").alias("n_users"),
+        F.count("f.tv").alias("n_viewed"),
+        F.count("f.tc").alias("n_clicked_24h"),
+        F.count("f.tp").alias("n_purchased_24h"),
+        F.round(F.count("f.tp") / F.count("f.tv"), 6).alias(
+            "view_to_purchase"
+        ),
+    )

@@ -681,3 +681,35 @@ def test_price_index_bracketing(spark, sf_dir):
         assert L > 0 and P > 0 and r["n_parts"] > 0
         fisher = math.sqrt(L * P)
         assert min(L, P) - 1e-9 <= fisher <= max(L, P) + 1e-9
+
+
+def test_funnel_windowed_vs_unbounded(spark, sf_dir):
+    """The 24h-bounded funnel can never convert MORE users than the
+    unbounded one, and the user universe matches."""
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_funnel,
+        q_funnel_windowed,
+    )
+
+    r = q_funnel_windowed(spark, sf_dir).collect()[0]
+    stages = [x["funnel_stage"] for x in q_funnel(spark, sf_dir).collect()]
+    assert r["n_users"] == len(stages)
+    assert r["n_viewed"] == sum(1 for s in stages if s >= 1)
+    assert r["n_clicked_24h"] <= sum(1 for s in stages if s >= 2)
+    assert r["n_purchased_24h"] <= sum(1 for s in stages if s >= 3)
+    assert 0 <= r["view_to_purchase"] <= 1
+
+
+def test_order_gap_percentiles(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.affinity import (
+        q_order_gap,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    r = q_order_gap(spark, sf_dir).collect()[0]
+    o = table(spark, sf_dir, "orders").toPandas()
+    n_repeat = (o.groupby("o_custkey").size() >= 2).sum()
+    assert r["n_repeat_customers"] == n_repeat
+    n_gaps_expected = len(o) - o["o_custkey"].nunique()
+    assert r["n_gaps"] == n_gaps_expected
+    assert 0 <= r["median_gap_days"] <= r["p90_gap_days"]
