@@ -497,3 +497,103 @@ def q_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bfs GROUP BY part
         """
     )
+
+
+@query(
+    "q_assortativity",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    deg AS (SELECT src AS node, count(*) AS d FROM e0 GROUP BY 1)
+    SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           round(corr(CAST(da.d AS DOUBLE), CAST(db.d AS DOUBLE)), 6)
+             AS assortativity
+    FROM e0
+    JOIN deg da ON da.node = e0.src
+    JOIN deg db ON db.node = e0.dst
+    """,
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: Pearson corr of
+    endpoint degrees over all (directed) edges — positive means hubs
+    link hubs (social-network shape), negative means hubs link leaves
+    (hub-and-spoke; typical for co-purchase and the reason LSH bucket
+    caps matter — hot nodes fan into everything). Newman's r as one
+    corr aggregate; both edge orientations are present, so the
+    symmetric estimator comes out directly.
+
+    Scale: degrees are a hash agg on the edge list; the two
+    enrichment joins are degree-frame joins keyed by node
+    (high-cardinality), and the corr is a closed-form one-pass
+    aggregate (the regress.py posture on a graph).
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    da = deg.select(F.col("node").alias("src"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("dst"), F.col("d").alias("db"))
+    return (
+        edges.join(da, "src")
+        .join(db, "dst")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.round(
+                F.corr(
+                    F.col("da").cast("double"), F.col("db").cast("double")
+                ),
+                6,
+            ).alias("assortativity"),
+        )
+    )
+
+
+@query(
+    "q_clustering_coefficient",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    und AS (SELECT src, dst FROM e0 WHERE src < dst),
+    tri AS (
+      SELECT count(*) AS n_tri
+      FROM und ab
+      JOIN und bc ON bc.src = ab.dst
+      JOIN und ac ON ac.src = ab.src AND ac.dst = bc.dst
+    ),
+    deg AS (SELECT src AS node, count(*) AS d FROM e0 GROUP BY 1),
+    wedges AS (SELECT sum(d * (d - 1) / 2.0) AS n_wedges FROM deg)
+    SELECT CAST(tri.n_tri AS BIGINT) AS n_triangles,
+           CAST(wedges.n_wedges AS BIGINT) AS n_wedges,
+           round(3.0 * tri.n_tri / wedges.n_wedges, 6)
+             AS clustering_coefficient
+    FROM tri, wedges
+    """,
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity): 3·triangles /
+    wedges — what fraction of open two-paths close into triangles.
+    High transitivity is the community signature; near-zero means the
+    graph is tree-/star-like and community detection will find
+    nothing. Composes the registered triangle machinery with a
+    one-aggregate wedge count (Σ d(d−1)/2).
+
+    Scale: triangle counting is the degree-ordered edge-iterator
+    (q_triangle_count's plan); wedges are one hash agg over the degree
+    frame. Both reduce to single rows before the final join.
+    """
+    edges = copurchase_edges(spark, sf_dir)
+    tri = (
+        triangle_counts(edges)
+        .agg((F.sum("n_triangles") / 3).alias("n_tri"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2.0).alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        F.col("n_tri").cast("bigint").alias("n_triangles"),
+        F.col("n_wedges").cast("bigint").alias("n_wedges"),
+        F.round(
+            F.lit(3.0) * F.col("n_tri") / F.col("n_wedges"), 6
+        ).alias("clustering_coefficient"),
+    )

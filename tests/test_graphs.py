@@ -210,3 +210,24 @@ def test_triangle_plan_is_edge_iterator(spark):
     plan = buf.getvalue()
     assert "array_intersect" in plan, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_clustering_coefficient_identities(spark):
+    """3*triangles <= wedges (every triangle closes 3 wedges, each
+    wedge closes at most once), and the coefficient reconciles with
+    the registered per-node triangle counts."""
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    r = registry.QUERIES["q_clustering_coefficient"](spark, SF).collect()[0]
+    assert 0 <= r["clustering_coefficient"] <= 1
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    tri_rows = registry.QUERIES["q_triangle_count"](spark, SF).collect()
+    assert sum(x["n_triangles"] for x in tri_rows) == 3 * r["n_triangles"]
+
+
+def test_assortativity_in_range(spark):
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    r = registry.QUERIES["q_assortativity"](spark, SF).collect()[0]
+    assert -1 - 1e-9 <= r["assortativity"] <= 1 + 1e-9
+    assert r["n_edges"] > 0
