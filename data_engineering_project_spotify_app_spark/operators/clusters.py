@@ -371,3 +371,64 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars_kept"),
         F.md5("text").alias("text_hash"),
     )
+
+
+_SAVINGS_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTERS_CTES},
+    ranked AS (
+      SELECT cc.cluster_id, d.doc_id,
+             row_number() OVER (
+               PARTITION BY cc.cluster_id
+               ORDER BY length(d.text) DESC, d.doc_id
+             ) AS rn
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+    ),
+    keep AS (SELECT doc_id FROM ranked WHERE rn = 1)
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS docs_before,
+           CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS docs_after,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_before,
+           CAST(sum(CASE WHEN k.doc_id IS NOT NULL THEN d.n_chars
+                         ELSE 0 END) AS BIGINT) AS chars_after,
+           round(1.0 - sum(CASE WHEN k.doc_id IS NOT NULL THEN d.n_chars
+                                ELSE 0 END) * 1.0 / sum(d.n_chars), 6)
+             AS char_savings
+    FROM documents d LEFT JOIN keep k ON k.doc_id = d.doc_id
+    GROUP BY 1
+    """
+
+
+@query("q_dedup_savings", oracle=_SAVINGS_ORACLE)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup BUSINESS CASE, per source: documents and characters
+    before vs after near-duplicate removal (the q_dedup_survivors keep
+    set) and the storage/compute fraction saved — the number that
+    justifies running the dedup ladder at all, split by source because
+    savings concentrate where the crawl recycles content.
+
+    Scale: the keep list is cluster-bounded and broadcast-sized; one
+    left-semi-flagged pass over documents and a |sources|-row
+    aggregate.
+    """
+    keep = q_dedup_keep_best(spark, sf_dir).select(
+        F.col("keep_id").alias("doc_id"), F.lit(1).alias("kept")
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    flagged = d.join(F.broadcast(keep), "doc_id", "left")
+    kept_chars = F.sum(
+        F.when(F.col("kept").isNotNull(), F.col("n_chars")).otherwise(0)
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("docs_before"),
+        F.sum(
+            F.when(F.col("kept").isNotNull(), 1).otherwise(0)
+        ).alias("docs_after"),
+        F.sum("n_chars").alias("chars_before"),
+        kept_chars.alias("chars_after"),
+        F.round(
+            F.lit(1.0) - kept_chars / F.sum("n_chars"), 6
+        ).alias("char_savings"),
+    )

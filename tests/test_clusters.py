@@ -74,3 +74,21 @@ def test_dedup_aware_split_keeps_clusters_together(spark, tmp_path):
         a, b = res[i], res[100 + i]
         assert a["cluster_id"] == b["cluster_id"] == i
         assert a["split"] == b["split"]
+
+
+def test_dedup_savings_reconciles_with_survivors(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.clusters import (
+        q_dedup_savings,
+        q_dedup_survivors,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    rows = q_dedup_savings(spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    n_surv = q_dedup_survivors(spark, sf_dir).count()
+    assert sum(r["docs_before"] for r in rows) == n_docs
+    assert sum(r["docs_after"] for r in rows) == n_surv
+    for r in rows:
+        assert 0 <= r["docs_after"] <= r["docs_before"]
+        assert 0 <= r["chars_after"] <= r["chars_before"]
+        assert 0 <= r["char_savings"] <= 1
