@@ -160,6 +160,23 @@ HEADLINE = [
     "q_variant_props",
     "q_abandoned_views",
     "q_uplift",
+    # round-6 continuation, final wave: statistics/graph/index families
+    "q_zipf_fit",
+    "q_heaps_law",
+    "q_abc_classification",
+    "q_price_index",
+    "q_label_separability",
+    "q_embedding_anisotropy",
+    "q_embedding_outliers",
+    "q_clustering_coefficient",
+    "q_assortativity",
+    "q_funnel_windowed",
+    "q_funnel_velocity",
+    "q_dedup_savings",
+    "q_control_chart",
+    "q_term_burstiness",
+    "q_linear_attribution",
+    "q_market_hhi",
 ]
 
 

@@ -579,7 +579,10 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_triangle_count's plan); wedges are one hash agg over the degree
     frame. Both reduce to single rows before the final join.
     """
-    edges = copurchase_edges(spark, sf_dir)
+    # Two consumers (triangle counting AND the degree/wedge aggregate)
+    # read the edge list — persist it or the bucket-collect build runs
+    # twice (measured 7.4 → 5.7 s at sf0.1; the affinity persist note).
+    edges = copurchase_edges(spark, sf_dir).persist()
     tri = (
         triangle_counts(edges)
         .agg((F.sum("n_triangles") / 3).alias("n_tri"))
