@@ -867,3 +867,80 @@ def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), "term")
         .limit(TERM_BURST_TOP_K)
     )
+
+
+TRENDING_TOP_K = 15
+
+
+_TRENDING_ORACLE = f"""
+    WITH halves AS (
+      SELECT doc_id <= (SELECT max(doc_id) / 2 FROM documents) AS is_old,
+             unnest({TOKENS_SQL.format(col='text')}) AS tok
+      FROM documents
+    ),
+    c AS (
+      SELECT tok,
+             sum(CASE WHEN is_old THEN 1 ELSE 0 END) AS n_old,
+             sum(CASE WHEN NOT is_old THEN 1 ELSE 0 END) AS n_new
+      FROM halves GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_old) AS t_old, sum(n_new) AS t_new FROM c)
+    SELECT tok AS term,
+           CAST(n_old AS BIGINT) AS n_old,
+           CAST(n_new AS BIGINT) AS n_new,
+           round(ln(((n_new + 1.0) / (tot.t_new + 2.0))
+                    / ((n_old + 1.0) / (tot.t_old + 2.0))), 6)
+             AS log_odds_shift
+    FROM c, tot
+    ORDER BY ln(((n_new + 1.0) / (tot.t_new + 2.0))
+                / ((n_old + 1.0) / (tot.t_old + 2.0))) DESC, tok
+    LIMIT {TRENDING_TOP_K}
+    """
+
+
+@query("q_trending_terms", oracle=_TRENDING_ORACLE)
+def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending vocabulary: the {TRENDING_TOP_K} terms with the largest
+    Laplace-smoothed log-odds shift from the corpus's first half to
+    its second (by doc_id order — the ingest-time axis) — the TEMPORAL
+    twin of q_source_keywords' cross-source contrast, and the
+    term-level explanation behind a q_corpus_drift alarm ("drifted
+    toward WHAT?").
+
+    Scale: one explode→(term, half) conditional aggregate (map-side
+    combined), broadcast totals, TakeOrdered top-k on the UNROUNDED
+    score with a term tie-break.
+    """
+    d = table(spark, sf_dir, "documents")
+    mid = d.agg((F.max("doc_id") / 2).alias("mid"))
+    halves = (
+        d.crossJoin(F.broadcast(mid))
+        .select(
+            (F.col("doc_id") <= F.col("mid")).alias("is_old"),
+            F.explode(tokens(F.col("text"))).alias("tok"),
+        )
+    )
+    c = halves.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("n_new"),
+    )
+    tot = c.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    score = F.log(
+        ((F.col("n_new") + 1.0) / (F.col("t_new") + 2.0))
+        / ((F.col("n_old") + 1.0) / (F.col("t_old") + 2.0))
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("tok").alias("term"),
+            F.col("n_old").cast("bigint").alias("n_old"),
+            F.col("n_new").cast("bigint").alias("n_new"),
+            F.round(score, 6).alias("log_odds_shift"),
+            score.alias("_s"),
+        )
+        .orderBy(F.col("_s").desc(), "term")
+        .limit(TRENDING_TOP_K)
+        .drop("_s")
+    )

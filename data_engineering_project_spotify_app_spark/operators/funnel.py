@@ -1743,3 +1743,85 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             "view_to_purchase"
         ),
     )
+
+
+_LORENZ_ORACLE = """
+    WITH uv AS (
+      SELECT user_id, sum(value) AS x FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    ranked AS (
+      SELECT x,
+             row_number() OVER (ORDER BY x, user_id) AS rn,
+             count(*) OVER () AS n,
+             sum(x) OVER (ORDER BY x, user_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_x,
+             sum(x) OVER () AS tot
+      FROM uv
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           round(max(cum_x / tot), 6) AS cum_value_share
+    FROM (
+      SELECT *, ceil(rn * 10.0 / n) AS decile FROM ranked
+    )
+    GROUP BY 1
+    """
+
+
+@query("q_lorenz_curve", oracle=_LORENZ_ORACLE)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of purchase value over users: the cumulative value
+    share held by the bottom d/10 of spenders, for each decile — the
+    CURVE whose area q_pareto_report's Gini summarizes (plot it to see
+    WHERE the inequality lives: a curve hugging zero until decile 9 is
+    whale-driven revenue; a straight line is egalitarian).
+
+    Scale: per-user totals are one hash agg; the global order is the
+    two-phase range-partitioned rank with pid-local cumulative sums +
+    broadcast offsets (the q_abc_classification shape at user grain,
+    decimal-free here because the emitted shares are round(6) ratios
+    of full-precision sums on BOTH sides, computed in the identical
+    ascending order).
+    """
+    from pyspark.sql import Window as W
+
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        two_phase_global_rank,
+    )
+
+    e = table(spark, sf_dir, "events")
+    uv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("x"))
+    )
+    ranked = two_phase_global_rank(
+        uv, [F.col("x"), F.col("user_id")], 8
+    )
+    ranged = ranked.repartitionByRange(8, "rn").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    psums = ranged.groupBy("pid").agg(F.sum("x").alias("px"))
+    off_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    offs = psums.select(
+        "pid",
+        F.coalesce(F.sum("px").over(off_w), F.lit(0.0)).alias("off"),
+    )
+    tot = uv.agg(F.sum("x").alias("tot"))
+    local_w = W.partitionBy("pid").orderBy("rn")
+    return (
+        ranged.join(F.broadcast(offs), "pid")
+        .withColumn("cum_x", F.col("off") + F.sum("x").over(local_w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "decile",
+            F.ceil(F.col("rn") * 10.0 / F.col("n")).cast("int"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.round(F.max(F.col("cum_x") / F.col("tot")), 6).alias(
+                "cum_value_share"
+            )
+        )
+    )

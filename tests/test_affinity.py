@@ -713,3 +713,38 @@ def test_order_gap_percentiles(spark, sf_dir):
     n_gaps_expected = len(o) - o["o_custkey"].nunique()
     assert r["n_gaps"] == n_gaps_expected
     assert 0 <= r["median_gap_days"] <= r["p90_gap_days"]
+
+
+def test_lorenz_curve_convexity(spark, sf_dir):
+    """A Lorenz curve is increasing, convex (increments grow), ends at
+    1, and sits below the diagonal (bottom d/10 holds <= d/10)."""
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_lorenz_curve,
+    )
+
+    rows = sorted(
+        q_lorenz_curve(spark, sf_dir).collect(), key=lambda r: r["decile"]
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    shares = [r["cum_value_share"] for r in rows]
+    assert abs(shares[-1] - 1.0) < 1e-6
+    assert all(a < b for a, b in zip(shares, shares[1:]))
+    for d, s in zip(range(1, 10), shares[:9]):
+        assert s <= d / 10 + 1e-6
+    # NOTE: increment convexity is NOT asserted — with n mod 10 != 0 the
+    # deciles hold unequal user counts, so bucket increments can dip
+    # even though the per-user curve is convex.
+
+
+def test_trending_terms_shape(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.curation import (
+        TRENDING_TOP_K,
+        q_trending_terms,
+    )
+
+    rows = q_trending_terms(spark, sf_dir).collect()
+    assert 0 < len(rows) <= TRENDING_TOP_K
+    shifts = [r["log_odds_shift"] for r in rows]
+    assert shifts == sorted(shifts, reverse=True)
+    for r in rows:
+        assert r["n_old"] >= 0 and r["n_new"] >= 0
