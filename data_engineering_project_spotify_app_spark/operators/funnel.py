@@ -1825,3 +1825,150 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+CUPED_SPLIT = "2024-01-16"  # pre-period = before; experiment = on/after
+
+
+_CUPED_ORACLE = f"""
+    WITH u AS (
+      SELECT user_id,
+             CAST(instr('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) % 2 AS variant,
+             sum(CASE WHEN CAST(ts AS DATE) < DATE '{CUPED_SPLIT}'
+                      THEN value ELSE 0 END) AS pre,
+             sum(CASE WHEN CAST(ts AS DATE) >= DATE '{CUPED_SPLIT}'
+                      THEN value ELSE 0 END) AS post
+      FROM events GROUP BY 1
+    ),
+    theta AS (
+      SELECT covar_pop(post, pre) / var_pop(pre) AS th,
+             avg(pre) AS pre_mean
+      FROM u
+    ),
+    adj AS (
+      SELECT u.variant,
+             u.post AS y,
+             u.post - theta.th * (u.pre - theta.pre_mean) AS y_cuped
+      FROM u, theta
+    )
+    SELECT CAST(variant AS INT) AS variant,
+           CAST(count(*) AS BIGINT) AS n_users,
+           round(avg(y), 4) AS mean_raw,
+           round(avg(y_cuped), 4) AS mean_cuped,
+           round(var_pop(y), 4) AS var_raw,
+           round(var_pop(y_cuped), 4) AS var_cuped,
+           round(1.0 - var_pop(y_cuped) / var_pop(y), 6)
+             AS variance_reduction
+    FROM adj GROUP BY 1
+    """
+
+
+@query("q_ab_cuped", oracle=_CUPED_ORACLE)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the hash-assigned experiment
+    (Deng et al., WSDM'13): adjust each user's experiment-period spend
+    by their PRE-period spend, y′ = y − θ(x − x̄) with
+    θ = cov(y,x)/var(x) — same means in expectation (randomization ⊥
+    pre-period), strictly smaller variance whenever pre correlates
+    with post, i.e. the same experiment reads significant with fewer
+    users. Reports per-variant raw vs CUPED means/variances and the
+    variance-reduction fraction; everything is closed-form one-pass
+    aggregates (θ via covar_pop/var_pop — the regress.py posture),
+    with the same md5 assignment as q_ab_test.
+
+    θ is fit POOLED across both arms (the standard CUPED recipe —
+    fitting per-arm would bias the contrast).
+    """
+    e = table(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("date")
+    assign = F.expr(
+        "CAST(instr('0123456789abcdef', "
+        "substr(md5(CAST(user_id AS STRING)), 1, 1)) - 1 AS BIGINT) % 2"
+    )
+    u = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.to_date("ts") < split, F.col("value")).otherwise(0.0)
+        ).alias("pre"),
+        F.sum(
+            F.when(F.to_date("ts") >= split, F.col("value")).otherwise(0.0)
+        ).alias("post"),
+    ).withColumn("variant", assign)
+    theta = u.agg(
+        (F.covar_pop("post", "pre") / F.var_pop("pre")).alias("th"),
+        F.avg("pre").alias("pre_mean"),
+    )
+    adj = u.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        F.col("post").alias("y"),
+        (
+            F.col("post")
+            - F.col("th") * (F.col("pre") - F.col("pre_mean"))
+        ).alias("y_cuped"),
+    )
+    return adj.groupBy(F.col("variant").cast("int").alias("variant")).agg(
+        F.count("*").alias("n_users"),
+        F.round(F.avg("y"), 4).alias("mean_raw"),
+        F.round(F.avg("y_cuped"), 4).alias("mean_cuped"),
+        F.round(F.var_pop("y"), 4).alias("var_raw"),
+        F.round(F.var_pop("y_cuped"), 4).alias("var_cuped"),
+        F.round(
+            F.lit(1.0) - F.var_pop("y_cuped") / F.var_pop("y"), 6
+        ).alias("variance_reduction"),
+    )
+
+
+_POWER_ORACLE = """
+    WITH u AS (
+      SELECT user_id, sum(value) AS y FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    st AS (
+      SELECT avg(y) AS mu, var_pop(y) AS v FROM u
+    ),
+    grid AS (SELECT unnest([0.01, 0.02, 0.05, 0.10]) AS mde_rel)
+    SELECT CAST(round(grid.mde_rel, 2) AS DOUBLE) AS mde_rel,
+           round(st.mu * grid.mde_rel, 4) AS mde_abs,
+           CAST(ceil(2.0 * power(1.959964 + 0.841621, 2) * st.v
+                     / power(st.mu * grid.mde_rel, 2)) AS BIGINT)
+             AS n_per_arm
+    FROM grid, st
+    """
+
+
+@query("q_power_analysis", oracle=_POWER_ORACLE)
+def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sizing from observed variance: users per arm needed to
+    detect a 1/2/5/10% relative lift in per-user purchase value at
+    α=0.05 (two-sided, z=1.959964) with 80% power (z=0.841621) —
+    n = 2(z_{{α/2}}+z_β)²σ²/δ², the closed form every experimentation
+    platform quotes before a launch (and the reason CUPED matters:
+    cut σ² and this table shrinks proportionally).
+
+    Scale: one per-user aggregate → one moment row; the MDE grid is a
+    broadcast literal frame. z constants are literals, so both engines
+    compute identical doubles.
+    """
+    e = table(spark, sf_dir, "events")
+    u = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("y"))
+    )
+    st = u.agg(F.avg("y").alias("mu"), F.var_pop("y").alias("v"))
+    grid = e.sparkSession.createDataFrame(
+        [(0.01,), (0.02,), (0.05,), (0.10,)], "mde_rel double"
+    )
+    z = (1.959964 + 0.841621) ** 2
+    return (
+        grid.crossJoin(F.broadcast(st))
+        .select(
+            F.round("mde_rel", 2).alias("mde_rel"),
+            F.round(F.col("mu") * F.col("mde_rel"), 4).alias("mde_abs"),
+            F.ceil(
+                F.lit(2.0) * F.lit(z) * F.col("v")
+                / F.pow(F.col("mu") * F.col("mde_rel"), 2)
+            ).cast("bigint").alias("n_per_arm"),
+        )
+    )

@@ -748,3 +748,40 @@ def test_trending_terms_shape(spark, sf_dir):
     assert shifts == sorted(shifts, reverse=True)
     for r in rows:
         assert r["n_old"] >= 0 and r["n_new"] >= 0
+
+
+def test_cuped_reduces_variance_and_preserves_contrast(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_ab_cuped,
+    )
+
+    rows = {r["variant"]: r for r in q_ab_cuped(spark, sf_dir).collect()}
+    assert set(rows) == {0, 1}
+    # CUPED's guarantee is on the POOLED variance (theta is the pooled
+    # OLS coefficient); a single arm's variance can tick up slightly
+    # under weak pre/post correlation, so assert the n-weighted total.
+    pooled_raw = sum(r["n_users"] * r["var_raw"] for r in rows.values())
+    pooled_cuped = sum(r["n_users"] * r["var_cuped"] for r in rows.values())
+    assert pooled_cuped < pooled_raw
+    for r in rows.values():
+        assert r["variance_reduction"] < 1
+        assert r["variance_reduction"] > -0.2  # never catastrophic
+    raw_delta = rows[1]["mean_raw"] - rows[0]["mean_raw"]
+    cuped_delta = rows[1]["mean_cuped"] - rows[0]["mean_cuped"]
+    # the adjusted contrast stays in the same ballpark (unbiased up to
+    # the randomization noise CUPED removes)
+    scale = max(1.0, abs(raw_delta))
+    assert abs(cuped_delta - raw_delta) < 5 * scale
+
+
+def test_power_analysis_scaling(spark, sf_dir):
+    """n scales like 1/MDE²: halving the MDE quadruples the sample."""
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_power_analysis,
+    )
+
+    rows = {r["mde_rel"]: r["n_per_arm"] for r in q_power_analysis(spark, sf_dir).collect()}
+    assert set(rows) == {0.01, 0.02, 0.05, 0.1}
+    assert abs(rows[0.01] / rows[0.02] - 4.0) < 0.01
+    assert abs(rows[0.01] / rows[0.1] - 100.0) < 1.0
+    assert all(n > 0 for n in rows.values())
