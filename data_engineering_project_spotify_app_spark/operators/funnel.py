@@ -1972,3 +1972,68 @@ def q_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_per_arm"),
         )
     )
+
+
+_SRM_ORACLE = """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST(instr('0123456789abcdef',
+                  substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1
+                  AS BIGINT) % 2 AS variant
+      FROM events
+    ),
+    g AS (SELECT variant, count(*) AS n FROM assign GROUP BY 1),
+    tot AS (SELECT sum(n) AS t FROM g)
+    SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+           round(sum((n - tot.t / 2.0) * (n - tot.t / 2.0))
+                 / (tot.t / 2.0), 6) AS chi2,
+           sum((n - tot.t / 2.0) * (n - tot.t / 2.0)) / (tot.t / 2.0)
+             > 3.841459 AS srm_detected
+    FROM g, tot
+    GROUP BY tot.t
+    """
+
+
+@query("q_srm_check", oracle=_SRM_ORACLE)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-Ratio Mismatch check for the hash-assigned experiment:
+    χ² of the two arm sizes against the intended 50/50 (1 df; flag at
+    3.841 = 95%). SRM is the first gate every experimentation platform
+    runs — a mismatched split means the assignment or logging is
+    broken and EVERY downstream readout (q_ab_test, q_ab_cuped) is
+    invalid. Note the md5-first-hex-digit assignment used across this
+    suite is 8/8 of 16 digits — exactly 50/50 by construction, so a
+    detected SRM here would indicate data loss, not design.
+
+    Scale: one distinct-user aggregate; everything after is 2 rows.
+    The flag compares the UNROUNDED statistic on both sides.
+    """
+    e = table(spark, sf_dir, "events")
+    assign = (
+        e.select("user_id")
+        .distinct()
+        .withColumn(
+            "variant",
+            F.expr(
+                "CAST(instr('0123456789abcdef', "
+                "substr(md5(CAST(user_id AS STRING)), 1, 1)) - 1 "
+                "AS BIGINT) % 2"
+            ),
+        )
+    )
+    g = assign.groupBy("variant").agg(F.count("*").alias("n"))
+    tot = g.agg(F.sum("n").alias("t"))
+    half = F.col("t") / 2.0
+    chi2 = F.sum((F.col("n") - half) * (F.col("n") - half)) / F.first(half)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n_a"),
+            F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n_b"),
+            F.round(chi2, 6).alias("chi2"),
+            (chi2 > F.lit(3.841459)).alias("srm_detected"),
+        )
+        .drop("t")
+    )

@@ -328,3 +328,64 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+_COMPLETENESS_ORACLE = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT d.day, t.event_type FROM days d, types t),
+    obs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, event_type FROM events
+    )
+    SELECT g.event_type,
+           CAST(count(*) AS BIGINT) AS expected_days,
+           CAST(sum(CASE WHEN o.day IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS observed_days,
+           round(sum(CASE WHEN o.day IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS completeness
+    FROM grid g
+    LEFT JOIN obs o ON o.day = g.day AND o.event_type = g.event_type
+    GROUP BY 1
+    """
+
+
+@query("q_feed_completeness", oracle=_COMPLETENESS_ORACLE)
+def q_feed_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed-completeness monitor: for every event type, the fraction of
+    observed calendar days on which the type actually landed — a cell
+    missing from the (day × type) grid is a silently-broken upstream
+    producer, the failure mode volume anomaly detectors miss when the
+    OTHER types keep flowing (completes the DQ ladder next to
+    q_dq_checks' row-level rules and q_control_chart's volume limits).
+
+    Scale: the grid is |days|×|types| (tiny) built from two distinct
+    pre-aggregates; the presence probe is one more distinct
+    pre-aggregate left-joined to it — the corpus is scanned twice,
+    reduced immediately both times.
+    """
+    e = table(spark, sf_dir, "events")
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    obs = (
+        e.select(F.to_date("ts").alias("day"), "event_type")
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    return (
+        grid.join(obs, ["day", "event_type"], "left")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("expected_days"),
+            F.sum(
+                F.when(F.col("present").isNotNull(), 1).otherwise(0)
+            ).alias("observed_days"),
+            F.round(
+                F.sum(
+                    F.when(F.col("present").isNotNull(), 1).otherwise(0)
+                )
+                / F.count("*"),
+                6,
+            ).alias("completeness"),
+        )
+    )
