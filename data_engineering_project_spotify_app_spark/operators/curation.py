@@ -944,3 +944,56 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TRENDING_TOP_K)
         .drop("_s")
     )
+
+
+_EFFECTIVE_VOCAB_ORACLE = f"""
+    WITH tf AS (
+      SELECT t.tok, count(*) AS c
+      FROM (SELECT unnest({TOKENS_SQL.format(col='text')}) AS tok
+            FROM documents) t
+      GROUP BY 1
+    ),
+    agg AS (
+      SELECT count(*) AS v,
+             sum(c) AS t,
+             ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+      FROM tf
+    )
+    SELECT CAST(v AS BIGINT) AS vocab_size,
+           CAST(t AS BIGINT) AS n_tokens,
+           round(h, 6) AS unigram_entropy,
+           round(exp(h), 4) AS effective_vocab,
+           round(exp(h) / v, 6) AS vocab_efficiency
+    FROM agg
+    """
+
+
+@query("q_effective_vocab", oracle=_EFFECTIVE_VOCAB_ORACLE)
+def q_effective_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram entropy and EFFECTIVE vocabulary exp(H) — the
+    perplexity of the unigram distribution: how many equally-likely
+    terms the corpus behaves as if it had (Zipf head-heaviness makes
+    exp(H) ≪ |V|; efficiency exp(H)/|V| near 1 means a flat, likely
+    synthetic distribution). One corpus-health scalar that moves when
+    templated text floods in, complementing q_zipf_fit's slope and
+    q_source_diversity's source-level entropy (same
+    H = ln T − Σc·ln c / T single-pass form).
+
+    Scale: one explode→count aggregate, one moment row.
+    """
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    h = F.log(F.sum("c")) - F.sum(
+        F.col("c") * F.log(F.col("c"))
+    ) / F.sum("c")
+    return tf.agg(
+        F.count("*").alias("vocab_size"),
+        F.sum("c").alias("n_tokens"),
+        F.round(h, 6).alias("unigram_entropy"),
+        F.round(F.exp(h), 4).alias("effective_vocab"),
+        F.round(F.exp(h) / F.count("*"), 6).alias("vocab_efficiency"),
+    )

@@ -480,3 +480,63 @@ def q_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lcl, 4).alias("lcl"),
         ((F.col("n") > ucl) | (F.col("n") < lcl)).alias("out_of_control"),
     )
+
+
+_LEADLAG_ORACLE = """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest([-2, -1, 0, 1, 2]) AS lag_d)
+    SELECT l.lag_d AS lag_days,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(corr(CAST(a.n AS DOUBLE), CAST(b.n AS DOUBLE)), 6)
+             AS xcorr
+    FROM d a
+    CROSS JOIN lags l
+    JOIN d b ON b.event_type = 'purchase'
+            AND a.event_type = 'click'
+            AND b.day = a.day + l.lag_d
+    GROUP BY 1
+    """
+
+
+@query("q_lead_lag", oracle=_LEADLAG_ORACLE)
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: corr of daily CLICK volume with
+    daily PURCHASE volume shifted by −2…+2 days — the screen for
+    "does click volume LEAD purchases?" (the peak lag is the
+    conversion latency at the aggregate level; a peak at 0 with decay
+    is same-day conversion, matching q_interarrival's micro view).
+    The cross-series generalization of q_autocorrelation.
+
+    Scale: the same daily-panel posture; 5 lags × panel-sized join.
+    """
+    d = (
+        table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    lags = table(spark, sf_dir, "events").sparkSession.createDataFrame(
+        [(-2,), (-1,), (0,), (1,), (2,)], "lag_d int"
+    )
+    a = d.filter(F.col("event_type") == "click").select(
+        "day", F.col("n").alias("na")
+    )
+    b = d.filter(F.col("event_type") == "purchase").select(
+        F.col("day").alias("bday"), F.col("n").alias("nb")
+    )
+    return (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bday") == F.date_add("day", F.col("lag_d")))
+        .groupBy(F.col("lag_d").alias("lag_days"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(
+                F.corr(
+                    F.col("na").cast("double"), F.col("nb").cast("double")
+                ),
+                6,
+            ).alias("xcorr"),
+        )
+    )

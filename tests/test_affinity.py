@@ -845,3 +845,31 @@ def test_feed_completeness_full_fixture(spark, sf_dir):
     for r in rows:
         assert r["expected_days"] == r["observed_days"]
         assert r["completeness"] == 1.0
+
+
+def test_lead_lag_contains_autocorr_consistent_zero_lag(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.regress import (
+        q_lead_lag,
+    )
+
+    rows = {r["lag_days"]: r for r in q_lead_lag(spark, sf_dir).collect()}
+    assert set(rows) == {-2, -1, 0, 1, 2}
+    for r in rows.values():
+        assert -1 - 1e-9 <= r["xcorr"] <= 1 + 1e-9
+        assert r["n_pairs"] > 0
+    # more lag => fewer aligned days
+    assert rows[0]["n_pairs"] >= rows[2]["n_pairs"]
+
+
+def test_effective_vocab_bounds(spark, sf_dir):
+    import math
+
+    from data_engineering_project_spotify_app_spark.operators.curation import (
+        q_effective_vocab,
+    )
+
+    r = q_effective_vocab(spark, sf_dir).collect()[0]
+    assert 0 < r["effective_vocab"] <= r["vocab_size"] + 1e-6
+    assert 0 < r["vocab_efficiency"] <= 1 + 1e-9
+    assert abs(r["effective_vocab"] - round(math.exp(r["unigram_entropy"]), 4)) < 0.01
+    assert r["unigram_entropy"] <= math.log(r["vocab_size"]) + 1e-9
