@@ -843,3 +843,53 @@ def q_order_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_gap_days"
         ),
     )
+
+
+_DEAD_STOCK_ORACLE = """
+    WITH sold AS (SELECT DISTINCT l_partkey FROM lineitem)
+    SELECT p.p_brand AS brand,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unsold,
+           round(sum(CASE WHEN s.l_partkey IS NULL THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS dead_stock_share
+    FROM part p LEFT JOIN sold s ON s.l_partkey = p.p_partkey
+    GROUP BY 1
+    """
+
+
+@query("q_dead_stock", oracle=_DEAD_STOCK_ORACLE)
+def q_dead_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-stock report: per brand, catalog parts with ZERO sales in
+    the fact window — the anti-join every assortment review starts
+    from (the inventory complement of q_abc_classification's revenue
+    head). Expressed as a left join + null flag so the same pass
+    yields both the count and the share.
+
+    Scale: the sold-key set is a distinct pre-aggregate of the fact's
+    join column only; the catalog side is the smaller dimension and
+    the join is keyed by part (AQE sizes it — at real scale the
+    distinct key set is far smaller than the fact and broadcasts).
+    """
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    sold = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey")
+        .distinct()
+        .withColumn("sold", F.lit(1))
+    )
+    return (
+        p.join(sold, p.p_partkey == sold.l_partkey, "left")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(
+                F.when(F.col("sold").isNull(), 1).otherwise(0)
+            ).alias("n_unsold"),
+            F.round(
+                F.sum(F.when(F.col("sold").isNull(), 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("dead_stock_share"),
+        )
+    )

@@ -2037,3 +2037,114 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("t")
     )
+
+
+_WEEKEND_ORACLE = """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(strftime(ts, '%w') AS INT) IN (0, 6) AS is_weekend,
+             sum(CAST(CASE WHEN event_type = 'purchase' THEN value
+                      ELSE 0 END AS DECIMAL(18,4))) AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT is_weekend, count(*) AS n,
+             CAST(sum(rev) AS DOUBLE) AS s1,
+             CAST(sum(rev * rev) AS DOUBLE) AS s2
+      FROM d GROUP BY 1
+    ),
+    m AS (
+      SELECT is_weekend, n, s1 / n AS mu,
+             (s2 - s1 * s1 / n) / (n - 1) AS v
+      FROM g
+    )
+    SELECT CAST(w.n AS BIGINT) AS n_weekend_days,
+           CAST(x.n AS BIGINT) AS n_weekday_days,
+           floor(w.mu * 10000 + 0.5) / 10000.0 AS weekend_mean_rev,
+           floor(x.mu * 10000 + 0.5) / 10000.0 AS weekday_mean_rev,
+           floor((w.mu - x.mu) * 10000 + 0.5) / 10000.0 AS diff,
+           floor((w.mu - x.mu)
+                 / sqrt(w.v / w.n + x.v / x.n) * 10000 + 0.5) / 10000.0
+             AS welch_t
+    FROM m w JOIN m x ON w.is_weekend AND NOT x.is_weekend
+    """
+
+
+@query("q_weekend_effect", oracle=_WEEKEND_ORACLE)
+def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The weekend effect, tested: daily purchase revenue on weekend vs
+    weekday days with a Welch t statistic (unequal-variance two-sample
+    contrast — the correct test when group sizes differ 2:5 by
+    construction). The hypothesis-test companion to q_seasonality's
+    descriptive χ²: χ² says the week has structure, this says whether
+    the WEEKEND specifically pays.
+
+    Determinism: daily revenue lands as DECIMAL(18,4) and the group
+    moments come from exact decimal sums (s1, s2) finalized in double
+    — float summation ORDER never enters, so the means cannot straddle
+    a rounding boundary between engines (a raw double avg did, by half
+    an ulp, at sf0.001 — caught by the parity gate).
+
+    Scale: the daily revenue panel first (partial-aggregated), then a
+    2-group sums aggregate; the final t is arithmetic on 2 rows.
+    """
+    e = table(spark, sf_dir, "events")
+    d = (
+        e.groupBy(
+            F.to_date("ts").alias("day"),
+            (F.dayofweek("ts") - 1).isin(0, 6).alias("is_weekend"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase", F.col("value")
+                )
+                .otherwise(0.0)
+                .cast("decimal(18,4)")  # per-ROW cast: the day sum is then
+                # an exact decimal in both engines; casting the double SUM
+                # still rounded differently when a day landed on a .00005
+                # boundary (caught twice by the parity gate)
+            ).alias("rev")
+        )
+    )
+    g = d.groupBy("is_weekend").agg(
+        F.count("*").alias("n"),
+        F.sum("rev").cast("double").alias("s1"),
+        F.sum(F.col("rev") * F.col("rev")).cast("double").alias("s2"),
+    )
+    m = g.select(
+        "is_weekend",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("v"),
+    )
+    w = m.filter(F.col("is_weekend")).select(
+        F.col("n").alias("nw"), F.col("mu").alias("mw"), F.col("v").alias("vw")
+    )
+    x = m.filter(~F.col("is_weekend")).select(
+        F.col("n").alias("nx"), F.col("mu").alias("mx"), F.col("v").alias("vx")
+    )
+    # floor(x*1e4 + 0.5)/1e4, not round(): Spark's round() rounds the
+    # double's SHORTEST DECIMAL (BigDecimal.valueOf) while DuckDB rounds
+    # the binary value — at an exact representational tie (here: a
+    # decimal day-sum / 8 landing on .xxxx5) they disagree by one ulp of
+    # the grid. floor(+0.5) evaluates identically in both engines (the
+    # q_embedding_quantize discipline). mu itself is deterministic:
+    # exact decimal sums cast to double, divided by the same n.
+    def r4(c):
+        return F.floor(c * 10000 + F.lit(0.5)) / 10000.0
+
+    t = (F.col("mw") - F.col("mx")) / F.sqrt(
+        F.col("vw") / F.col("nw") + F.col("vx") / F.col("nx")
+    )
+    return w.crossJoin(x).select(
+        F.col("nw").cast("bigint").alias("n_weekend_days"),
+        F.col("nx").cast("bigint").alias("n_weekday_days"),
+        r4(F.col("mw")).alias("weekend_mean_rev"),
+        r4(F.col("mx")).alias("weekday_mean_rev"),
+        r4(F.col("mw") - F.col("mx")).alias("diff"),
+        r4(t).alias("welch_t"),
+    )

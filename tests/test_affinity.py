@@ -873,3 +873,34 @@ def test_effective_vocab_bounds(spark, sf_dir):
     assert 0 < r["vocab_efficiency"] <= 1 + 1e-9
     assert abs(r["effective_vocab"] - round(math.exp(r["unigram_entropy"]), 4)) < 0.01
     assert r["unigram_entropy"] <= math.log(r["vocab_size"]) + 1e-9
+
+
+def test_dead_stock_reconciles(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.affinity import (
+        q_dead_stock,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    rows = q_dead_stock(spark, sf_dir).collect()
+    n_parts = table(spark, sf_dir, "part").count()
+    n_sold = (
+        table(spark, sf_dir, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert sum(r["n_parts"] for r in rows) == n_parts
+    assert sum(r["n_parts"] - r["n_unsold"] for r in rows) == n_sold
+    for r in rows:
+        assert 0 <= r["dead_stock_share"] <= 1
+
+
+def test_weekend_effect_shape(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_weekend_effect,
+    )
+
+    r = q_weekend_effect(spark, sf_dir).collect()[0]
+    # 30-day window: 8-10 weekend days, 20-22 weekdays
+    assert 6 <= r["n_weekend_days"] <= 10
+    assert r["n_weekend_days"] + r["n_weekday_days"] >= 28
+    assert abs(
+        r["diff"] - round(r["weekend_mean_rev"] - r["weekday_mean_rev"], 4)
+    ) <= 2e-4
