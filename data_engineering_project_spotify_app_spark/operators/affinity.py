@@ -893,3 +893,85 @@ def q_dead_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dead_stock_share"),
         )
     )
+
+
+_LOYALTY_ORACLE = """
+    WITH cust_orders AS (
+      SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+      HAVING count(*) >= 2
+    ),
+    cb AS (
+      SELECT o.o_custkey, p.p_brand,
+             count(DISTINCT o.o_orderkey) AS n_brand_orders
+      FROM orders o
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN cust_orders c ON c.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    per_cust AS (
+      SELECT cb.o_custkey,
+             max(cb.n_brand_orders) * 1.0 / max(c.n_orders) AS loyalty,
+             count(*) AS n_brands
+      FROM cb JOIN cust_orders c ON c.o_custkey = cb.o_custkey
+      GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_repeat_customers,
+           round(avg(loyalty), 6) AS mean_loyalty,
+           round(sum(CASE WHEN loyalty >= 0.5 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS loyal_share,
+           round(avg(n_brands), 4) AS mean_brands_touched
+    FROM per_cust
+    """
+
+
+@query("q_brand_loyalty", oracle=_LOYALTY_ORACLE)
+def q_brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brand loyalty among repeat customers: loyalty = the share of a
+    customer's orders containing their most-ordered brand (1.0 = every
+    order returns to one brand), summarized as the mean, the share of
+    customers with loyalty ≥ ½, and the mean count of distinct brands
+    touched — the CRM read on whether the basket affinity rules
+    (q_association_rules) describe habit or exploration.
+
+    Scale: per-(customer, brand) distinct-order counts off the star
+    join (dims broadcast), a customer-keyed max-ratio fold, one
+    summary row. Repeat customers only (singleton customers are
+    trivially loyalty 1.0 and would wash the signal out).
+    """
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    cb = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, "o_custkey")
+        .groupBy("o_custkey", "p_brand")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_brand_orders"),
+            F.first("n_orders").alias("n_orders"),
+        )
+    )
+    per_cust = cb.groupBy("o_custkey").agg(
+        (
+            F.max("n_brand_orders") / F.max("n_orders").cast("double")
+        ).alias("loyalty"),
+        F.count("*").alias("n_brands"),
+    )
+    return per_cust.agg(
+        F.count("*").alias("n_repeat_customers"),
+        F.round(F.avg("loyalty"), 6).alias("mean_loyalty"),
+        F.round(
+            F.sum(F.when(F.col("loyalty") >= 0.5, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("loyal_share"),
+        F.round(F.avg(F.col("n_brands").cast("double")), 4).alias(
+            "mean_brands_touched"
+        ),
+    )

@@ -904,3 +904,18 @@ def test_weekend_effect_shape(spark, sf_dir):
     assert abs(
         r["diff"] - round(r["weekend_mean_rev"] - r["weekday_mean_rev"], 4)
     ) <= 2e-4
+
+
+def test_brand_loyalty_bounds(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.affinity import (
+        q_brand_loyalty,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    r = q_brand_loyalty(spark, sf_dir).collect()[0]
+    o = table(spark, sf_dir, "orders").toPandas()
+    n_repeat = (o.groupby("o_custkey").size() >= 2).sum()
+    assert r["n_repeat_customers"] == n_repeat
+    assert 0 < r["mean_loyalty"] <= 1
+    assert 0 <= r["loyal_share"] <= 1
+    assert r["mean_brands_touched"] >= 1
