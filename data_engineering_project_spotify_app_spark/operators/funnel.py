@@ -2148,3 +2148,79 @@ def q_weekend_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(F.col("mw") - F.col("mx")).alias("diff"),
         r4(t).alias("welch_t"),
     )
+
+
+_BOUNCE_ORACLE = """
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                     OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                THEN 1 ELSE 0 END AS is_new
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT *, sum(is_new) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    ),
+    sess AS (
+      SELECT user_id, sid, CAST(min(ts) AS DATE) AS day,
+             count(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS bounce_rate
+    FROM sess GROUP BY 1
+    """
+
+
+@query("q_bounce_rate", oracle=_BOUNCE_ORACLE)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of 30-minute-gap sessions containing a
+    single event, bucketed by session-start day — the most-quoted
+    engagement metric there is, composed from q_sessionize's lag +
+    running-sum sessionization (one user-keyed shuffle) plus a
+    |days|-row aggregate.
+    """
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    flagged = e.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    sess = (
+        flagged.withColumn(
+            "sid",
+            F.sum("is_new").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            F.to_date(F.min("ts")).alias("day"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    return sess.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+            "n_bounces"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("bounce_rate"),
+    )

@@ -919,3 +919,21 @@ def test_brand_loyalty_bounds(spark, sf_dir):
     assert 0 < r["mean_loyalty"] <= 1
     assert 0 <= r["loyal_share"] <= 1
     assert r["mean_brands_touched"] >= 1
+
+
+def test_bounce_rate_reconciles_with_sessions(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.funnel import (
+        q_bounce_rate,
+    )
+    from data_engineering_project_spotify_app_spark.operators.windows import (
+        q_sessionize,
+    )
+
+    rows = q_bounce_rate(spark, sf_dir).collect()
+    sess = q_sessionize(spark, sf_dir).collect()
+    assert sum(r["n_sessions"] for r in rows) == len(sess)
+    n_bounce = sum(1 for s in sess if s["n_events"] == 1)
+    assert sum(r["n_bounces"] for r in rows) == n_bounce
+    for r in rows:
+        assert 0 <= r["bounce_rate"] <= 1
+        assert r["n_bounces"] <= r["n_sessions"]
