@@ -975,3 +975,65 @@ def q_brand_loyalty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_brands_touched"
         ),
     )
+
+
+_REPEAT_ORACLE = """
+    WITH seq AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS k
+      FROM orders
+    ),
+    firsts AS (SELECT o_custkey, d FROM seq WHERE k = 1),
+    seconds AS (SELECT o_custkey, d FROM seq WHERE k = 2)
+    SELECT CAST(count(f.o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(s.o_custkey) AS BIGINT) AS n_repeat,
+           round(count(s.o_custkey) * 1.0 / count(f.o_custkey), 6)
+             AS repeat_rate,
+           round(quantile_cont(
+             CAST(date_diff('day', f.d, s.d) AS DOUBLE), 0.5), 4)
+             AS median_days_to_second
+    FROM firsts f LEFT JOIN seconds s ON s.o_custkey = f.o_custkey
+    """
+
+
+@query("q_repeat_purchase", oracle=_REPEAT_ORACLE)
+def q_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase panel: share of customers who ever place a
+    second order, and the median days from first to second — the two
+    numbers that anchor every retention budget (q_order_gap gives the
+    steady-state cycle; this gives the make-or-break FIRST repeat).
+
+    Scale: one customer-keyed row_number window; firsts/seconds are
+    k-filters on it; the quantile runs over ≤ one row per repeat
+    customer.
+    """
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.row_number().over(w).alias("k"),
+    )
+    firsts = seq.filter(F.col("k") == 1).select(
+        "o_custkey", F.col("d").alias("d1")
+    )
+    seconds = seq.filter(F.col("k") == 2).select(
+        "o_custkey", F.col("d").alias("d2")
+    )
+    j = firsts.join(seconds, "o_custkey", "left")
+    return j.agg(
+        F.count("o_custkey").alias("n_customers"),
+        F.count("d2").alias("n_repeat"),
+        F.round(F.count("d2") / F.count("o_custkey"), 6).alias(
+            "repeat_rate"
+        ),
+        F.round(
+            F.percentile(
+                F.datediff("d2", "d1").cast("double"), F.lit(0.5)
+            ),
+            4,
+        ).alias("median_days_to_second"),
+    )

@@ -540,3 +540,61 @@ def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("xcorr"),
         )
     )
+
+
+_MIX_TREND_ORACLE = """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT day, sum(n) AS t FROM d GROUP BY 1),
+    shares AS (
+      SELECT d.event_type,
+             CAST(date_diff('day', DATE '2024-01-01', d.day) AS DOUBLE)
+               AS x,
+             d.n * 1.0 / tot.t AS share
+      FROM d JOIN tot ON tot.day = d.day
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(avg(share), 6) AS mean_share,
+           round(regr_slope(share, x) * 1000, 6)
+             AS share_trend_per_1000d,
+           round(regr_r2(share, x), 6) AS r2
+    FROM shares GROUP BY 1
+    """
+
+
+@query("q_mix_trend", oracle=_MIX_TREND_ORACLE)
+def q_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-mix drift as REGRESSION SLOPES: each type's daily share of
+    total volume regressed on the day index — a share trending up is a
+    product-surface shift long before any distribution test fires
+    (q_psi_drift tells you THAT the mix moved; this tells you which
+    component, which direction, how fast). Slope reported per 1000
+    days so the fixture's 30-day window prints readable numbers.
+
+    Scale: daily mix panel (partial-aggregated), one closed-form
+    regr_* aggregate per type (the regress.py posture).
+    """
+    e = table(spark, sf_dir, "events")
+    d = (
+        e.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = d.groupBy("day").agg(F.sum("n").alias("t"))
+    shares = d.join(F.broadcast(tot), "day").select(
+        "event_type",
+        F.datediff("day", F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        (F.col("n") / F.col("t")).alias("share"),
+    )
+    return shares.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(F.avg("share"), 6).alias("mean_share"),
+        F.round(F.regr_slope("share", "x") * 1000, 6).alias(
+            "share_trend_per_1000d"
+        ),
+        F.round(F.regr_r2("share", "x"), 6).alias("r2"),
+    )

@@ -937,3 +937,33 @@ def test_bounce_rate_reconciles_with_sessions(spark, sf_dir):
     for r in rows:
         assert 0 <= r["bounce_rate"] <= 1
         assert r["n_bounces"] <= r["n_sessions"]
+
+
+def test_repeat_purchase_reconciles_with_order_gap(spark, sf_dir):
+    from data_engineering_project_spotify_app_spark.operators.affinity import (
+        q_order_gap,
+        q_repeat_purchase,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    r = q_repeat_purchase(spark, sf_dir).collect()[0]
+    g = q_order_gap(spark, sf_dir).collect()[0]
+    n_cust = table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert r["n_customers"] == n_cust
+    assert r["n_repeat"] == g["n_repeat_customers"]
+    assert 0 <= r["repeat_rate"] <= 1
+    assert r["median_days_to_second"] >= 0
+
+
+def test_mix_trend_shares_sum_and_slopes_cancel(spark, sf_dir):
+    """Mean shares sum to ~1 and the share slopes sum to ~0 (shares are
+    a simplex: drift in one component is offset by the others)."""
+    from data_engineering_project_spotify_app_spark.operators.regress import (
+        q_mix_trend,
+    )
+
+    rows = q_mix_trend(spark, sf_dir).collect()
+    assert abs(sum(r["mean_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["share_trend_per_1000d"] for r in rows)) < 1e-3
+    for r in rows:
+        assert 0 <= r["r2"] <= 1
