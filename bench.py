@@ -237,17 +237,46 @@ def main() -> None:
             spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map goes to a FILE, not stdout: at 135+ headline
+    # queries the one-line JSON outgrew the driver's stdout tail capture
+    # (BENCH_r06 recorded "parsed": null). The driver only needs the
+    # headline total; humans and BASELINE.md read the file.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as fh:
+        json.dump(
+            {
+                "sf": sf_val,
+                "runs": n_runs,
+                "aggregation": "per_query_min_of_runs",
+                "total_sec": total,
+                "queries": timings,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
+        fh.write("\n")
+    # Compact totals-only line LAST on stdout — "queries" keeps only the
+    # top-10 slowest so the line stays well under any tail-capture limit
+    # while still naming the queries that dominate the wall number.
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": top10,
+                "n_queries": len(timings),
+                "queries_file": "BENCH_QUERIES.json",
                 "runs": n_runs,
                 "aggregation": "per_query_min_of_runs",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
