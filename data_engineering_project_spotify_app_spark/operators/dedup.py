@@ -453,20 +453,14 @@ def minhash_candidate_pairs(
     )
 
 
-def minhash_candidate_pairs_df(
-    sig: DataFrame,
-    bucket_cap: int | str | None = None,
-    cap_df: DataFrame | None = None,
-) -> DataFrame:
-    """Band-bucket candidate pairs from a signature frame (doc_id,
-    h0..h15). ``bucket_cap`` drops band buckets larger than the cap
-    before pair generation — the skew guard. An int caps absolutely;
-    ``"auto"`` uses max(CAP_FLOOR, n/CAP_DIVISOR) in-plan, with n
-    counted from ``cap_df`` (pass the raw docs frame — counting ``sig``
-    itself would recompute the signature aggregation)."""
-    # bands via ONE explode — a per-band union would recompute the whole
-    # signature aggregation once per band (Spark does not share subplans
-    # across union branches)
+def lsh_bands_df(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from a signature frame (doc_id,
+    h0..h15) — bands via ONE explode: a per-band union would recompute
+    the whole signature aggregation once per band (Spark does not share
+    subplans across union branches). Shared by the batch pair
+    generators below and the streaming LSH-store maintainer
+    (streaming/dedup_stream.py), whose at-rest store is exactly this
+    frame."""
     band_structs = []
     for band in range(N_BANDS):
         cols = [f"h{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -478,13 +472,27 @@ def minhash_candidate_pairs_df(
                 ).alias("band_key"),
             )
         )
-    bands = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bk")
     ).select(
         "doc_id",
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
+
+
+def minhash_candidate_pairs_df(
+    sig: DataFrame,
+    bucket_cap: int | str | None = None,
+    cap_df: DataFrame | None = None,
+) -> DataFrame:
+    """Band-bucket candidate pairs from a signature frame (doc_id,
+    h0..h15). ``bucket_cap`` drops band buckets larger than the cap
+    before pair generation — the skew guard. An int caps absolutely;
+    ``"auto"`` uses max(CAP_FLOOR, n/CAP_DIVISOR) in-plan, with n
+    counted from ``cap_df`` (pass the raw docs frame — counting ``sig``
+    itself would recompute the signature aggregation)."""
+    bands = lsh_bands_df(sig)
     # Candidate pairs by bucket-collect (see q_dedup_ngram_jaccard): group
     # on the band key, collect the sorted doc list, generate C(k,2) pairs
     # with array HOFs. Replaces the round-1 band self-join + its

@@ -189,12 +189,9 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(table_parallel(spark, sf_dir, "documents"), PARA_TOKENS)
 
 
-# Shared CTE chain for the k-gram-diagonal machinery: sliding 4-gram
-# occurrences → capped posting lists → cross-doc position pairs →
-# consecutive-position islands per (doc_a, doc_b, diagonal). Used by
-# both q_lcs_overlap (max island per pair) and q_remove_overlaps
-# (islands → doc_b token spans → span removal).
-_DIAG_RUNS_SQL = f"""
+# Sliding-4-gram occurrence CTEs shared by every diagonal-machinery
+# oracle: tokens → 0-based positions → k-grams → hashed occurrences.
+_GRAM_SQL = f"""
     tok AS (SELECT doc_id, {_TOK} AS t FROM documents),
     ex AS (
       SELECT doc_id, unnest(t) AS tok,
@@ -213,7 +210,14 @@ _DIAG_RUNS_SQL = f"""
              tok || ' ' || t1 || ' ' || t2 || ' ' || t3 AS gram
       FROM g0 WHERE t3 IS NOT NULL
     ),
-    occ AS (SELECT md5(gram) AS h, doc_id, pos FROM g),
+    occ AS (SELECT md5(gram) AS h, doc_id, pos FROM g)"""
+
+# Shared CTE chain for the CROSS-document k-gram-diagonal machinery:
+# capped posting lists → cross-doc position pairs → consecutive-position
+# islands per (doc_a, doc_b, diagonal). Used by q_lcs_overlap (max
+# island per pair) and the q_remove_overlaps family (islands → doc_b
+# token spans → span removal).
+_DIAG_RUNS_SQL = f"""{_GRAM_SQL},
     keep AS (
       SELECT h FROM occ GROUP BY h
       HAVING count(*) > 1
@@ -336,23 +340,32 @@ def _diag_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_remove_overlaps",
-    oracle=f"""
-    WITH {_DIAG_RUNS_SQL},
-    spans AS (
-      SELECT db AS doc_id, pa0 - diag AS s,
-             pa0 - diag + run + {LCS_GRAM} - 1 AS e
-      FROM islands
-      WHERE run + {LCS_GRAM} - 1 >= {MIN_LCS_TOKENS}
-    ),
+# Span-removal tail shared by every "cut these token intervals out of
+# the document" oracle: overlapping [s, e) spans are merged per doc
+# (classic running-max interval merge), tokens covered by a merged span
+# are flagged, and the document is reassembled from the survivors.
+# Callers provide a ``spans(doc_id, s, e)`` CTE; ``tok`` comes from
+# _GRAM_SQL.
+#
+# The DISTINCT before the merge is load-bearing, not cosmetic: the same
+# (doc_id, s, e) interval routinely arrives twice (one span shared with
+# two partner docs, or two diagonals covering one repeat), and with
+# tied (s, e) rows the prev_max and grp windows are evaluated as TWO
+# independent sorts — the tie order between the row carrying
+# prev_max=NULL and its twin carrying prev_max=e is engine-arbitrary,
+# and the unlucky order starts a second interval group, duplicating the
+# merged span and double-counting every covered token (observed
+# nondeterministically in DuckDB: n_removed flipping 4↔8 run-to-run).
+# Distinct intervals make the (s, e) sort tie-free, hence
+# deterministic in both engines.
+_SPAN_REMOVAL_TAIL_SQL = """
     marked AS (
       SELECT doc_id, s, e,
              max(e) OVER (
                PARTITION BY doc_id ORDER BY s, e
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
              ) AS prev_max
-      FROM spans
+      FROM (SELECT DISTINCT doc_id, s, e FROM spans) spans
     ),
     grouped AS (
       SELECT doc_id, s, e,
@@ -384,35 +397,26 @@ def _diag_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS clean_text,
            count(*) FILTER (s IS NOT NULL) AS n_removed
     FROM flagged GROUP BY doc_id
-    """,
-)
-def q_remove_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ExactSubstr REMOVAL (the second half of Lee et al. 2022): every
-    token span of >= {MIN_LCS_TOKENS} tokens that also appears in an
-    earlier document (doc_a < doc_b) is cut from the LATER document;
-    the earlier occurrence survives. Spans from q_lcs_overlap's
-    diagonal islands are projected onto doc_b coordinates, merged per
-    document (classic running-max interval merge), and the document is
-    reassembled without the covered positions.
+"""
+
+
+def remove_spans(toks: DataFrame, spans: DataFrame) -> DataFrame:
+    """Spark twin of _SPAN_REMOVAL_TAIL_SQL: merge overlapping [s, e)
+    token intervals per doc and reassemble each document without the
+    covered positions. ``toks`` is (doc_id, pos, tok) with 0-based
+    positions; ``spans`` is (doc_id, s, e).
 
     Scale: spans per doc are few and short (windows partition on
-    doc_id — bounded); the flagging join is tokens ⋈ merged-spans on
-    doc_id + range predicate, co-partitioned on the doc key; final
-    reassembly reuses the (doc_id)-grouped sorted concat from the line
-    dedup family.
+    doc_id — bounded by document length); the flagging join is tokens ⋈
+    merged-spans on doc_id + range predicate, co-partitioned on the doc
+    key; final reassembly reuses the (doc_id)-grouped sorted concat
+    from the line dedup family.
     """
-    islands = _diag_islands(spark, sf_dir)
-    spans = islands.filter(
-        F.col("run") + F.lit(LCS_GRAM - 1) >= MIN_LCS_TOKENS
-    ).select(
-        F.col("db").alias("doc_id"),
-        (F.col("pa0") - F.col("diag")).alias("s"),
-        (F.col("pa0") - F.col("diag") + F.col("run") + F.lit(LCS_GRAM - 1)).alias(
-            "e"
-        ),
-    )
     wm = Window.partitionBy("doc_id").orderBy("s", "e")
-    marked = spans.withColumn(
+    # distinct BEFORE the merge windows — see _SPAN_REMOVAL_TAIL_SQL:
+    # duplicate (doc_id, s, e) intervals make the (s, e) sort tied and
+    # the two-window group assignment engine-arbitrary
+    marked = spans.select("doc_id", "s", "e").distinct().withColumn(
         "prev_max",
         F.max("e").over(wm.rowsBetween(Window.unboundedPreceding, -1)),
     )
@@ -427,9 +431,6 @@ def q_remove_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = grouped.groupBy("doc_id", "grp").agg(
         F.min("s").alias("s"), F.max("e").alias("e")
-    )
-    toks = _exploded_tokens(
-        table_parallel(spark, sf_dir, "documents")
     )
     flagged = toks.join(
         merged,
@@ -452,6 +453,201 @@ def q_remove_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clean_text"),
         F.count(F.when(F.col("s").isNotNull(), 1)).alias("n_removed"),
     )
+
+
+def _remove_overlaps_oracle(min_tokens: int) -> str:
+    return f"""
+    WITH {_DIAG_RUNS_SQL},
+    spans AS (
+      SELECT db AS doc_id, pa0 - diag AS s,
+             pa0 - diag + run + {LCS_GRAM} - 1 AS e
+      FROM islands
+      WHERE run + {LCS_GRAM} - 1 >= {min_tokens}
+    ),
+    {_SPAN_REMOVAL_TAIL_SQL}
+    """
+
+
+def _remove_overlaps_impl(
+    spark: SparkSession, sf_dir: str, min_tokens: int
+) -> DataFrame:
+    islands = _diag_islands(spark, sf_dir)
+    spans = islands.filter(
+        F.col("run") + F.lit(LCS_GRAM - 1) >= min_tokens
+    ).select(
+        F.col("db").alias("doc_id"),
+        (F.col("pa0") - F.col("diag")).alias("s"),
+        (F.col("pa0") - F.col("diag") + F.col("run") + F.lit(LCS_GRAM - 1)).alias(
+            "e"
+        ),
+    )
+    toks = _exploded_tokens(table_parallel(spark, sf_dir, "documents"))
+    return remove_spans(toks, spans)
+
+
+@query("q_remove_overlaps", oracle=_remove_overlaps_oracle(MIN_LCS_TOKENS))
+def q_remove_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr REMOVAL (the second half of Lee et al. 2022): every
+    token span of >= {MIN_LCS_TOKENS} tokens that also appears in an
+    earlier document (doc_a < doc_b) is cut from the LATER document;
+    the earlier occurrence survives. Spans from q_lcs_overlap's
+    diagonal islands are projected onto doc_b coordinates, merged per
+    document, and the document is reassembled without the covered
+    positions (see remove_spans for the scale posture).
+
+    The 8-token floor is a deliberately conservative miniature of the
+    published setting — Lee et al. 2022 use a 50-token minimum match;
+    q_remove_overlaps_short is the floor-of-the-method twin.
+    """
+    return _remove_overlaps_impl(spark, sf_dir, MIN_LCS_TOKENS)
+
+
+@query("q_remove_overlaps_short", oracle=_remove_overlaps_oracle(LCS_GRAM))
+def q_remove_overlaps_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Short-span twin of q_remove_overlaps: the removal floor drops to
+    {LCS_GRAM} tokens — the k-gram machinery's structural minimum (a
+    single shared 4-gram IS a 4-token span; anything shorter produces
+    no gram match at all, and published ExactSubstr floors are far
+    HIGHER — 50 tokens in Lee et al. 2022 — so 4 is the method's hard
+    lower bound, not a tunable). Same diagonal islands, same interval
+    merge; only the threshold differs, so every shared 4-to-7-token
+    run that q_remove_overlaps leaves in place is cut here too — the
+    aggressive end of the dedup ladder for boilerplate-heavy corpora.
+    """
+    return _remove_overlaps_impl(spark, sf_dir, LCS_GRAM)
+
+
+# Intra-document repeated-span removal: per-(doc, gram) posting lists
+# above this occurrence count are dropped before self-pair generation —
+# the same stop-feature logic as the corpus-level caps, but doc-local.
+# A gram repeating >32 times inside ONE document is degenerate
+# boilerplate whose C(n,2) self-pairs would dominate the doc's cost;
+# such documents are the ones q_gopher_rules / q_repetition_ratio
+# reject wholesale anyway.
+INTRA_GRAM_CAP = 32
+MIN_INTRA_TOKENS = 8
+
+_INTRA_ORACLE = f"""
+    WITH {_GRAM_SQL},
+    ikeep AS (
+      SELECT doc_id, h FROM occ GROUP BY 1, 2
+      HAVING count(*) > 1 AND count(*) <= {INTRA_GRAM_CAP}
+    ),
+    iocc AS (SELECT occ.* FROM occ JOIN ikeep USING (doc_id, h)),
+    ipairs AS (
+      SELECT a.doc_id, a.pos AS pe, b.pos AS pl
+      FROM iocc a
+      JOIN iocc b
+        ON a.doc_id = b.doc_id AND a.h = b.h AND a.pos < b.pos
+    ),
+    iruns AS (
+      SELECT doc_id, pl - pe AS diag, pl,
+             row_number() OVER (
+               PARTITION BY doc_id, pl - pe ORDER BY pl
+             ) AS rn
+      FROM ipairs
+    ),
+    iislands AS (
+      SELECT doc_id, diag, min(pl) AS pl0, count(*) AS run
+      FROM iruns GROUP BY doc_id, diag, pl - rn
+    ),
+    spans AS (
+      SELECT doc_id, pl0 AS s, pl0 + run + {LCS_GRAM} - 1 AS e
+      FROM iislands
+      WHERE run + {LCS_GRAM} - 1 >= {MIN_INTRA_TOKENS}
+    ),
+    {_SPAN_REMOVAL_TAIL_SQL}
+    """
+
+
+def intra_doc_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, s, e): token intervals that repeat an EARLIER span of
+    the same document — the within-doc twin of the cross-doc diagonal
+    islands. For every k-gram occurring 2..{INTRA_GRAM_CAP} times in a
+    doc, all later-vs-earlier position pairs land on a (doc_id,
+    pl - pe) diagonal; maximal consecutive-later-position islands of
+    length run cover a repeated span of run + K - 1 tokens starting at
+    the island's first later position. Spans below {MIN_INTRA_TOKENS}
+    tokens are kept (Gopher-style natural repetition), longer ones are
+    returned for removal.
+
+    Scale: every stage is doc-local — the (doc_id, h) posting-list
+    groupBy, the self-pair fanout (bounded by doc length × cap), and
+    the (doc_id, diag) island window all partition on the doc key, so
+    a 100 TB corpus shards perfectly by document and no stage sees
+    cross-doc state. Contrast _diag_islands, whose buckets are
+    corpus-global by construction.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("t")
+    )
+    grams = F.when(
+        F.size("t") >= LCS_GRAM,
+        F.transform(
+            F.sequence(F.lit(0), F.size("t") - LCS_GRAM),
+            lambda i: F.concat_ws(" ", F.slice("t", i + 1, F.lit(LCS_GRAM))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = toks.select(
+        "doc_id", F.posexplode(grams).alias("pos", "gram")
+    ).select("doc_id", "pos", F.md5("gram").alias("h"))
+    buckets = (
+        g.groupBy("doc_id", "h")
+        .agg(F.array_sort(F.collect_list("pos")).alias("ps"))
+        .filter((F.size("ps") > 1) & (F.size("ps") <= INTRA_GRAM_CAP))
+    )
+    pairs = buckets.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(x AS pe, y AS pl))))"
+            )
+        ).alias("pr"),
+    ).select("doc_id", "pr.pe", "pr.pl")
+    diag = (F.col("pl") - F.col("pe")).alias("diag")
+    wr = Window.partitionBy("doc_id", "diag").orderBy("pl")
+    runs = pairs.select("doc_id", diag, "pl").withColumn(
+        "isl", F.col("pl") - F.row_number().over(wr)
+    )
+    islands = runs.groupBy("doc_id", "diag", "isl").agg(
+        F.min("pl").alias("pl0"), F.count("*").alias("run")
+    )
+    return islands.filter(
+        F.col("run") + F.lit(LCS_GRAM - 1) >= MIN_INTRA_TOKENS
+    ).select(
+        "doc_id",
+        F.col("pl0").alias("s"),
+        (F.col("pl0") + F.col("run") + F.lit(LCS_GRAM - 1)).alias("e"),
+    )
+
+
+def intra_doc_dedup(docs: DataFrame) -> DataFrame:
+    """DataFrame-level q_intra_doc_dedup — see the query docstring."""
+    return remove_spans(_exploded_tokens(docs), intra_doc_spans(docs))
+
+
+@query("q_intra_doc_dedup", oracle=_INTRA_ORACLE)
+def q_intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-span REMOVAL — the cleanup rung between
+    line-level dedup (q_dedup_lines: cross-corpus first-occurrence) and
+    corpus-level near-dup (MinHash/SimHash ladders): a token span of
+    >= {MIN_INTRA_TOKENS} tokens that already occurred EARLIER in the
+    SAME document is cut at its later position(s); the first occurrence
+    survives. q_repetition_ratio *flags* Gopher-style repetition —
+    this operator is the surgical counterpart that repairs the document
+    instead of discarding it.
+
+    Same gaps-and-islands machinery as q_remove_overlaps, restricted to
+    within-doc self-pairs (pe < pl on the pl - pe diagonal), so every
+    stage partitions on doc_id and the operator shards embarrassingly
+    at 100 TB. Overlapping removal intervals (periodic repeats, e.g. a
+    chorus repeated back-to-back) merge before removal, so each
+    position is cut at most once. Output: (doc_id, clean_text,
+    n_removed) — one row per document, including untouched ones.
+    """
+    return intra_doc_dedup(table_parallel(spark, sf_dir, "documents"))
 
 
 def _lcs_token_len(a: list, b: list) -> int:

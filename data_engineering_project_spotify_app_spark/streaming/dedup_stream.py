@@ -1,0 +1,208 @@
+"""Streaming incremental MinHash-LSH dedup: the streaming twin of
+``q_incremental_dedup`` (operators/dedup.py), built the way
+streaming/rollup.py maintains rollups.
+
+Each micro-batch of newly-ingested documents is shingled/min-hashed
+ONCE, its LSH bands are matched against the at-rest band store
+(new × store) and against themselves (the new-new triangle), the
+resulting candidate pairs are appended to a per-epoch pairs log, and
+the store is advanced to a new snapshot version containing the batch's
+bands. Store-vs-store pairs are never generated — per-bucket work is
+O(|new| × |bucket|), the delta-only shape that makes a 1% daily ingest
+against a 100 TB corpus a nightly job instead of a full re-dedup.
+
+Exactly-once falls out of the same version-chain contract as
+IncrementalRollupSink: pairs log and store snapshot each carry a
+``_COMMITTED`` marker keyed by epoch id; a replayed epoch sees its
+markers and skips, a half-finished epoch left no marker and the retry
+overwrites the same path. The union of all committed pairs logs equals
+the batch ``q_minhash_lsh`` pair set exactly — every (doc_a, doc_b)
+pair is emitted in precisely the epoch its LATER member arrives
+(equivalence pinned across micro-batch splits in
+tests/test_streaming_dedup.py).
+
+At 100 TB the band store is a transactional table bucketed by
+(band, band_key) — the snapshot chain here is the format-free stand-in
+(same trade as rollup.py); the store grows by O(|delta| × N_BANDS)
+rows per epoch and is never rescanned beyond the bucket join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.operators.dedup import (
+    lsh_bands_df,
+    minhash_signatures_df,
+)
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+def stream_documents(
+    spark: SparkSession, src_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """NDJSON document file stream (doc_id, text) — one dropped file per
+    micro-batch at the default trigger setting, mirroring
+    stream_ops.stream_events."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(src_dir)
+    )
+
+
+def delta_candidate_pairs(
+    bands_new: DataFrame, bands_store: DataFrame | None
+) -> DataFrame:
+    """(doc_a, doc_b, n_bands_matched) pairs touching the delta: the
+    new-new triangle (bucket-collect inside the batch's bands) plus
+    new × store bucket matches. The delta side is the small one by
+    construction — it is broadcast into the store join, so the store
+    is probed in place and never shuffled."""
+    triangle = (
+        bands_new.groupBy("band", "band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids) - i - 1), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.doc_a", "pr.doc_b")
+    )
+    matches = triangle
+    if bands_store is not None:
+        new = bands_new.select(
+            "band", "band_key", F.col("doc_id").alias("new_id")
+        )
+        cross = (
+            bands_store.join(F.broadcast(new), ["band", "band_key"])
+            .filter(F.col("doc_id") != F.col("new_id"))
+            .select(
+                F.least("doc_id", "new_id").alias("doc_a"),
+                F.greatest("doc_id", "new_id").alias("doc_b"),
+            )
+        )
+        matches = matches.unionByName(cross)
+    return matches.groupBy("doc_a", "doc_b").agg(
+        F.count("*").alias("n_bands_matched")
+    )
+
+
+class StreamingLshDedupSink:
+    """foreachBatch maintainer of the LSH band store + pairs log."""
+
+    def __init__(self, spark: SparkSession, out_dir: str) -> None:
+        self.spark = spark
+        self.out_dir = out_dir
+
+    def _bands_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.out_dir, f"bands_v{epoch_id}")
+
+    def _pairs_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.out_dir, f"pairs_e{epoch_id}")
+
+    def _committed(self, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_COMMITTED"))
+
+    def _mark(self, path: str) -> None:
+        with open(os.path.join(path, "_COMMITTED"), "w") as fh:
+            fh.write("ok\n")
+
+    def committed_band_versions(self) -> list[int]:
+        if not os.path.isdir(self.out_dir):
+            return []
+        return sorted(
+            int(n[len("bands_v"):])
+            for n in os.listdir(self.out_dir)
+            if n.startswith("bands_v") and self._committed(
+                os.path.join(self.out_dir, n)
+            )
+        )
+
+    def committed_pair_epochs(self) -> list[int]:
+        if not os.path.isdir(self.out_dir):
+            return []
+        return sorted(
+            int(n[len("pairs_e"):])
+            for n in os.listdir(self.out_dir)
+            if n.startswith("pairs_e") and self._committed(
+                os.path.join(self.out_dir, n)
+            )
+        )
+
+    def current_bands(self) -> DataFrame | None:
+        versions = self.committed_band_versions()
+        if not versions:
+            return None
+        return self.spark.read.parquet(self._bands_dir(versions[-1]))
+
+    def pairs(self) -> DataFrame | None:
+        """Union of every committed per-epoch pairs log — the streamed
+        equivalent of the batch q_minhash_lsh result."""
+        epochs = self.committed_pair_epochs()
+        if not epochs:
+            return None
+        return self.spark.read.parquet(
+            *[self._pairs_dir(e) for e in epochs]
+        )
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        pairs_dir = self._pairs_dir(epoch_id)
+        bands_dir = self._bands_dir(epoch_id)
+        if self._committed(pairs_dir) and self._committed(bands_dir):
+            return  # replayed epoch: both outputs durable
+        # Shingle + minhash the batch ONCE; both consumers (pair gen and
+        # the store append) read the materialized bands, so the signature
+        # aggregation never runs twice. localCheckpoint would also work,
+        # but the store write IS a materialization — reuse it.
+        store = None
+        prior = [v for v in self.committed_band_versions() if v < epoch_id]
+        if prior:
+            store = self.spark.read.parquet(self._bands_dir(prior[-1]))
+        if not self._committed(bands_dir):
+            bands_new = lsh_bands_df(minhash_signatures_df(batch_df))
+            staged = os.path.join(self.out_dir, f"_staged_e{epoch_id}")
+            bands_new.write.mode("overwrite").parquet(staged)
+            bands_new = self.spark.read.parquet(staged)
+        else:
+            # pairs retry after a committed store write: the batch's own
+            # bands are the tail the committed snapshot added on top of
+            # the prior version — recompute them from the batch instead
+            # of diffing snapshots (cheap, and the diff would anti-join)
+            bands_new = lsh_bands_df(minhash_signatures_df(batch_df))
+        if not self._committed(pairs_dir):
+            delta_candidate_pairs(bands_new, store).write.mode(
+                "overwrite"
+            ).parquet(pairs_dir)
+            self._mark(pairs_dir)
+        if not self._committed(bands_dir):
+            new_store = (
+                store.unionByName(bands_new) if store is not None else bands_new
+            )
+            new_store.write.mode("overwrite").parquet(bands_dir)
+            self._mark(bands_dir)
+
+
+def maintain_lsh_store(
+    spark: SparkSession, stream_df: DataFrame, out_dir: str, name: str
+):
+    """Attach the streaming dedup maintainer to a document stream;
+    returns (query, sink) so callers read ``sink.pairs()`` /
+    ``sink.current_bands()``."""
+    sink = StreamingLshDedupSink(spark, out_dir)
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .queryName(name)
+        .foreachBatch(sink)
+        .start()
+    )
+    return q, sink

@@ -291,3 +291,217 @@ def test_suffix_automaton_lcs_edges():
     assert _lcs_token_len(list("abcde"), list("cde")) == 3
     # sub-4-token overlap the k-gram form (LCS_GRAM=4) cannot see
     assert _lcs_token_len(["p", "q", "r", "s"], ["z", "q", "r", "w"]) == 2
+
+
+# ---------------------------------------------------------------------------
+# round 7: intra-document repeated-span removal + short-floor removal twin
+# ---------------------------------------------------------------------------
+
+def _write_docs(spark, d, rows):
+    _docs(spark, rows).selectExpr(
+        "doc_id", "text", "'en' AS lang", "'t' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+
+def _intra_ref(toks, K=4, T=8, cap=32):
+    """Sequential pure-Python mirror of q_intra_doc_dedup's spec:
+    capped per-gram self-pairs → diagonal islands → spans >= T tokens →
+    interval merge → removal. Independent of Spark/DuckDB — the
+    property-test ground truth."""
+    from collections import defaultdict
+
+    grams = defaultdict(list)
+    for p in range(max(0, len(toks) - K + 1)):
+        grams[tuple(toks[p:p + K])].append(p)
+    bydiag = defaultdict(list)
+    for ps in grams.values():
+        if 1 < len(ps) <= cap:
+            for i in range(len(ps)):
+                for j in range(i + 1, len(ps)):
+                    bydiag[ps[j] - ps[i]].append(ps[j])
+    spans = set()
+    for pls in bydiag.values():
+        pls = sorted(pls)
+        i = 0
+        while i < len(pls):
+            j = i
+            while j + 1 < len(pls) and pls[j + 1] == pls[j] + 1:
+                j += 1
+            run = j - i + 1
+            if run + K - 1 >= T:
+                spans.add((pls[i], pls[i] + run + K - 1))
+            i = j + 1
+    merged = []
+    for s, e in sorted(spans):
+        if merged and s <= merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+        else:
+            merged.append((s, e))
+    removed = set()
+    for s, e in merged:
+        removed.update(range(s, e))
+    clean = " ".join(t for i, t in enumerate(toks) if i not in removed)
+    return clean, len(removed)
+
+
+def test_intra_doc_dedup_cuts_second_occurrence_only(spark):
+    from data_engineering_project_spotify_app_spark.operators.linedup import (
+        intra_doc_dedup,
+    )
+
+    chorus = "never gonna give you up never gonna let"  # 8 tokens >= 8
+    rows = [
+        # chorus repeated verbatim later in the doc: second copy cut
+        (1, f"{chorus} verse words in between {chorus} and a tail"),
+        # no intra-doc repeat: untouched (even though doc 1 shares text —
+        # this operator is WITHIN-doc only)
+        (2, f"{chorus} completely unique remainder here"),
+        # repeat shorter than the 8-token floor survives
+        (3, "short motif four five short motif four five"),
+    ]
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in intra_doc_dedup(_docs(spark, rows)).collect()
+    }
+    assert out[1] == (
+        f"{chorus} verse words in between and a tail", 8,
+    )
+    assert out[2][1] == 0
+    assert out[3][1] == 0
+
+
+def test_intra_doc_dedup_back_to_back_periodic_repeat(spark):
+    from data_engineering_project_spotify_app_spark.operators.linedup import (
+        intra_doc_dedup,
+    )
+
+    # "a b c d" repeated 4x back-to-back: every later copy sits on the
+    # diag-4 island; overlapping removal spans merge, first copy survives
+    unit = "a b c d"
+    rows = [(1, " ".join([unit] * 4))]
+    out = intra_doc_dedup(_docs(spark, rows)).collect()[0]
+    assert out["clean_text"] == unit
+    assert out["n_removed"] == 12
+
+
+def test_intra_doc_dedup_degenerate_token_run_hits_gram_cap(spark):
+    from data_engineering_project_spotify_app_spark.operators.linedup import (
+        INTRA_GRAM_CAP,
+        intra_doc_dedup,
+    )
+
+    # 40 copies of one token → the single 4-gram occurs 37 > cap times;
+    # the stop-gram cap drops it entirely, so nothing is removed (such
+    # docs are q_gopher_rules' kill, not this operator's)
+    rows = [(1, " ".join(["spam"] * 40)), (2, " ".join(["ok"] * 9))]
+    out = {
+        r["doc_id"]: r["n_removed"]
+        for r in intra_doc_dedup(_docs(spark, rows)).collect()
+    }
+    assert out[1] == 0
+    # 9 copies → the single gram occurs 6 <= cap times; the diag-1
+    # island spans 8 tokens >= floor: everything after the first
+    # overlapping copy is cut, leaving one token
+    assert out[2] == 8
+    assert INTRA_GRAM_CAP == 32
+
+
+def test_intra_doc_dedup_matches_sequential_reference(spark):
+    """Property test: Spark vs the sequential pure-Python reference on a
+    seeded random corpus biased toward repetition (tiny alphabet, short
+    docs) plus adversarial structures (periodic, chorus, degenerate)."""
+    import random
+
+    from data_engineering_project_spotify_app_spark.operators.linedup import (
+        intra_doc_dedup,
+    )
+
+    rng = random.Random(20260815)
+    alphabet = ["a", "b", "c", "x", "y"]
+    rows = []
+    for doc_id in range(60):
+        n = rng.randint(0, 40)
+        toks = [rng.choice(alphabet) for _ in range(n)]
+        # half the docs get an injected verbatim repeat of a random slice
+        if n >= 10 and rng.random() < 0.5:
+            s = rng.randint(0, n - 9)
+            ln = rng.randint(8, min(12, n - s))
+            toks = toks + [rng.choice(alphabet)] + toks[s:s + ln]
+        rows.append((doc_id, " ".join(toks)))
+    rows.append((900, " ".join(["a b c d"] * 5)))
+    rows.append((901, " ".join(["z"] * 50)))
+    rows.append((902, ""))
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in intra_doc_dedup(_docs(spark, rows)).collect()
+    }
+    for doc_id, text in rows:
+        want = _intra_ref(text.split())
+        if not text.split():
+            # tokenless docs drop out of the token explosion entirely
+            assert doc_id not in got
+            continue
+        assert got[doc_id] == want, (doc_id, got[doc_id], want)
+
+
+def test_remove_overlaps_short_cuts_sub_floor_spans(spark):
+    """The short twin removes shared runs of 4–7 tokens that the 8-token
+    production floor leaves in place; sub-4-token sharing is invisible
+    to the 4-gram machinery in BOTH variants (structural minimum)."""
+    import tempfile
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    five = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, f"{five} unique one tail"),
+        (2, f"front matter {five} closing"),
+        # 3-token sharing: below the gram size, never detected
+        (3, "alpha beta gamma entirely different everything else here"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        full = {
+            r["doc_id"]: r["n_removed"]
+            for r in registry.QUERIES["q_remove_overlaps"](spark, d).collect()
+        }
+        short = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in registry.QUERIES["q_remove_overlaps_short"](
+                spark, d
+            ).collect()
+        }
+    assert full == {1: 0, 2: 0, 3: 0}  # 5 < 8: production floor keeps it
+    assert short[1][1] == 0  # doc 1 is earlier: always survives
+    assert short[2] == ("front matter closing", 5)
+    assert short[3][1] == 0  # 3 shared tokens < gram size: structural floor
+
+
+def test_duplicate_identical_spans_merge_deterministically(spark):
+    """Regression pin for the tie-order bug: the SAME (s, e) interval
+    arriving from two partner docs must merge to ONE removal span, never
+    double-count (pre-fix this flipped n_removed 4↔8 run-to-run in
+    DuckDB). Three docs all share one 8-token run: the latest doc gets
+    the identical span nominated by BOTH earlier partners."""
+    import tempfile
+
+    from data_engineering_project_spotify_app_spark.operators import registry
+
+    registry.load_all_modules()
+    run8 = "one two three four five six seven eight"
+    rows = [
+        (1, f"{run8} first tail"),
+        (2, f"{run8} second tail"),
+        (3, f"{run8} third tail"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        _write_docs(spark, d, rows)
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_removed"])
+            for r in registry.QUERIES["q_remove_overlaps"](spark, d).collect()
+        }
+    assert got[1] == (f"{run8} first tail", 0)
+    assert got[2] == ("second tail", 8)
+    assert got[3] == ("third tail", 8)
