@@ -190,6 +190,11 @@ class StreamingLshDedupSink:
             )
             new_store.write.mode("overwrite").parquet(bands_dir)
             self._mark(bands_dir)
+        staged = os.path.join(self.out_dir, f"_staged_e{epoch_id}")
+        if os.path.isdir(staged):
+            import shutil
+
+            shutil.rmtree(staged, ignore_errors=True)
 
 
 def maintain_lsh_store(

@@ -1,0 +1,128 @@
+"""Streaming incremental LSH dedup: the union of per-epoch pair logs
+must equal the batch q_minhash_lsh recompute on the same corpus, no
+matter how the corpus is split into micro-batches; replays are no-ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from data_engineering_project_spotify_app_spark.operators.dedup import (
+    minhash_candidate_pairs_df,
+    minhash_signatures_df,
+)
+from data_engineering_project_spotify_app_spark.streaming.dedup_stream import (
+    DOC_SCHEMA,
+    StreamingLshDedupSink,
+    maintain_lsh_store,
+    stream_documents,
+)
+
+
+def _drop_docs(src, name, rows):
+    with open(os.path.join(src, name), "w") as fh:
+        for doc_id, text in rows:
+            fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _corpus(spark, n=180):
+    """A slice of the real fixture corpus — enough near-dups for a
+    non-trivial pair set."""
+    rows = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    )
+    return [(r.doc_id, r.text) for r in rows]
+
+
+def test_streamed_pairs_equal_batch_recompute(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = _corpus(spark)
+    # three uneven micro-batches — the split points are arbitrary and
+    # must not matter
+    splits = [docs[:40], docs[40:110], docs[110:]]
+    _drop_docs(src, "b0.json", splits[0])
+    stream = stream_documents(spark, src, max_files_per_trigger=1)
+    out = str(tmp_path / "state")
+    q, sink = maintain_lsh_store(spark, stream, out, "dedup_stream1")
+    try:
+        q.processAllAvailable()
+        for i, batch in enumerate(splits[1:], start=1):
+            _drop_docs(src, f"b{i}.json", batch)
+            time.sleep(0.1)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(sink.committed_band_versions()) >= 3
+    got = sorted(tuple(r) for r in sink.pairs().collect())
+    full = spark.read.schema(DOC_SCHEMA).json(src)
+    want = sorted(
+        tuple(r)
+        for r in minhash_candidate_pairs_df(
+            minhash_signatures_df(full)
+        ).collect()
+    )
+    assert want, "fixture slice produced no candidate pairs — test is vacuous"
+    assert got == want
+    # every pair lands in exactly one epoch: no duplicates across logs
+    assert len(got) == len({(a, b) for a, b, _ in got})
+    # the store advanced to hold every doc's bands (docs with >= 2
+    # tokens produce signatures; empty/1-token docs drop out)
+    n_store_docs = sink.current_bands().select("doc_id").distinct().count()
+    n_sig_docs = minhash_signatures_df(full).count()
+    assert n_store_docs == n_sig_docs
+
+
+def test_replayed_epoch_is_noop_for_pairs_and_store(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = _corpus(spark, n=60)
+    _drop_docs(src, "b0.json", docs)
+    stream = stream_documents(spark, src, max_files_per_trigger=1)
+    out = str(tmp_path / "state")
+    q, sink = maintain_lsh_store(spark, stream, out, "dedup_stream2")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    pairs_before = sorted(tuple(r) for r in sink.pairs().collect())
+    store_before = sorted(tuple(r) for r in sink.current_bands().collect())
+    batch = spark.read.schema(DOC_SCHEMA).json(src)
+    sink(batch, sink.committed_pair_epochs()[-1])  # replay by hand
+    assert sorted(tuple(r) for r in sink.pairs().collect()) == pairs_before
+    assert (
+        sorted(tuple(r) for r in sink.current_bands().collect())
+        == store_before
+    )
+
+
+def test_pairs_retry_after_committed_store_is_consistent(spark, tmp_path):
+    """Failure injection for the half-committed epoch: store snapshot
+    committed, pairs log not — the retry must rebuild the pairs log
+    against the PRIOR store version (not the one already containing the
+    batch, which would self-pair every batch doc)."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = _corpus(spark, n=80)
+    first, second = docs[:50], docs[50:]
+    _drop_docs(src, "b0.json", first)
+    out = str(tmp_path / "state")
+    sink = StreamingLshDedupSink(spark, out)
+    b0 = spark.createDataFrame(first, DOC_SCHEMA)
+    sink(b0, 0)
+    want = sorted(tuple(r) for r in sink.pairs().collect())
+    # simulate epoch 1 dying between the two commits: run it fully,
+    # then delete the pairs marker and replay
+    b1 = spark.createDataFrame(second, DOC_SCHEMA)
+    sink(b1, 1)
+    want = sorted(tuple(r) for r in sink.pairs().collect())
+    os.remove(os.path.join(out, "pairs_e1", "_COMMITTED"))
+    sink(b1, 1)  # retry: bands_v1 already committed, pairs rebuilt
+    got = sorted(tuple(r) for r in sink.pairs().collect())
+    assert got == want
