@@ -177,6 +177,10 @@ HEADLINE = [
     "q_term_burstiness",
     "q_linear_attribution",
     "q_market_hhi",
+    # round-7 additions: intra-doc repeated-span removal + short-floor
+    # ExactSubstr removal twin
+    "q_intra_doc_dedup",
+    "q_remove_overlaps_short",
 ]
 
 

@@ -56,15 +56,48 @@ def stream_documents(
 
 
 def delta_candidate_pairs(
-    bands_new: DataFrame, bands_store: DataFrame | None
+    bands_new: DataFrame,
+    bands_store: DataFrame | None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, n_bands_matched) pairs touching the delta: the
     new-new triangle (bucket-collect inside the batch's bands) plus
     new × store bucket matches. The delta side is the small one by
     construction — it is broadcast into the store join, so the store
-    is probed in place and never shuffled."""
+    is probed in place and never shuffled.
+
+    ``bucket_cap`` is the streaming form of the batch skew guard
+    (q_minhash_lsh_capped): an uninformative band key accumulates
+    members in the STORE forever, so by epoch N a degenerate bucket
+    pairs every new doc against an unbounded store-side posting list —
+    the one place the delta-only cost model O(|new| × |bucket|) can
+    silently degrade toward O(|new| × |corpus|). The cap drops band
+    keys whose TOTAL occupancy (store + batch) exceeds it, on both the
+    triangle and the cross join, before any pair is generated; the cap
+    frame is tiny (distinct over-full keys only) and broadcast."""
+    capped_new = bands_new
+    capped_store = bands_store
+    if bucket_cap is not None:
+        occupancy = bands_new.select("band", "band_key")
+        if bands_store is not None:
+            occupancy = occupancy.unionByName(
+                bands_store.select("band", "band_key")
+            )
+        overfull = (
+            occupancy.groupBy("band", "band_key")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > bucket_cap)
+            .select("band", "band_key")
+        )
+        capped_new = bands_new.join(
+            F.broadcast(overfull), ["band", "band_key"], "left_anti"
+        )
+        if bands_store is not None:
+            capped_store = bands_store.join(
+                F.broadcast(overfull), ["band", "band_key"], "left_anti"
+            )
     triangle = (
-        bands_new.groupBy("band", "band_key")
+        capped_new.groupBy("band", "band_key")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
         .select(
@@ -79,12 +112,12 @@ def delta_candidate_pairs(
         .select("pr.doc_a", "pr.doc_b")
     )
     matches = triangle
-    if bands_store is not None:
-        new = bands_new.select(
+    if capped_store is not None:
+        new = capped_new.select(
             "band", "band_key", F.col("doc_id").alias("new_id")
         )
         cross = (
-            bands_store.join(F.broadcast(new), ["band", "band_key"])
+            capped_store.join(F.broadcast(new), ["band", "band_key"])
             .filter(F.col("doc_id") != F.col("new_id"))
             .select(
                 F.least("doc_id", "new_id").alias("doc_a"),
@@ -98,11 +131,28 @@ def delta_candidate_pairs(
 
 
 class StreamingLshDedupSink:
-    """foreachBatch maintainer of the LSH band store + pairs log."""
+    """foreachBatch maintainer of the LSH band store + pairs log.
 
-    def __init__(self, spark: SparkSession, out_dir: str) -> None:
+    ``bucket_cap``, when set, applies the streaming skew guard at every
+    epoch (see delta_candidate_pairs). Streaming cap semantics are
+    necessarily PREFIX semantics: occupancy is judged as of the current
+    epoch, so a bucket that crosses the cap at epoch N stops producing
+    pairs from N on, but its pre-N pairs were already durably emitted —
+    unlike the batch q_minhash_lsh_capped, which judges final occupancy.
+    That is the right trade for an append-only log (emitted pairs are
+    facts; retracting them would make the log non-monotone), and the
+    batch/streaming difference vanishes for buckets that never cross
+    the cap (pinned in tests/test_streaming_dedup.py)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        bucket_cap: int | None = None,
+    ) -> None:
         self.spark = spark
         self.out_dir = out_dir
+        self.bucket_cap = bucket_cap
 
     def _bands_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"bands_v{epoch_id}")
@@ -180,9 +230,9 @@ class StreamingLshDedupSink:
             # of diffing snapshots (cheap, and the diff would anti-join)
             bands_new = lsh_bands_df(minhash_signatures_df(batch_df))
         if not self._committed(pairs_dir):
-            delta_candidate_pairs(bands_new, store).write.mode(
-                "overwrite"
-            ).parquet(pairs_dir)
+            delta_candidate_pairs(
+                bands_new, store, bucket_cap=self.bucket_cap
+            ).write.mode("overwrite").parquet(pairs_dir)
             self._mark(pairs_dir)
         if not self._committed(bands_dir):
             new_store = (
@@ -198,12 +248,16 @@ class StreamingLshDedupSink:
 
 
 def maintain_lsh_store(
-    spark: SparkSession, stream_df: DataFrame, out_dir: str, name: str
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    name: str,
+    bucket_cap: int | None = None,
 ):
     """Attach the streaming dedup maintainer to a document stream;
     returns (query, sink) so callers read ``sink.pairs()`` /
     ``sink.current_bands()``."""
-    sink = StreamingLshDedupSink(spark, out_dir)
+    sink = StreamingLshDedupSink(spark, out_dir, bucket_cap=bucket_cap)
     q = (
         stream_df.writeStream.outputMode("append")
         .queryName(name)

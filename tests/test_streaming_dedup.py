@@ -126,3 +126,45 @@ def test_pairs_retry_after_committed_store_is_consistent(spark, tmp_path):
     sink(b1, 1)  # retry: bands_v1 already committed, pairs rebuilt
     got = sorted(tuple(r) for r in sink.pairs().collect())
     assert got == want
+
+
+def test_streaming_bucket_cap_drops_degenerate_band(spark, tmp_path):
+    """Skew guard: a band bucket over the cap produces no pairs from
+    the epoch it crosses the cap onward; buckets that never cross are
+    bit-identical to the uncapped run."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # 12 identical docs → every band bucket holds all 12 (> cap 8);
+    # 2 other near-identical docs pair normally (bucket size 2 <= cap)
+    hot = [(i, "the same boilerplate text repeated verbatim everywhere")
+           for i in range(12)]
+    ok = [(100, "a perfectly ordinary document about spark engines"),
+          (101, "a perfectly ordinary document about spark engines")]
+    _drop_docs(src, "b0.json", hot[:6] + ok[:1])
+    _drop_docs(src, "b1.json", hot[6:] + ok[1:])
+    out = str(tmp_path / "state")
+    stream = stream_documents(spark, src, max_files_per_trigger=1)
+    q, sink = maintain_lsh_store(
+        spark, stream, out, "dedup_capped", bucket_cap=8
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in sink.pairs().collect())
+    # epoch 0: hot bucket holds 6 <= 8 → its C(6,2) pairs emit (prefix
+    # semantics — already-durable facts); epoch 1: occupancy 12 > 8 →
+    # zero new hot pairs. The ordinary pair emits in epoch 1 untouched.
+    hot_pairs = [p for p in got if p[0] < 100]
+    assert len(hot_pairs) == 15  # C(6,2), all from epoch 0
+    assert (100, 101) in {(a, b) for a, b, _ in got}
+    # and the never-over-cap pair matches the uncapped batch count
+    full = spark.read.schema(DOC_SCHEMA).json(src)
+    want = {
+        (r.doc_a, r.doc_b): r.n_bands_matched
+        for r in minhash_candidate_pairs_df(
+            minhash_signatures_df(full)
+        ).collect()
+    }
+    got_map = {(a, b): n for a, b, n in got}
+    assert got_map[(100, 101)] == want[(100, 101)]
