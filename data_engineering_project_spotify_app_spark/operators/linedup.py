@@ -284,12 +284,15 @@ def q_lcs_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _diag_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return diag_islands_df(table_parallel(spark, sf_dir, "documents"))
+
+
+def diag_islands_df(docs: DataFrame) -> DataFrame:
     """(da, db, diag, pa0, run): maximal consecutive-shared-k-gram
     islands per cross-doc diagonal — the Spark twin of _DIAG_RUNS_SQL.
     ``pa0`` is the island's first gram position in doc_a (so the doc_b
     span starts at pa0 - diag); ``run`` its gram count (span length in
     tokens = run + LCS_GRAM - 1)."""
-    docs = table_parallel(spark, sf_dir, "documents")
     # sliding k-grams built ARRAY-SIDE behind a Generate barrier (same
     # trick as _chunk_lines): zero shuffle — the lead-window form this
     # replaces needed an Exchange(doc_id) + Sort of the whole token
@@ -471,7 +474,13 @@ def _remove_overlaps_oracle(min_tokens: int) -> str:
 def _remove_overlaps_impl(
     spark: SparkSession, sf_dir: str, min_tokens: int
 ) -> DataFrame:
-    islands = _diag_islands(spark, sf_dir)
+    return remove_overlaps_df(
+        table_parallel(spark, sf_dir, "documents"), min_tokens
+    )
+
+
+def remove_overlaps_df(docs: DataFrame, min_tokens: int) -> DataFrame:
+    islands = diag_islands_df(docs)
     spans = islands.filter(
         F.col("run") + F.lit(LCS_GRAM - 1) >= min_tokens
     ).select(
@@ -481,8 +490,7 @@ def _remove_overlaps_impl(
             "e"
         ),
     )
-    toks = _exploded_tokens(table_parallel(spark, sf_dir, "documents"))
-    return remove_spans(toks, spans)
+    return remove_spans(_exploded_tokens(docs), spans)
 
 
 @query("q_remove_overlaps", oracle=_remove_overlaps_oracle(MIN_LCS_TOKENS))

@@ -33,7 +33,11 @@ from data_engineering_project_spotify_app_spark.operators.dedup import (  # noqa
     weighted_jaccard_pairs,
 )
 from data_engineering_project_spotify_app_spark.operators.linedup import (  # noqa: E402
+    LCS_GRAM,
+    MIN_LCS_TOKENS,
     dedup_lines,
+    intra_doc_dedup,
+    remove_overlaps_df,
 )
 from data_engineering_project_spotify_app_spark.operators.graphs import (  # noqa: E402
     triangle_counts,
@@ -178,7 +182,29 @@ def main() -> None:
                 minhash_signatures_df(d)
             ).count(),
         ),
+        (
+            # doc-sharded by construction: every stage keys on doc_id,
+            # so disjoint shard copies must scale ~linearly
+            "intra_doc_dedup",
+            lambda d=docs1: intra_doc_dedup(d).count(),
+            lambda d=docsM: intra_doc_dedup(d).count(),
+        ),
+        (
+            # the diagonal-islands pair stage is corpus-global
+            # (capped gram buckets) — same law as ngram_jaccard
+            "remove_overlaps (floor 8)",
+            lambda d=docs1: remove_overlaps_df(d, MIN_LCS_TOKENS).count(),
+            lambda d=docsM: remove_overlaps_df(d, MIN_LCS_TOKENS).count(),
+        ),
+        (
+            "remove_overlaps_short (4)",
+            lambda d=docs1: remove_overlaps_df(d, LCS_GRAM).count(),
+            lambda d=docsM: remove_overlaps_df(d, LCS_GRAM).count(),
+        ),
     ]
+    only = sys.argv[3] if len(sys.argv) > 3 else None
+    if only:
+        probes = [p for p in probes if only in p[0]]
     print(f"M = {m}  (linear scaling => ratio <= {m})")
     for name, one, big in probes:
         one()  # warm

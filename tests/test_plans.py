@@ -572,3 +572,20 @@ def test_ivf_partitioned_index_uses_dynamic_pruning(spark, sf_dir):
     ever stops applying, which this pin catches."""
     plan = plan_of(spark, sf_dir, "q_ann_ivf_partitioned")
     assert "dynamicpruning" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q_intra_doc_dedup", "q_remove_overlaps_short"]
+)
+def test_span_removal_windows_are_doc_partitioned(spark, sf_dir, name):
+    """Every window in the span-removal family must partition on a
+    doc-bounded key (doc_id for the interval merge, (doc_id, diag) /
+    (da, db, diag) for the islands) — no single-partition window
+    anywhere, so the operators shard by document at any corpus size."""
+    import re
+
+    plan = plan_of(spark, sf_dir, name)
+    wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert wins, plan
+    for w in wins:
+        assert ("doc_id" in w) or ("da#" in w and "db#" in w), (w, plan)
