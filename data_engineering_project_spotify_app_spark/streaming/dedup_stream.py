@@ -220,7 +220,7 @@ class StreamingLshDedupSink:
             store = self.spark.read.parquet(self._bands_dir(prior[-1]))
         if not self._committed(bands_dir):
             bands_new = lsh_bands_df(minhash_signatures_df(batch_df))
-            staged = os.path.join(self.out_dir, f"_staged_e{epoch_id}")
+            staged = os.path.join(self.out_dir, f"staged_e{epoch_id}")
             bands_new.write.mode("overwrite").parquet(staged)
             bands_new = self.spark.read.parquet(staged)
         else:
@@ -240,7 +240,7 @@ class StreamingLshDedupSink:
             )
             new_store.write.mode("overwrite").parquet(bands_dir)
             self._mark(bands_dir)
-        staged = os.path.join(self.out_dir, f"_staged_e{epoch_id}")
+        staged = os.path.join(self.out_dir, f"staged_e{epoch_id}")
         if os.path.isdir(staged):
             import shutil
 

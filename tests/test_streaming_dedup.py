@@ -168,3 +168,72 @@ def test_streaming_bucket_cap_drops_degenerate_band(spark, tmp_path):
     }
     got_map = {(a, b): n for a, b, n in got}
     assert got_map[(100, 101)] == want[(100, 101)]
+
+
+def test_streamed_line_dedup_equals_batch_on_ascending_ingest(
+    spark, tmp_path
+):
+    """C4 line dedup, streamed: with documents arriving in ascending
+    doc_id order (append-only ingest), the union of per-epoch cleaned
+    docs must equal the batch dedup_lines recompute — the boilerplate
+    line survives only in the first document of the first epoch that
+    carried it."""
+    from data_engineering_project_spotify_app_spark.operators.linedup import (
+        LINE_TOKENS,
+        dedup_lines,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.linedup_stream import (
+        maintain_line_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    boiler = "please enable java script"
+    docs = [
+        (i, f"{boiler} unique tail line {i}") for i in range(30)
+    ] + [(i, f"fresh content piece {i} entirely") for i in range(30, 45)]
+    docs.sort()
+    splits = [docs[:10], docs[10:32], docs[32:]]
+    # drop one file per trigger so epoch order == ingest order (files
+    # written upfront can share an mtime, making the source's initial
+    # listing order unspecified — and the first-occurrence equivalence
+    # is only claimed for in-order ingest)
+    _drop_docs(src, "b0.json", splits[0])
+    stream = stream_documents(spark, src, max_files_per_trigger=1)
+    out = str(tmp_path / "state")
+    q, sink = maintain_line_dedup(spark, stream, out, "linedup_stream1")
+    try:
+        q.processAllAvailable()
+        for i, batch in enumerate(splits[1:], start=1):
+            _drop_docs(src, f"b{i}.json", batch)
+            time.sleep(0.1)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in sink.clean_docs().collect())
+    full = spark.read.schema(DOC_SCHEMA).json(src)
+    want = sorted(
+        tuple(r) for r in dedup_lines(full, LINE_TOKENS).collect()
+    )
+    assert got == want
+    # the digest store holds exactly the distinct kept-line digests
+    n_lines = sum(r[2] for r in got)  # n_kept per doc
+    assert sink.current_store().count() == n_lines
+
+
+def test_streamed_line_dedup_replay_is_noop(spark, tmp_path):
+    from data_engineering_project_spotify_app_spark.streaming.linedup_stream import (
+        StreamingLineDedupSink,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = [(i, f"shared boilerplate line here tail {i}") for i in range(8)]
+    _drop_docs(src, "b0.json", docs)
+    out = str(tmp_path / "state")
+    sink = StreamingLineDedupSink(spark, out)
+    batch = spark.read.schema(DOC_SCHEMA).json(src)
+    sink(batch, 0)
+    before = sorted(tuple(r) for r in sink.clean_docs().collect())
+    sink(batch, 0)  # replay
+    assert sorted(tuple(r) for r in sink.clean_docs().collect()) == before
