@@ -505,3 +505,97 @@ def test_duplicate_identical_spans_merge_deterministically(spark):
     assert got[1] == (f"{run8} first tail", 0)
     assert got[2] == ("second tail", 8)
     assert got[3] == ("third tail", 8)
+
+
+def _cross_ref(docs, K=4, T=8, cap_floor=16, cap_div=200):
+    """Sequential pure-Python mirror of q_remove_overlaps' spec:
+    corpus-capped gram posting lists → cross-doc (doc_a < doc_b)
+    diagonal islands → spans >= T projected onto doc_b → interval merge
+    → removal. ``docs`` is {doc_id: [tokens]}; returns
+    {doc_id: (clean_text, n_removed)}."""
+    from collections import defaultdict
+
+    occ = defaultdict(list)  # gram -> [(doc_id, pos)]
+    for did, toks in docs.items():
+        for p in range(max(0, len(toks) - K + 1)):
+            occ[tuple(toks[p:p + K])].append((did, p))
+    cap = max(cap_floor, len(docs) // cap_div)
+    bydiag = defaultdict(list)  # (da, db, diag) -> [pa]
+    for ps in occ.values():
+        if 1 < len(ps) <= cap:
+            for (da, pa) in ps:
+                for (db, pb) in ps:
+                    if da < db:
+                        bydiag[(da, db, pa - pb)].append(pa)
+    spans = defaultdict(set)  # doc_b -> {(s, e)}
+    for (da, db, diag), pas in bydiag.items():
+        pas = sorted(set(pas))
+        i = 0
+        while i < len(pas):
+            j = i
+            while j + 1 < len(pas) and pas[j + 1] == pas[j] + 1:
+                j += 1
+            run = j - i + 1
+            if run + K - 1 >= T:
+                s = pas[i] - diag
+                spans[db].add((s, s + run + K - 1))
+            i = j + 1
+    out = {}
+    for did, toks in docs.items():
+        merged = []
+        for s, e in sorted(spans.get(did, ())):
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        removed = set()
+        for s, e in merged:
+            removed.update(range(s, e))
+        clean = " ".join(
+            t for i, t in enumerate(toks) if i not in removed
+        )
+        out[did] = (clean, len(removed))
+    return out
+
+
+def test_remove_overlaps_matches_sequential_reference(spark):
+    """Property test: Spark vs the sequential pure-Python reference on
+    a seeded random corpus biased toward cross-doc sharing (docs built
+    from a small pool of phrase blocks, so long runs recur verbatim
+    across documents)."""
+    import random
+
+    from data_engineering_project_spotify_app_spark.operators.linedup import (
+        MIN_LCS_TOKENS,
+        remove_overlaps_df,
+    )
+
+    rng = random.Random(20260816)
+    # 12 reusable phrase blocks of 3-6 tokens: concatenating them
+    # produces cross-doc shared runs of varying lengths around the
+    # 8-token floor
+    vocab = ["w%d" % i for i in range(30)]
+    blocks = [
+        [rng.choice(vocab) for _ in range(rng.randint(3, 6))]
+        for _ in range(12)
+    ]
+    corpus = {}
+    for did in range(50):
+        toks = []
+        for _ in range(rng.randint(1, 5)):
+            if rng.random() < 0.7:
+                toks += rng.choice(blocks)
+            else:
+                toks += [rng.choice(vocab) for _ in range(rng.randint(2, 5))]
+        corpus[did] = toks
+    rows = [(did, " ".join(t)) for did, t in corpus.items()]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in remove_overlaps_df(
+            _docs(spark, rows), MIN_LCS_TOKENS
+        ).collect()
+    }
+    want = _cross_ref(corpus, T=MIN_LCS_TOKENS)
+    # drop tokenless docs from the reference (they never enter the
+    # token explosion) — none expected with these generators
+    assert got == {k: v for k, v in want.items() if corpus[k]}
