@@ -78,3 +78,19 @@ def test_level_shift_and_rolling_median_preaggregate(spark, sf_dir):
         win = tree.find("Window")
         agg = tree.rfind("HashAggregate")
         assert win != -1 and agg != -1 and agg > win, (name, tree)
+
+
+@pytest.mark.parametrize(
+    "name", ["q_item_cf", "q_clustering_coefficient"]
+)
+def test_heavy_graph_cf_plans_never_sort_merge_join(spark, sf_dir, name):
+    """The two most expensive bench queries: q_item_cf's round-6 win
+    (5.3→4.2 s) was broadcasting the item-frequency frames instead of
+    shuffle-joining them against the pair fanout, and the clustering-
+    coefficient composition inherits the triangle machinery's broadcast
+    posture. A SortMergeJoin reappearing in either plan means a
+    fact-sized side silently lost its broadcast — the regression this
+    pin catches."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
