@@ -189,6 +189,27 @@ class StreamingLshDedupSink:
             )
         )
 
+    def compact(self, retain_last: int = 1) -> list[int]:
+        """Retire superseded band-store snapshots, keeping the newest
+        ``retain_last`` committed versions — the streaming-store twin of
+        the staging TTL / compaction ladder (sources/ingest.py). Pair
+        logs are never touched (they are the output facts); only store
+        snapshots are redundant, because each version fully contains
+        every prior one. Returns the deleted version ids. Safe against
+        a concurrent replay: a replayed epoch whose snapshot was
+        compacted away still skips pair re-emission via the pairs
+        marker, and its store write is reconstructed from the latest
+        surviving snapshot (which already contains those bands)."""
+        import shutil
+
+        keep = self.committed_band_versions()[-max(1, retain_last):]
+        dropped = []
+        for v in self.committed_band_versions():
+            if v not in keep:
+                shutil.rmtree(self._bands_dir(v), ignore_errors=True)
+                dropped.append(v)
+        return dropped
+
     def current_bands(self) -> DataFrame | None:
         versions = self.committed_band_versions()
         if not versions:
@@ -234,7 +255,13 @@ class StreamingLshDedupSink:
                 bands_new, store, bucket_cap=self.bucket_cap
             ).write.mode("overwrite").parquet(pairs_dir)
             self._mark(pairs_dir)
-        if not self._committed(bands_dir):
+        later = [v for v in self.committed_band_versions() if v > epoch_id]
+        if not self._committed(bands_dir) and not later:
+            # skip when a LATER snapshot exists (each version fully
+            # contains every prior one, so this epoch's bands are
+            # already durable there) — without this, a replay of an
+            # epoch whose snapshot was compact()ed away would write a
+            # bogus partial snapshot built from an empty prior chain
             new_store = (
                 store.unionByName(bands_new) if store is not None else bands_new
             )

@@ -67,6 +67,19 @@ class StreamingLineDedupSink:
             and self._committed(os.path.join(self.out_dir, n))
         )
 
+    def compact(self, retain_last: int = 1) -> list[int]:
+        """Retire superseded digest-store snapshots (each version fully
+        contains every prior one); cleaned-doc logs are never touched.
+        Same contract as StreamingLshDedupSink.compact."""
+        versions = self._versions("digests_v")
+        keep = versions[-max(1, retain_last):]
+        dropped = []
+        for v in versions:
+            if v not in keep:
+                shutil.rmtree(self._store_dir(v), ignore_errors=True)
+                dropped.append(v)
+        return dropped
+
     def current_store(self) -> DataFrame | None:
         versions = self._versions("digests_v")
         if not versions:
@@ -145,7 +158,10 @@ class StreamingLineDedupSink:
             )
             cleaned.write.mode("overwrite").parquet(docs_dir)
             self._mark(docs_dir)
-        if not self._committed(store_dir):
+        later = [v for v in self._versions("digests_v") if v > epoch_id]
+        if not self._committed(store_dir) and not later:
+            # see StreamingLshDedupSink: a later snapshot already holds
+            # this epoch's digests — never rebuild a compacted version
             new_digests = flagged.filter("keep").select("h").distinct()
             new_store = (
                 store.unionByName(new_digests)

@@ -237,3 +237,72 @@ def test_streamed_line_dedup_replay_is_noop(spark, tmp_path):
     before = sorted(tuple(r) for r in sink.clean_docs().collect())
     sink(batch, 0)  # replay
     assert sorted(tuple(r) for r in sink.clean_docs().collect()) == before
+
+
+def test_compaction_retires_superseded_snapshots_safely(spark, tmp_path):
+    """compact() keeps the newest store snapshot(s), never touches the
+    pair/doc logs, and a replay of a compacted-away epoch neither
+    re-emits pairs nor resurrects a bogus partial snapshot."""
+    docs = _corpus(spark, n=90)
+    out = str(tmp_path / "state")
+    sink = StreamingLshDedupSink(spark, out)
+    splits = [docs[:30], docs[30:60], docs[60:]]
+    for e, batch in enumerate(splits):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    pairs_before = sorted(tuple(r) for r in sink.pairs().collect())
+    store_before = sorted(
+        tuple(r) for r in sink.current_bands().collect()
+    )
+    dropped = sink.compact(retain_last=1)
+    assert dropped == [0, 1]
+    assert sink.committed_band_versions() == [2]
+    # replay epoch 0 (its snapshot is gone): pairs skip via marker,
+    # store write skips via the later-snapshot guard
+    sink(spark.createDataFrame(splits[0], DOC_SCHEMA), 0)
+    assert sink.committed_band_versions() == [2]
+    assert sorted(tuple(r) for r in sink.pairs().collect()) == pairs_before
+    assert (
+        sorted(tuple(r) for r in sink.current_bands().collect())
+        == store_before
+    )
+    # new epoch after compaction builds on the surviving snapshot
+    extra = [(99990, docs[0][1]), (99991, docs[1][1])]  # dups of stored docs
+    sink(spark.createDataFrame(extra, DOC_SCHEMA), 3)
+    got = {(r.doc_a, r.doc_b) for r in sink.pairs().collect()}
+    assert (docs[0][0], 99990) in got  # new-vs-store pair found post-compact
+
+
+def test_line_dedup_compaction(spark, tmp_path):
+    from data_engineering_project_spotify_app_spark.streaming.linedup_stream import (
+        StreamingLineDedupSink,
+    )
+
+    boiler = "please enable java script"
+    out = str(tmp_path / "state")
+    sink = StreamingLineDedupSink(spark, out)
+    for e in range(3):
+        rows = [
+            (e * 10 + i, f"{boiler} unique tail line {e * 10 + i}")
+            for i in range(5)
+        ]
+        sink(spark.createDataFrame(rows, DOC_SCHEMA), e)
+    n_before = sink.current_store().count()
+    docs_before = sorted(tuple(r) for r in sink.clean_docs().collect())
+    assert sink.compact() == [0, 1]
+    assert sink._versions("digests_v") == [2]
+    assert sink.current_store().count() == n_before
+    # replay of compacted epoch 0: doc log skips, store not resurrected
+    rows0 = [(i, f"{boiler} unique tail line {i}") for i in range(5)]
+    sink(spark.createDataFrame(rows0, DOC_SCHEMA), 0)
+    assert sink._versions("digests_v") == [2]
+    assert (
+        sorted(tuple(r) for r in sink.clean_docs().collect()) == docs_before
+    )
+    # epoch 3 still dedups against the surviving store
+    rows3 = [(100, f"{boiler} brand new tail here")]
+    sink(spark.createDataFrame(rows3, DOC_SCHEMA), 3)
+    row = (
+        sink.clean_docs().filter("doc_id = 100").collect()[0]
+    )
+    assert row.clean_text == "brand new tail here"
+    assert row.n_dropped == 1
