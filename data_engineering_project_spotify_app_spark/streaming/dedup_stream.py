@@ -6,25 +6,29 @@ Each micro-batch of newly-ingested documents is shingled/min-hashed
 ONCE, its LSH bands are matched against the at-rest band store
 (new × store) and against themselves (the new-new triangle), the
 resulting candidate pairs are appended to a per-epoch pairs log, and
-the store is advanced to a new snapshot version containing the batch's
-bands. Store-vs-store pairs are never generated — per-bucket work is
+the batch's bands are APPENDED to the store as a per-epoch delta.
+Store-vs-store pairs are never generated — per-bucket work is
 O(|new| × |bucket|), the delta-only shape that makes a 1% daily ingest
 against a 100 TB corpus a nightly job instead of a full re-dedup.
 
-Exactly-once falls out of the same version-chain contract as
-IncrementalRollupSink: pairs log and store snapshot each carry a
-``_COMMITTED`` marker keyed by epoch id; a replayed epoch sees its
-markers and skips, a half-finished epoch left no marker and the retry
-overwrites the same path. The union of all committed pairs logs equals
-the batch ``q_minhash_lsh`` pair set exactly — every (doc_a, doc_b)
-pair is emitted in precisely the epoch its LATER member arrives
-(equivalence pinned across micro-batch splits in
-tests/test_streaming_dedup.py).
+The store is an append-only delta chain, NOT a rewritten snapshot:
+epoch N writes only its own O(|delta|) bands (contrast rollup.py,
+whose state is O(#groups) and cheap to rewrite — the band store is
+O(corpus), and rewriting it per epoch would cost O(corpus) per day and
+quadratic cumulative). compact() folds committed deltas into a base so
+the union read stays a bounded file count — the same job a
+transactional table's compaction runs at 100 TB.
 
-At 100 TB the band store is a transactional table bucketed by
-(band, band_key) — the snapshot chain here is the format-free stand-in
-(same trade as rollup.py); the store grows by O(|delta| × N_BANDS)
-rows per epoch and is never rescanned beyond the bucket join.
+Exactly-once falls out of the commit-marker contract shared with
+IncrementalRollupSink: pairs log and band delta each carry a
+``_COMMITTED`` marker keyed by epoch id (pairs marked FIRST, so a
+committed delta implies durable pairs — what makes compacting
+committed deltas replay-safe); a replayed epoch sees its markers and
+skips, a half-finished epoch left no marker and the retry overwrites
+the same path. The union of all committed pairs logs equals the batch
+``q_minhash_lsh`` pair set exactly — every (doc_a, doc_b) pair is
+emitted in precisely the epoch its LATER member arrives (equivalence
+pinned across micro-batch splits in tests/test_streaming_dedup.py).
 """
 
 from __future__ import annotations
@@ -154,8 +158,26 @@ class StreamingLshDedupSink:
         self.out_dir = out_dir
         self.bucket_cap = bucket_cap
 
-    def _bands_dir(self, epoch_id: int) -> str:
-        return os.path.join(self.out_dir, f"bands_v{epoch_id}")
+    # ---- store layout: APPEND-ONLY DELTA CHAIN -----------------------
+    # bands_e{N}  = epoch N's bands only (the delta). The store as of
+    #               epoch E is the union of base + every committed delta
+    #               < E, so the per-epoch WRITE cost is O(|delta|) — a
+    #               full-store rewrite per epoch would be O(corpus) and
+    #               quadratic cumulative, the one shape a daily-ingest
+    #               store must never have.
+    # base_v{B}   = compacted base holding every band of epochs <= B.
+    #               compact() folds deltas into a new base so the union
+    #               read stays a bounded file count; at 100 TB this is
+    #               the transactional table's compaction job.
+    # Marker order inside an epoch: pairs FIRST, then the delta — so a
+    # committed delta implies its pairs are durable, which is what makes
+    # compaction (which consumes committed deltas) replay-safe.
+
+    def _delta_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.out_dir, f"bands_e{epoch_id}")
+
+    def _base_dir(self, version: int) -> str:
+        return os.path.join(self.out_dir, f"base_v{version}")
 
     def _pairs_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"pairs_e{epoch_id}")
@@ -167,54 +189,59 @@ class StreamingLshDedupSink:
         with open(os.path.join(path, "_COMMITTED"), "w") as fh:
             fh.write("ok\n")
 
-    def committed_band_versions(self) -> list[int]:
+    def _committed_ids(self, prefix: str) -> list[int]:
         if not os.path.isdir(self.out_dir):
             return []
         return sorted(
-            int(n[len("bands_v"):])
+            int(n[len(prefix):])
             for n in os.listdir(self.out_dir)
-            if n.startswith("bands_v") and self._committed(
-                os.path.join(self.out_dir, n)
-            )
+            if n.startswith(prefix)
+            and n[len(prefix):].isdigit()
+            and self._committed(os.path.join(self.out_dir, n))
         )
+
+    def committed_band_versions(self) -> list[int]:
+        """Committed delta epochs (excludes deltas already folded into
+        the base — they are superseded, and ignored even if a crashed
+        compaction left their directories behind)."""
+        base = self._base_epoch()
+        return [
+            v
+            for v in self._committed_ids("bands_e")
+            if base is None or v > base
+        ]
+
+    def _base_epoch(self) -> int | None:
+        bases = self._committed_ids("base_v")
+        return bases[-1] if bases else None
 
     def committed_pair_epochs(self) -> list[int]:
-        if not os.path.isdir(self.out_dir):
-            return []
-        return sorted(
-            int(n[len("pairs_e"):])
-            for n in os.listdir(self.out_dir)
-            if n.startswith("pairs_e") and self._committed(
-                os.path.join(self.out_dir, n)
-            )
-        )
+        return self._committed_ids("pairs_e")
 
-    def compact(self, retain_last: int = 1) -> list[int]:
-        """Retire superseded band-store snapshots, keeping the newest
-        ``retain_last`` committed versions — the streaming-store twin of
-        the staging TTL / compaction ladder (sources/ingest.py). Pair
-        logs are never touched (they are the output facts); only store
-        snapshots are redundant, because each version fully contains
-        every prior one. Returns the deleted version ids. Safe against
-        a concurrent replay: a replayed epoch whose snapshot was
-        compacted away still skips pair re-emission via the pairs
-        marker, and its store write is reconstructed from the latest
-        surviving snapshot (which already contains those bands)."""
-        import shutil
-
-        keep = self.committed_band_versions()[-max(1, retain_last):]
-        dropped = []
-        for v in self.committed_band_versions():
-            if v not in keep:
-                shutil.rmtree(self._bands_dir(v), ignore_errors=True)
-                dropped.append(v)
-        return dropped
+    def _store_paths(self, before_epoch: int | None = None) -> list[str]:
+        base = self._base_epoch()
+        paths = []
+        if base is not None:
+            if before_epoch is not None and base >= before_epoch:
+                raise ValueError(
+                    f"store as of epoch {before_epoch} is not "
+                    f"reconstructible: base_v{base} already folded it in "
+                    "(pair-retry of a compacted epoch — compact only "
+                    "epochs whose pair logs are durable)"
+                )
+            paths.append(self._base_dir(base))
+        paths += [
+            self._delta_dir(v)
+            for v in self.committed_band_versions()
+            if before_epoch is None or v < before_epoch
+        ]
+        return paths
 
     def current_bands(self) -> DataFrame | None:
-        versions = self.committed_band_versions()
-        if not versions:
+        paths = self._store_paths()
+        if not paths:
             return None
-        return self.spark.read.parquet(self._bands_dir(versions[-1]))
+        return self.spark.read.parquet(*paths)
 
     def pairs(self) -> DataFrame | None:
         """Union of every committed per-epoch pairs log — the streamed
@@ -226,52 +253,61 @@ class StreamingLshDedupSink:
             *[self._pairs_dir(e) for e in epochs]
         )
 
+    def compact(self) -> list[int]:
+        """Fold every committed delta into a new base snapshot — the
+        streaming-store twin of the staging TTL / compaction ladder
+        (sources/ingest.py). Pair logs are never touched (they are the
+        output facts). Crash-safe: the new base commits before any
+        source directory is deleted, and readers ignore deltas <= the
+        base epoch, so a half-swept compaction leaves only harmless
+        garbage for the next sweep. Returns the folded delta epochs."""
+        import shutil
+
+        old_base = self._base_epoch()
+        deltas = self.committed_band_versions()
+        if not deltas:
+            return []
+        target = max(deltas)
+        merged = self.current_bands()
+        merged.write.mode("overwrite").parquet(self._base_dir(target))
+        self._mark(self._base_dir(target))
+        for v in deltas:
+            shutil.rmtree(self._delta_dir(v), ignore_errors=True)
+        if old_base is not None:
+            shutil.rmtree(self._base_dir(old_base), ignore_errors=True)
+        return deltas
+
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         pairs_dir = self._pairs_dir(epoch_id)
-        bands_dir = self._bands_dir(epoch_id)
-        if self._committed(pairs_dir) and self._committed(bands_dir):
+        delta_dir = self._delta_dir(epoch_id)
+        base = self._base_epoch()
+        delta_done = self._committed(delta_dir) or (
+            base is not None and base >= epoch_id
+        )
+        if self._committed(pairs_dir) and delta_done:
             return  # replayed epoch: both outputs durable
-        # Shingle + minhash the batch ONCE; both consumers (pair gen and
-        # the store append) read the materialized bands, so the signature
-        # aggregation never runs twice. localCheckpoint would also work,
-        # but the store write IS a materialization — reuse it.
-        store = None
-        prior = [v for v in self.committed_band_versions() if v < epoch_id]
-        if prior:
-            store = self.spark.read.parquet(self._bands_dir(prior[-1]))
-        if not self._committed(bands_dir):
-            bands_new = lsh_bands_df(minhash_signatures_df(batch_df))
-            staged = os.path.join(self.out_dir, f"staged_e{epoch_id}")
-            bands_new.write.mode("overwrite").parquet(staged)
-            bands_new = self.spark.read.parquet(staged)
+        # Shingle + minhash the batch ONCE: the delta parquet is the
+        # materialization both consumers (pair generation and the store
+        # chain) read, so the signature aggregation never runs twice.
+        if self._committed(delta_dir):
+            bands_new = self.spark.read.parquet(delta_dir)
         else:
-            # pairs retry after a committed store write: the batch's own
-            # bands are the tail the committed snapshot added on top of
-            # the prior version — recompute them from the batch instead
-            # of diffing snapshots (cheap, and the diff would anti-join)
             bands_new = lsh_bands_df(minhash_signatures_df(batch_df))
+            bands_new.write.mode("overwrite").parquet(delta_dir)
+            bands_new = self.spark.read.parquet(delta_dir)
         if not self._committed(pairs_dir):
+            store_paths = self._store_paths(before_epoch=epoch_id)
+            store = (
+                self.spark.read.parquet(*store_paths)
+                if store_paths
+                else None
+            )
             delta_candidate_pairs(
                 bands_new, store, bucket_cap=self.bucket_cap
             ).write.mode("overwrite").parquet(pairs_dir)
             self._mark(pairs_dir)
-        later = [v for v in self.committed_band_versions() if v > epoch_id]
-        if not self._committed(bands_dir) and not later:
-            # skip when a LATER snapshot exists (each version fully
-            # contains every prior one, so this epoch's bands are
-            # already durable there) — without this, a replay of an
-            # epoch whose snapshot was compact()ed away would write a
-            # bogus partial snapshot built from an empty prior chain
-            new_store = (
-                store.unionByName(bands_new) if store is not None else bands_new
-            )
-            new_store.write.mode("overwrite").parquet(bands_dir)
-            self._mark(bands_dir)
-        staged = os.path.join(self.out_dir, f"staged_e{epoch_id}")
-        if os.path.isdir(staged):
-            import shutil
-
-            shutil.rmtree(staged, ignore_errors=True)
+        if not delta_done:
+            self._mark(delta_dir)
 
 
 def maintain_lsh_store(

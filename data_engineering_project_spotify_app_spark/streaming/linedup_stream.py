@@ -13,10 +13,13 @@ earlier epoch already kept. Equivalence across arbitrary ascending
 splits is pinned in tests/test_streaming_dedup.py.
 
 The store is the set of line digests kept so far — O(distinct lines)
-rows, the same cardinality the batch aggregate shuffles — snapshotted
-per epoch (state rewrite is cheap; the document history is never
-rescanned). At 100 TB the store is a bucketed table keyed by digest so
-the per-epoch anti-join is a co-partitioned probe.
+rows, the same cardinality the batch aggregate shuffles — maintained
+as an append-only delta chain (per-epoch O(|new digests|) writes plus
+a compact() that folds deltas into a base), never a per-epoch rewrite
+of the whole store; the document history is never rescanned. At 100 TB
+the store is a bucketed table keyed by digest so the per-epoch
+anti-join is a co-partitioned probe, and compact() is its table
+compaction job.
 """
 
 from __future__ import annotations
@@ -44,8 +47,19 @@ class StreamingLineDedupSink:
         self.out_dir = out_dir
         self.k = k
 
-    def _store_dir(self, epoch_id: int) -> str:
-        return os.path.join(self.out_dir, f"digests_v{epoch_id}")
+    # Store layout mirrors StreamingLshDedupSink's append-only delta
+    # chain: digests_e{N} = the digests epoch N newly KEPT (O(|delta|)
+    # write — never a full-store rewrite), base_v{B} = compacted base
+    # for epochs <= B, read = base + committed deltas. Marker order:
+    # docs log first, then the digest delta, so a committed delta
+    # implies its cleaned docs are durable (what makes compaction of
+    # committed deltas replay-safe).
+
+    def _delta_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.out_dir, f"digests_e{epoch_id}")
+
+    def _base_dir(self, version: int) -> str:
+        return os.path.join(self.out_dir, f"base_v{version}")
 
     def _docs_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"docs_e{epoch_id}")
@@ -57,39 +71,75 @@ class StreamingLineDedupSink:
         with open(os.path.join(path, "_COMMITTED"), "w") as fh:
             fh.write("ok\n")
 
-    def _versions(self, prefix: str) -> list[int]:
+    def _committed_ids(self, prefix: str) -> list[int]:
         if not os.path.isdir(self.out_dir):
             return []
         return sorted(
             int(n[len(prefix):])
             for n in os.listdir(self.out_dir)
             if n.startswith(prefix)
+            and n[len(prefix):].isdigit()
             and self._committed(os.path.join(self.out_dir, n))
         )
 
-    def compact(self, retain_last: int = 1) -> list[int]:
-        """Retire superseded digest-store snapshots (each version fully
-        contains every prior one); cleaned-doc logs are never touched.
-        Same contract as StreamingLshDedupSink.compact."""
-        versions = self._versions("digests_v")
-        keep = versions[-max(1, retain_last):]
-        dropped = []
-        for v in versions:
-            if v not in keep:
-                shutil.rmtree(self._store_dir(v), ignore_errors=True)
-                dropped.append(v)
-        return dropped
+    def _base_epoch(self) -> int | None:
+        bases = self._committed_ids("base_v")
+        return bases[-1] if bases else None
+
+    def committed_delta_epochs(self) -> list[int]:
+        base = self._base_epoch()
+        return [
+            v
+            for v in self._committed_ids("digests_e")
+            if base is None or v > base
+        ]
+
+    def _store_paths(self, before_epoch: int | None = None) -> list[str]:
+        base = self._base_epoch()
+        paths = []
+        if base is not None:
+            if before_epoch is not None and base >= before_epoch:
+                raise ValueError(
+                    f"digest store as of epoch {before_epoch} is not "
+                    f"reconstructible: base_v{base} already folded it in"
+                )
+            paths.append(self._base_dir(base))
+        paths += [
+            self._delta_dir(v)
+            for v in self.committed_delta_epochs()
+            if before_epoch is None or v < before_epoch
+        ]
+        return paths
+
+    def compact(self) -> list[int]:
+        """Fold every committed digest delta into a new base; cleaned-
+        doc logs untouched. Same crash-safety argument as
+        StreamingLshDedupSink.compact."""
+        old_base = self._base_epoch()
+        deltas = self.committed_delta_epochs()
+        if not deltas:
+            return []
+        target = max(deltas)
+        self.current_store().write.mode("overwrite").parquet(
+            self._base_dir(target)
+        )
+        self._mark(self._base_dir(target))
+        for v in deltas:
+            shutil.rmtree(self._delta_dir(v), ignore_errors=True)
+        if old_base is not None:
+            shutil.rmtree(self._base_dir(old_base), ignore_errors=True)
+        return deltas
 
     def current_store(self) -> DataFrame | None:
-        versions = self._versions("digests_v")
-        if not versions:
+        paths = self._store_paths()
+        if not paths:
             return None
-        return self.spark.read.parquet(self._store_dir(versions[-1]))
+        return self.spark.read.parquet(*paths)
 
     def clean_docs(self) -> DataFrame | None:
         """Union of every committed per-epoch cleaned-document log —
         the streamed equivalent of the batch dedup_lines result."""
-        epochs = self._versions("docs_e")
+        epochs = self._committed_ids("docs_e")
         if not epochs:
             return None
         return self.spark.read.parquet(
@@ -98,14 +148,16 @@ class StreamingLineDedupSink:
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         docs_dir = self._docs_dir(epoch_id)
-        store_dir = self._store_dir(epoch_id)
-        if self._committed(docs_dir) and self._committed(store_dir):
+        delta_dir = self._delta_dir(epoch_id)
+        base = self._base_epoch()
+        delta_done = self._committed(delta_dir) or (
+            base is not None and base >= epoch_id
+        )
+        if self._committed(docs_dir) and delta_done:
             return  # replayed epoch
-        prior = [v for v in self._versions("digests_v") if v < epoch_id]
+        store_paths = self._store_paths(before_epoch=epoch_id)
         store = (
-            self.spark.read.parquet(self._store_dir(prior[-1]))
-            if prior
-            else None
+            self.spark.read.parquet(*store_paths) if store_paths else None
         )
         # Chunk ONCE per epoch; both consumers (the cleaned-doc log and
         # the store append) read the staged materialization, the same
@@ -158,18 +210,13 @@ class StreamingLineDedupSink:
             )
             cleaned.write.mode("overwrite").parquet(docs_dir)
             self._mark(docs_dir)
-        later = [v for v in self._versions("digests_v") if v > epoch_id]
-        if not self._committed(store_dir) and not later:
-            # see StreamingLshDedupSink: a later snapshot already holds
-            # this epoch's digests — never rebuild a compacted version
-            new_digests = flagged.filter("keep").select("h").distinct()
-            new_store = (
-                store.unionByName(new_digests)
-                if store is not None
-                else new_digests
-            )
-            new_store.write.mode("overwrite").parquet(store_dir)
-            self._mark(store_dir)
+        if not delta_done:
+            # DELTA write: only this epoch's newly-kept digests —
+            # O(|delta|), never a rewrite of the whole digest store
+            flagged.filter("keep").select("h").distinct().write.mode(
+                "overwrite"
+            ).parquet(delta_dir)
+            self._mark(delta_dir)
         if os.path.isdir(staged):
             shutil.rmtree(staged, ignore_errors=True)
 

@@ -239,37 +239,44 @@ def test_streamed_line_dedup_replay_is_noop(spark, tmp_path):
     assert sorted(tuple(r) for r in sink.clean_docs().collect()) == before
 
 
-def test_compaction_retires_superseded_snapshots_safely(spark, tmp_path):
-    """compact() keeps the newest store snapshot(s), never touches the
-    pair/doc logs, and a replay of a compacted-away epoch neither
-    re-emits pairs nor resurrects a bogus partial snapshot."""
+def test_compaction_folds_deltas_and_replays_stay_noop(spark, tmp_path):
+    """The store is an append-only DELTA chain (per-epoch O(|delta|)
+    writes — never a full-store rewrite): compact() folds committed
+    deltas into a base, never touches the pair logs; a replay of a
+    compacted-away epoch neither re-emits pairs nor resurrects its
+    delta; new epochs build on the base."""
     docs = _corpus(spark, n=90)
     out = str(tmp_path / "state")
     sink = StreamingLshDedupSink(spark, out)
     splits = [docs[:30], docs[30:60], docs[60:]]
     for e, batch in enumerate(splits):
         sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    # each epoch wrote only its own bands: delta rows ≈ store/3, the
+    # no-quadratic-rewrite property
+    d0 = spark.read.parquet(sink._delta_dir(0)).count()
+    total = sink.current_bands().count()
+    assert d0 < total
     pairs_before = sorted(tuple(r) for r in sink.pairs().collect())
     store_before = sorted(
         tuple(r) for r in sink.current_bands().collect()
     )
-    dropped = sink.compact(retain_last=1)
-    assert dropped == [0, 1]
-    assert sink.committed_band_versions() == [2]
-    # replay epoch 0 (its snapshot is gone): pairs skip via marker,
-    # store write skips via the later-snapshot guard
+    assert sink.compact() == [0, 1, 2]
+    assert sink.committed_band_versions() == []  # all folded
+    assert sink._base_epoch() == 2
+    # replay epoch 0 (its delta folded into the base): full no-op
     sink(spark.createDataFrame(splits[0], DOC_SCHEMA), 0)
-    assert sink.committed_band_versions() == [2]
+    assert sink._base_epoch() == 2
     assert sorted(tuple(r) for r in sink.pairs().collect()) == pairs_before
     assert (
         sorted(tuple(r) for r in sink.current_bands().collect())
         == store_before
     )
-    # new epoch after compaction builds on the surviving snapshot
+    # new epoch after compaction builds on the base
     extra = [(99990, docs[0][1]), (99991, docs[1][1])]  # dups of stored docs
     sink(spark.createDataFrame(extra, DOC_SCHEMA), 3)
     got = {(r.doc_a, r.doc_b) for r in sink.pairs().collect()}
     assert (docs[0][0], 99990) in got  # new-vs-store pair found post-compact
+    assert sink.committed_band_versions() == [3]
 
 
 def test_line_dedup_compaction(spark, tmp_path):
@@ -288,13 +295,15 @@ def test_line_dedup_compaction(spark, tmp_path):
         sink(spark.createDataFrame(rows, DOC_SCHEMA), e)
     n_before = sink.current_store().count()
     docs_before = sorted(tuple(r) for r in sink.clean_docs().collect())
-    assert sink.compact() == [0, 1]
-    assert sink._versions("digests_v") == [2]
+    assert sink.compact() == [0, 1, 2]
+    assert sink.committed_delta_epochs() == []
+    assert sink._base_epoch() == 2
     assert sink.current_store().count() == n_before
-    # replay of compacted epoch 0: doc log skips, store not resurrected
+    # replay of compacted epoch 0: doc log skips, delta not resurrected
     rows0 = [(i, f"{boiler} unique tail line {i}") for i in range(5)]
     sink(spark.createDataFrame(rows0, DOC_SCHEMA), 0)
-    assert sink._versions("digests_v") == [2]
+    assert sink._base_epoch() == 2
+    assert sink.committed_delta_epochs() == []
     assert (
         sorted(tuple(r) for r in sink.clean_docs().collect()) == docs_before
     )
