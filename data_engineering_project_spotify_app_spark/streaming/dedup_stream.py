@@ -82,10 +82,21 @@ def delta_candidate_pairs(
     capped_new = bands_new
     capped_store = bands_store
     if bucket_cap is not None:
+        # Occupancy is counted ONLY over buckets the delta touches — a
+        # bucket without a new member generates no pairs this epoch, so
+        # counting it is wasted work, and counting the WHOLE store per
+        # epoch would be O(store)/epoch (the same quadratic-cumulative
+        # shape the delta-chain store write avoids). The semi-join keys
+        # are the delta's distinct band keys, broadcast; on a store
+        # table bucketed by band_key this probe prunes to the touched
+        # buckets.
+        new_keys = bands_new.select("band", "band_key").distinct()
         occupancy = bands_new.select("band", "band_key")
         if bands_store is not None:
             occupancy = occupancy.unionByName(
-                bands_store.select("band", "band_key")
+                bands_store.join(
+                    F.broadcast(new_keys), ["band", "band_key"], "leftsemi"
+                ).select("band", "band_key")
             )
         overfull = (
             occupancy.groupBy("band", "band_key")
