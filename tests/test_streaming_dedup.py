@@ -123,7 +123,7 @@ def test_pairs_retry_after_committed_store_is_consistent(spark, tmp_path):
     sink(b1, 1)
     want = sorted(tuple(r) for r in sink.pairs().collect())
     os.remove(os.path.join(out, "pairs_e1", "_COMMITTED"))
-    sink(b1, 1)  # retry: bands_v1 already committed, pairs rebuilt
+    sink(b1, 1)  # retry: bands_e1 delta already committed, pairs rebuilt
     got = sorted(tuple(r) for r in sink.pairs().collect())
     assert got == want
 
