@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on local Spark.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line LAST on stdout:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"q1": sec, ...}, "sf": <sf>}
+   "queries": {<top-10 slowest only>}, "n_queries": N,
+   "queries_file": "BENCH_QUERIES.json", "sf": <sf>}
+The FULL per-query map is written to BENCH_QUERIES.json next to this
+file (the one-line form outgrew the driver's stdout tail capture at
+~135 queries — BENCH_r06 recorded "parsed": null).
 
 Headline set = the queries that exercise the engine's heavy paths
 (scan-agg, multi-join, window top-k, dedup hash/LSH, vector search,

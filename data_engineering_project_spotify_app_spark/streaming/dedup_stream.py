@@ -42,6 +42,9 @@ from data_engineering_project_spotify_app_spark.operators.dedup import (
     lsh_bands_df,
     minhash_signatures_df,
 )
+from data_engineering_project_spotify_app_spark.streaming.delta_chain import (
+    DeltaChainStore,
+)
 
 DOC_SCHEMA = "doc_id long, text string"
 
@@ -145,8 +148,11 @@ def delta_candidate_pairs(
     )
 
 
-class StreamingLshDedupSink:
+class StreamingLshDedupSink(DeltaChainStore):
     """foreachBatch maintainer of the LSH band store + pairs log.
+    Store machinery (delta chain, base, compaction) lives in
+    DeltaChainStore; this class owns the per-epoch pipeline and the
+    pairs output log.
 
     ``bucket_cap``, when set, applies the streaming skew guard at every
     epoch (see delta_candidate_pairs). Streaming cap semantics are
@@ -159,6 +165,8 @@ class StreamingLshDedupSink:
     batch/streaming difference vanishes for buckets that never cross
     the cap (pinned in tests/test_streaming_dedup.py)."""
 
+    DELTA_PREFIX = "bands_e"
+
     def __init__(
         self,
         spark: SparkSession,
@@ -169,90 +177,17 @@ class StreamingLshDedupSink:
         self.out_dir = out_dir
         self.bucket_cap = bucket_cap
 
-    # ---- store layout: APPEND-ONLY DELTA CHAIN -----------------------
-    # bands_e{N}  = epoch N's bands only (the delta). The store as of
-    #               epoch E is the union of base + every committed delta
-    #               < E, so the per-epoch WRITE cost is O(|delta|) — a
-    #               full-store rewrite per epoch would be O(corpus) and
-    #               quadratic cumulative, the one shape a daily-ingest
-    #               store must never have.
-    # base_v{B}   = compacted base holding every band of epochs <= B.
-    #               compact() folds deltas into a new base so the union
-    #               read stays a bounded file count; at 100 TB this is
-    #               the transactional table's compaction job.
-    # Marker order inside an epoch: pairs FIRST, then the delta — so a
-    # committed delta implies its pairs are durable, which is what makes
-    # compaction (which consumes committed deltas) replay-safe.
-
-    def _delta_dir(self, epoch_id: int) -> str:
-        return os.path.join(self.out_dir, f"bands_e{epoch_id}")
-
-    def _base_dir(self, version: int) -> str:
-        return os.path.join(self.out_dir, f"base_v{version}")
-
     def _pairs_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"pairs_e{epoch_id}")
 
-    def _committed(self, path: str) -> bool:
-        return os.path.exists(os.path.join(path, "_COMMITTED"))
-
-    def _mark(self, path: str) -> None:
-        with open(os.path.join(path, "_COMMITTED"), "w") as fh:
-            fh.write("ok\n")
-
-    def _committed_ids(self, prefix: str) -> list[int]:
-        if not os.path.isdir(self.out_dir):
-            return []
-        return sorted(
-            int(n[len(prefix):])
-            for n in os.listdir(self.out_dir)
-            if n.startswith(prefix)
-            and n[len(prefix):].isdigit()
-            and self._committed(os.path.join(self.out_dir, n))
-        )
-
     def committed_band_versions(self) -> list[int]:
-        """Committed delta epochs (excludes deltas already folded into
-        the base — they are superseded, and ignored even if a crashed
-        compaction left their directories behind)."""
-        base = self._base_epoch()
-        return [
-            v
-            for v in self._committed_ids("bands_e")
-            if base is None or v > base
-        ]
-
-    def _base_epoch(self) -> int | None:
-        bases = self._committed_ids("base_v")
-        return bases[-1] if bases else None
+        return self.committed_delta_epochs()
 
     def committed_pair_epochs(self) -> list[int]:
         return self._committed_ids("pairs_e")
 
-    def _store_paths(self, before_epoch: int | None = None) -> list[str]:
-        base = self._base_epoch()
-        paths = []
-        if base is not None:
-            if before_epoch is not None and base >= before_epoch:
-                raise ValueError(
-                    f"store as of epoch {before_epoch} is not "
-                    f"reconstructible: base_v{base} already folded it in "
-                    "(pair-retry of a compacted epoch — compact only "
-                    "epochs whose pair logs are durable)"
-                )
-            paths.append(self._base_dir(base))
-        paths += [
-            self._delta_dir(v)
-            for v in self.committed_band_versions()
-            if before_epoch is None or v < before_epoch
-        ]
-        return paths
-
     def current_bands(self) -> DataFrame | None:
-        paths = self._store_paths()
-        if not paths:
-            return None
-        return self.spark.read.parquet(*paths)
+        return self.read_store()
 
     def pairs(self) -> DataFrame | None:
         """Union of every committed per-epoch pairs log — the streamed
@@ -264,30 +199,9 @@ class StreamingLshDedupSink:
             *[self._pairs_dir(e) for e in epochs]
         )
 
-    def compact(self) -> list[int]:
-        """Fold every committed delta into a new base snapshot — the
-        streaming-store twin of the staging TTL / compaction ladder
-        (sources/ingest.py). Pair logs are never touched (they are the
-        output facts). Crash-safe: the new base commits before any
-        source directory is deleted, and readers ignore deltas <= the
-        base epoch, so a half-swept compaction leaves only harmless
-        garbage for the next sweep. Returns the folded delta epochs."""
-        import shutil
-
-        old_base = self._base_epoch()
-        deltas = self.committed_band_versions()
-        if not deltas:
-            return []
-        target = max(deltas)
-        merged = self.current_bands()
-        merged.write.mode("overwrite").parquet(self._base_dir(target))
-        self._mark(self._base_dir(target))
-        for v in deltas:
-            shutil.rmtree(self._delta_dir(v), ignore_errors=True)
-        if old_base is not None:
-            shutil.rmtree(self._base_dir(old_base), ignore_errors=True)
-        return deltas
-
+    # Marker order inside an epoch: pairs FIRST, then the band delta —
+    # so a committed delta implies its pairs are durable, which is what
+    # makes compacting committed deltas replay-safe.
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         pairs_dir = self._pairs_dir(epoch_id)
         delta_dir = self._delta_dir(epoch_id)
@@ -327,14 +241,26 @@ def maintain_lsh_store(
     out_dir: str,
     name: str,
     bucket_cap: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
     """Attach the streaming dedup maintainer to a document stream;
     returns (query, sink) so callers read ``sink.pairs()`` /
-    ``sink.current_bands()``."""
+    ``sink.current_bands()``.
+
+    A checkpointLocation is ALWAYS set (default: ``out_dir/_checkpoint``)
+    — the commit-marker contract needs durable, monotone epoch ids. A
+    checkpoint-less restart re-lists the source with epoch ids reset to
+    0, landing NEW files on epoch ids whose markers already exist from
+    the prior run: __call__ would skip them as replays — silent data
+    loss, not replay safety (pinned by the restart test)."""
     sink = StreamingLshDedupSink(spark, out_dir, bucket_cap=bucket_cap)
     q = (
         stream_df.writeStream.outputMode("append")
         .queryName(name)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+        )
         .foreachBatch(sink)
         .start()
     )

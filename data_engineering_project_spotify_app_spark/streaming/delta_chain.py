@@ -1,0 +1,144 @@
+"""Append-only delta-chain store machinery shared by the streaming
+dedup sinks (dedup_stream.py, linedup_stream.py).
+
+Layout inside ``out_dir``:
+
+- ``{DELTA_PREFIX}{N}``: epoch N's store delta — the only store write
+  an epoch performs, O(|delta|). A full-store rewrite per epoch would
+  be O(corpus)/epoch and quadratic cumulative, the shape an O(corpus)
+  store must never have (contrast rollup.py, whose state is O(#groups)
+  and cheap to rewrite).
+- ``{BASE_PREFIX}{B}``: compacted base holding every delta of epochs
+  <= B. compact() folds committed deltas into a new base so the union
+  read stays a bounded file count — the job a transactional table's
+  compaction runs at 100 TB.
+- ``_COMMITTED`` marker files gate visibility: readers see only marked
+  directories, and ignore deltas <= the base epoch even if a crashed
+  compaction sweep left them behind.
+
+Epoch ids must be durable and monotone for the marker contract to give
+exactly-once — which is why the ``maintain_*`` helpers always set a
+``checkpointLocation``: without one, a restarted query re-lists the
+source and restarts epoch ids at 0, landing new data on epoch ids
+whose markers already exist — silent data loss, not replay safety.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+
+class DeltaChainStore:
+    """Mixin: subclasses set ``DELTA_PREFIX``/``BASE_PREFIX`` and
+    provide ``self.spark`` and ``self.out_dir``."""
+
+    DELTA_PREFIX = "delta_e"
+    BASE_PREFIX = "base_v"
+
+    def _delta_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.out_dir, f"{self.DELTA_PREFIX}{epoch_id}")
+
+    def _base_dir(self, version: int) -> str:
+        return os.path.join(self.out_dir, f"{self.BASE_PREFIX}{version}")
+
+    def _committed(self, path: str) -> bool:
+        return os.path.exists(os.path.join(path, "_COMMITTED"))
+
+    def _mark(self, path: str) -> None:
+        with open(os.path.join(path, "_COMMITTED"), "w") as fh:
+            fh.write("ok\n")
+
+    def _committed_ids(self, prefix: str) -> list[int]:
+        if not os.path.isdir(self.out_dir):
+            return []
+        return sorted(
+            int(n[len(prefix):])
+            for n in os.listdir(self.out_dir)
+            if n.startswith(prefix)
+            and n[len(prefix):].isdigit()
+            and self._committed(os.path.join(self.out_dir, n))
+        )
+
+    def _all_ids(self, prefix: str) -> list[int]:
+        """Like _committed_ids but including UNMARKED directories —
+        compaction's sweep uses this to reclaim crash garbage."""
+        if not os.path.isdir(self.out_dir):
+            return []
+        return sorted(
+            int(n[len(prefix):])
+            for n in os.listdir(self.out_dir)
+            if n.startswith(prefix) and n[len(prefix):].isdigit()
+        )
+
+    def _base_epoch(self) -> int | None:
+        bases = self._committed_ids(self.BASE_PREFIX)
+        return bases[-1] if bases else None
+
+    def committed_delta_epochs(self) -> list[int]:
+        """Committed delta epochs not yet folded into the base
+        (superseded deltas are ignored even if a crashed compaction
+        sweep left their directories behind)."""
+        base = self._base_epoch()
+        return [
+            v
+            for v in self._committed_ids(self.DELTA_PREFIX)
+            if base is None or v > base
+        ]
+
+    def _store_paths(self, before_epoch: int | None = None) -> list[str]:
+        base = self._base_epoch()
+        paths = []
+        if base is not None:
+            if before_epoch is not None and base >= before_epoch:
+                raise ValueError(
+                    f"store as of epoch {before_epoch} is not "
+                    f"reconstructible: {self.BASE_PREFIX}{base} already "
+                    "folded it in (retry of a compacted epoch — compact "
+                    "only epochs whose output logs are durable)"
+                )
+            paths.append(self._base_dir(base))
+        paths += [
+            self._delta_dir(v)
+            for v in self.committed_delta_epochs()
+            if before_epoch is None or v < before_epoch
+        ]
+        return paths
+
+    def read_store(self, before_epoch: int | None = None) -> DataFrame | None:
+        """The store as of ``before_epoch`` (exclusive), or the full
+        current store: base + committed deltas, union-read."""
+        paths = self._store_paths(before_epoch)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def compact(self) -> list[int]:
+        """Fold every committed delta into a new base; the sinks'
+        output logs (pairs/docs) are never touched. Crash-safe AND
+        leak-free: the new base commits before anything is deleted, and
+        the sweep removes every delta directory (marked or not) <= the
+        new base plus every older base — so garbage from a previously
+        crashed sweep is reclaimed by the next compact. An unmarked
+        delta <= the base can only be crash debris: with a checkpointed
+        query, epoch N+1 never starts before epoch N's delta committed.
+        Returns the folded delta epochs."""
+        deltas = self.committed_delta_epochs()
+        if not deltas:
+            return []
+        target = max(deltas)
+        self.read_store().write.mode("overwrite").parquet(
+            self._base_dir(target)
+        )
+        self._mark(self._base_dir(target))
+        for v in self._all_ids(self.DELTA_PREFIX):
+            if v <= target:
+                shutil.rmtree(self._delta_dir(v), ignore_errors=True)
+        for b in self._all_ids(self.BASE_PREFIX):
+            # every other base — marked ones are superseded, unmarked
+            # ones are debris from a crashed base write
+            if b != target:
+                shutil.rmtree(self._base_dir(b), ignore_errors=True)
+        return deltas

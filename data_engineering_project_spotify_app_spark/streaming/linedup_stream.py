@@ -34,11 +34,19 @@ from data_engineering_project_spotify_app_spark.operators.linedup import (
     LINE_TOKENS,
     _chunk_lines,
 )
+from data_engineering_project_spotify_app_spark.streaming.delta_chain import (
+    DeltaChainStore,
+)
 
 
-class StreamingLineDedupSink:
+class StreamingLineDedupSink(DeltaChainStore):
     """foreachBatch maintainer: per-epoch cleaned-document logs + a
-    kept-line digest store as a committed snapshot chain."""
+    kept-line digest store as an append-only delta chain (see
+    DeltaChainStore). Marker order: docs log first, then the digest
+    delta, so a committed delta implies its cleaned docs are durable
+    (what makes compacting committed deltas replay-safe)."""
+
+    DELTA_PREFIX = "digests_e"
 
     def __init__(
         self, spark: SparkSession, out_dir: str, k: int = LINE_TOKENS
@@ -47,94 +55,11 @@ class StreamingLineDedupSink:
         self.out_dir = out_dir
         self.k = k
 
-    # Store layout mirrors StreamingLshDedupSink's append-only delta
-    # chain: digests_e{N} = the digests epoch N newly KEPT (O(|delta|)
-    # write — never a full-store rewrite), base_v{B} = compacted base
-    # for epochs <= B, read = base + committed deltas. Marker order:
-    # docs log first, then the digest delta, so a committed delta
-    # implies its cleaned docs are durable (what makes compaction of
-    # committed deltas replay-safe).
-
-    def _delta_dir(self, epoch_id: int) -> str:
-        return os.path.join(self.out_dir, f"digests_e{epoch_id}")
-
-    def _base_dir(self, version: int) -> str:
-        return os.path.join(self.out_dir, f"base_v{version}")
-
     def _docs_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"docs_e{epoch_id}")
 
-    def _committed(self, path: str) -> bool:
-        return os.path.exists(os.path.join(path, "_COMMITTED"))
-
-    def _mark(self, path: str) -> None:
-        with open(os.path.join(path, "_COMMITTED"), "w") as fh:
-            fh.write("ok\n")
-
-    def _committed_ids(self, prefix: str) -> list[int]:
-        if not os.path.isdir(self.out_dir):
-            return []
-        return sorted(
-            int(n[len(prefix):])
-            for n in os.listdir(self.out_dir)
-            if n.startswith(prefix)
-            and n[len(prefix):].isdigit()
-            and self._committed(os.path.join(self.out_dir, n))
-        )
-
-    def _base_epoch(self) -> int | None:
-        bases = self._committed_ids("base_v")
-        return bases[-1] if bases else None
-
-    def committed_delta_epochs(self) -> list[int]:
-        base = self._base_epoch()
-        return [
-            v
-            for v in self._committed_ids("digests_e")
-            if base is None or v > base
-        ]
-
-    def _store_paths(self, before_epoch: int | None = None) -> list[str]:
-        base = self._base_epoch()
-        paths = []
-        if base is not None:
-            if before_epoch is not None and base >= before_epoch:
-                raise ValueError(
-                    f"digest store as of epoch {before_epoch} is not "
-                    f"reconstructible: base_v{base} already folded it in"
-                )
-            paths.append(self._base_dir(base))
-        paths += [
-            self._delta_dir(v)
-            for v in self.committed_delta_epochs()
-            if before_epoch is None or v < before_epoch
-        ]
-        return paths
-
-    def compact(self) -> list[int]:
-        """Fold every committed digest delta into a new base; cleaned-
-        doc logs untouched. Same crash-safety argument as
-        StreamingLshDedupSink.compact."""
-        old_base = self._base_epoch()
-        deltas = self.committed_delta_epochs()
-        if not deltas:
-            return []
-        target = max(deltas)
-        self.current_store().write.mode("overwrite").parquet(
-            self._base_dir(target)
-        )
-        self._mark(self._base_dir(target))
-        for v in deltas:
-            shutil.rmtree(self._delta_dir(v), ignore_errors=True)
-        if old_base is not None:
-            shutil.rmtree(self._base_dir(old_base), ignore_errors=True)
-        return deltas
-
     def current_store(self) -> DataFrame | None:
-        paths = self._store_paths()
-        if not paths:
-            return None
-        return self.spark.read.parquet(*paths)
+        return self.read_store()
 
     def clean_docs(self) -> DataFrame | None:
         """Union of every committed per-epoch cleaned-document log —
@@ -227,13 +152,23 @@ def maintain_line_dedup(
     out_dir: str,
     name: str,
     k: int = LINE_TOKENS,
+    checkpoint_dir: str | None = None,
 ):
     """Attach the streaming line-dedup maintainer to a document stream;
-    returns (query, sink) so callers read ``sink.clean_docs()``."""
+    returns (query, sink) so callers read ``sink.clean_docs()``.
+
+    checkpointLocation is always set (default ``out_dir/_checkpoint``)
+    — see maintain_lsh_store: without durable monotone epoch ids a
+    restarted query lands new files on already-marked epochs and
+    silently drops them."""
     sink = StreamingLineDedupSink(spark, out_dir, k=k)
     q = (
         stream_df.writeStream.outputMode("append")
         .queryName(name)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+        )
         .foreachBatch(sink)
         .start()
     )

@@ -75,14 +75,28 @@ class IncrementalRollupSink:
 
 
 def maintain_rollup(
-    spark: SparkSession, stream_df: DataFrame, out_dir: str, name: str
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    name: str,
+    checkpoint_dir: str | None = None,
 ):
     """Attach the rollup maintainer to an event stream; returns
-    (query, sink) so callers can read ``sink.current()``."""
+    (query, sink) so callers can read ``sink.current()``.
+
+    checkpointLocation is always set (default ``out_dir/_checkpoint``):
+    the epoch-keyed snapshot chain needs durable monotone epoch ids — a
+    checkpoint-less restart re-lists the source with epoch ids reset to
+    0, so new files land on epochs whose snapshots already exist and
+    are skipped as replays (silent data loss)."""
     sink = IncrementalRollupSink(spark, out_dir)
     q = (
         stream_df.writeStream.outputMode("append")
         .queryName(name)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+        )
         .foreachBatch(sink)
         .start()
     )

@@ -116,7 +116,7 @@ def test_pairs_retry_after_committed_store_is_consistent(spark, tmp_path):
     sink = StreamingLshDedupSink(spark, out)
     b0 = spark.createDataFrame(first, DOC_SCHEMA)
     sink(b0, 0)
-    want = sorted(tuple(r) for r in sink.pairs().collect())
+    want0 = sorted(tuple(r) for r in sink.pairs().collect())
     # simulate epoch 1 dying between the two commits: run it fully,
     # then delete the pairs marker and replay
     b1 = spark.createDataFrame(second, DOC_SCHEMA)
@@ -126,6 +126,8 @@ def test_pairs_retry_after_committed_store_is_consistent(spark, tmp_path):
     sink(b1, 1)  # retry: bands_e1 delta already committed, pairs rebuilt
     got = sorted(tuple(r) for r in sink.pairs().collect())
     assert got == want
+    # epoch 0's pairs survived the epoch-1 retry untouched
+    assert set(want0) <= set(got)
 
 
 def test_streaming_bucket_cap_drops_degenerate_band(spark, tmp_path):
@@ -315,3 +317,45 @@ def test_line_dedup_compaction(spark, tmp_path):
     )
     assert row.clean_text == "brand new tail here"
     assert row.n_dropped == 1
+
+
+def test_query_restart_continues_epochs_no_data_loss(spark, tmp_path):
+    """The review-found data-loss scenario: stop the query, drop a new
+    file, restart against the same out_dir. With the (always-set)
+    checkpointLocation the restarted query resumes epoch ids where it
+    left off and processes ONLY the new file — without it, epoch ids
+    would reset to 0 and the new file would be skipped as a 'replay' of
+    an already-marked epoch."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    docs = _corpus(spark, n=120)
+    _drop_docs(src, "b0.json", docs[:40])
+    _drop_docs(src, "b1.json", docs[40:80])
+    out = str(tmp_path / "state")
+    stream = stream_documents(spark, src, max_files_per_trigger=1)
+    q, sink = maintain_lsh_store(spark, stream, out, "dedup_restart")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs_before = set(sink.committed_pair_epochs())
+    # new file arrives while the query is DOWN; fresh query object,
+    # same out_dir + checkpoint
+    _drop_docs(src, "b2.json", docs[80:])
+    stream2 = stream_documents(spark, src, max_files_per_trigger=1)
+    q2, sink2 = maintain_lsh_store(spark, stream2, out, "dedup_restart2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    new_epochs = set(sink2.committed_pair_epochs()) - epochs_before
+    assert new_epochs, "restart processed nothing — b2 was dropped"
+    got = sorted(tuple(r) for r in sink2.pairs().collect())
+    full = spark.read.schema(DOC_SCHEMA).json(src)
+    want = sorted(
+        tuple(r)
+        for r in minhash_candidate_pairs_df(
+            minhash_signatures_df(full)
+        ).collect()
+    )
+    assert got == want
