@@ -55,12 +55,26 @@ class EpochJsonSink:
             fh.write("ok\n")
 
 
-def write_exactly_once(stream_df: DataFrame, out_dir: str, name: str):
-    """Attach the idempotent epoch sink to a stream; returns the query."""
+def write_exactly_once(
+    stream_df: DataFrame,
+    out_dir: str,
+    name: str,
+    checkpoint_dir: str | None = None,
+):
+    """Attach the idempotent epoch sink to a stream; returns the query.
+
+    checkpointLocation is always set (default ``out_dir/_checkpoint``):
+    the epoch-marker contract needs durable monotone epoch ids — a
+    checkpoint-less restart resets epoch ids to 0 and new files land on
+    already-marked epochs, getting skipped as replays."""
     sink = EpochJsonSink(out_dir)
     return (
         stream_df.writeStream.outputMode("append")
         .queryName(name)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+        )
         .foreachBatch(sink)
         .start()
     )
@@ -103,13 +117,22 @@ class PartitionedEpochParquetSink:
 
 
 def write_partitioned_exactly_once(
-    stream_df: DataFrame, out_dir: str, name: str, partition_cols: list[str]
+    stream_df: DataFrame,
+    out_dir: str,
+    name: str,
+    partition_cols: list[str],
+    checkpoint_dir: str | None = None,
 ):
-    """Attach the partitioned epoch sink; returns the streaming query."""
+    """Attach the partitioned epoch sink; returns the streaming query.
+    checkpointLocation is always set — see write_exactly_once."""
     sink = PartitionedEpochParquetSink(out_dir, partition_cols)
     return (
         stream_df.writeStream.outputMode("append")
         .queryName(name)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+        )
         .foreachBatch(sink)
         .start()
     )

@@ -527,6 +527,14 @@ def burst_detect_refit(
             z = SF.when(SF.col("sd") == 0, SF.lit(0.0)).otherwise(
                 (SF.col("n") - SF.col("mu")) / SF.col("sd")
             )
+            # Per-epoch partition subdirs written with OVERWRITE, not a
+            # blind append to the shared root: a replayed epoch (task
+            # retry, or restart re-delivering a batch) then rewrites its
+            # own deterministic slice instead of double-appending — a
+            # duplicated day-count slice would silently inflate every
+            # future baseline's mu/sd. Plain spark.read.parquet(root)
+            # still reads the stores via partition discovery (the
+            # epoch_part column is metadata and ignored by consumers).
             (
                 scored.select(
                     SF.lit(epoch_id).alias("epoch"),
@@ -536,10 +544,12 @@ def burst_detect_refit(
                     SF.round(z, 4).alias("z"),
                     (SF.round(z, 4) >= z_threshold).alias("is_burst"),
                 )
-                .write.mode("append")
-                .parquet(flags_path)
+                .write.mode("overwrite")
+                .parquet(os.path.join(flags_path, f"epoch_part={epoch_id}"))
             )
-            day_counts.write.mode("append").parquet(counts_path)
+            day_counts.write.mode("overwrite").parquet(
+                os.path.join(counts_path, f"epoch_part={epoch_id}")
+            )
         finally:
             day_counts.unpersist()
 

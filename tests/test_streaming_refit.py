@@ -95,3 +95,68 @@ def test_refit_scores_batch2_against_batch1_history(spark, tmp_path):
     assert day_sums[("click", "2024-01-01")] == 5
     assert day_sums[("click", "2024-01-04")] == 20
     assert day_sums[("scroll", "2024-01-04")] == 1
+
+
+def test_replayed_refit_epoch_does_not_double_count(spark, tmp_path):
+    """A replayed epoch must not inflate the day-count store (a
+    double-appended slice would skew every later baseline's mu/sd) nor
+    duplicate flag rows — the per-epoch overwrite-partition contract."""
+    import json
+    import time
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-0{1 + i % 3}T00:00:00.000Z",
+            "user_id": i % 5,
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i in range(30)
+    ]
+    with open(os.path.join(src, "b0.json"), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    store = str(tmp_path / "store")
+    q = (
+        burst_detect_refit(stream_events(spark, src), store)
+        .queryName("refit_replay")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(0.05)
+    finally:
+        q.stop()
+    counts_path = os.path.join(store, "daycounts")
+    before = sorted(
+        (str(r["day"]), r["event_type"], r["n"])
+        for r in spark.read.parquet(counts_path).collect()
+    )
+    n_flags_before = spark.read.parquet(
+        os.path.join(store, "flags")
+    ).count()
+    # replay epoch 0 by hand (simulates a foreachBatch retry)
+    q2 = (
+        burst_detect_refit(stream_events(spark, src), store)
+        .queryName("refit_replay2")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    after = sorted(
+        (str(r["day"]), r["event_type"], r["n"])
+        for r in spark.read.parquet(counts_path).collect()
+    )
+    assert after == before
+    assert (
+        spark.read.parquet(os.path.join(store, "flags")).count()
+        == n_flags_before
+    )
