@@ -45,6 +45,9 @@ from data_engineering_project_spotify_app_spark.operators.dedup import (
 from data_engineering_project_spotify_app_spark.streaming.delta_chain import (
     DeltaChainStore,
 )
+from data_engineering_project_spotify_app_spark.streaming.sinks import (
+    resolve_checkpoint,
+)
 
 DOC_SCHEMA = "doc_id long, text string"
 
@@ -258,8 +261,7 @@ def maintain_lsh_store(
         stream_df.writeStream.outputMode("append")
         .queryName(name)
         .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+            "checkpointLocation", resolve_checkpoint(out_dir, checkpoint_dir)
         )
         .foreachBatch(sink)
         .start()

@@ -126,13 +126,20 @@ class DeltaChainStore:
         query, epoch N+1 never starts before epoch N's delta committed.
         Returns the folded delta epochs."""
         deltas = self.committed_delta_epochs()
-        if not deltas:
-            return []
-        target = max(deltas)
-        self.read_store().write.mode("overwrite").parquet(
-            self._base_dir(target)
-        )
-        self._mark(self._base_dir(target))
+        if deltas:
+            target = max(deltas)
+            self.read_store().write.mode("overwrite").parquet(
+                self._base_dir(target)
+            )
+            self._mark(self._base_dir(target))
+        else:
+            # nothing new to fold — but still run the sweep below so
+            # debris from a previously CRASHED sweep (folded deltas and
+            # superseded bases left on disk) is reclaimed rather than
+            # leaking until new epochs happen to arrive
+            target = self._base_epoch()
+            if target is None:
+                return []
         for v in self._all_ids(self.DELTA_PREFIX):
             if v <= target:
                 shutil.rmtree(self._delta_dir(v), ignore_errors=True)

@@ -37,6 +37,9 @@ from data_engineering_project_spotify_app_spark.operators.linedup import (
 from data_engineering_project_spotify_app_spark.streaming.delta_chain import (
     DeltaChainStore,
 )
+from data_engineering_project_spotify_app_spark.streaming.sinks import (
+    resolve_checkpoint,
+)
 
 
 class StreamingLineDedupSink(DeltaChainStore):
@@ -166,8 +169,7 @@ def maintain_line_dedup(
         stream_df.writeStream.outputMode("append")
         .queryName(name)
         .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+            "checkpointLocation", resolve_checkpoint(out_dir, checkpoint_dir)
         )
         .foreachBatch(sink)
         .start()

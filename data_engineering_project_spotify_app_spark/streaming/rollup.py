@@ -22,6 +22,9 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+from data_engineering_project_spotify_app_spark.streaming.sinks import (
+    resolve_checkpoint,
+)
 from data_engineering_project_spotify_app_spark.operators.incremental import (
     _partials,
     merge_partials,
@@ -94,8 +97,7 @@ def maintain_rollup(
         stream_df.writeStream.outputMode("append")
         .queryName(name)
         .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+            "checkpointLocation", resolve_checkpoint(out_dir, checkpoint_dir)
         )
         .foreachBatch(sink)
         .start()

@@ -55,6 +55,16 @@ class EpochJsonSink:
             fh.write("ok\n")
 
 
+def resolve_checkpoint(out_dir: str, checkpoint_dir: str | None = None) -> str:
+    """Default checkpointLocation for every epoch-keyed attacher:
+    ``out_dir/_checkpoint`` unless the caller names one. Shared so the
+    fallback rule lives in ONE place — the epoch-marker contract needs
+    durable monotone epoch ids, and a checkpoint-less restart resets
+    epoch ids to 0, landing new files on already-marked epochs where
+    they are skipped as replays (silent data loss)."""
+    return checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+
+
 def write_exactly_once(
     stream_df: DataFrame,
     out_dir: str,
@@ -62,18 +72,13 @@ def write_exactly_once(
     checkpoint_dir: str | None = None,
 ):
     """Attach the idempotent epoch sink to a stream; returns the query.
-
-    checkpointLocation is always set (default ``out_dir/_checkpoint``):
-    the epoch-marker contract needs durable monotone epoch ids — a
-    checkpoint-less restart resets epoch ids to 0 and new files land on
-    already-marked epochs, getting skipped as replays."""
+    checkpointLocation is always set — see resolve_checkpoint."""
     sink = EpochJsonSink(out_dir)
     return (
         stream_df.writeStream.outputMode("append")
         .queryName(name)
         .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+            "checkpointLocation", resolve_checkpoint(out_dir, checkpoint_dir)
         )
         .foreachBatch(sink)
         .start()
@@ -124,14 +129,13 @@ def write_partitioned_exactly_once(
     checkpoint_dir: str | None = None,
 ):
     """Attach the partitioned epoch sink; returns the streaming query.
-    checkpointLocation is always set — see write_exactly_once."""
+    checkpointLocation is always set — see resolve_checkpoint."""
     sink = PartitionedEpochParquetSink(out_dir, partition_cols)
     return (
         stream_df.writeStream.outputMode("append")
         .queryName(name)
         .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(out_dir, "_checkpoint"),
+            "checkpointLocation", resolve_checkpoint(out_dir, checkpoint_dir)
         )
         .foreachBatch(sink)
         .start()

@@ -468,22 +468,33 @@ def burst_detect_refit(
          scores against partials of itself).
       2. SCORE — z-score the batch's per-(type, day) counts against that
          baseline; a type with no history flows with z = NULL ("no
-         baseline yet", not a silent drop). Flags append to
-         ``store_dir/flags`` with the epoch id.
-      3. MERGE — append the batch's (type, day, n) partials to the store.
-         The store is MERGE-ON-READ: append-only partial rows, summed at
-         read time, so a crash between 2 and 3 never corrupts it (re-fit
-         reads a prefix; the restarted batch re-appends). Periodic
+         baseline yet", not a silent drop). Flags land in
+         ``store_dir/flags/epoch_part={epoch}``.
+      3. MERGE — write the batch's (type, day, n) partials to the store
+         at ``store_dir/daycounts/epoch_part={epoch}``. The store is
+         MERGE-ON-READ (partial rows summed at read time), and each
+         epoch's slice is written with OVERWRITE into its own partition
+         subdir — a replayed/retried epoch rewrites its deterministic
+         slice instead of double-appending (a duplicated slice would
+         silently inflate every later baseline's mu/sd). Periodic
          compaction of the partials is sources.ingest.compact_entity's
          verified-swap job.
 
-    Returns the DataStreamWriter (caller starts it). Scale: each batch
-    reduces to O(types × days) tuples before anything is written; the
-    baseline frame is O(types) and broadcast into the score join.
+    Returns the DataStreamWriter with a checkpointLocation already set
+    (``store_dir/_checkpoint``; caller may override with another
+    .option before .start()) — durable monotone epoch ids are what make
+    the per-epoch overwrite slices replay-correct across restarts.
+    Scale: each batch reduces to O(types × days) tuples before anything
+    is written; the baseline frame is O(types) and broadcast into the
+    score join.
     """
     import os
 
     from pyspark.sql import functions as SF
+
+    from data_engineering_project_spotify_app_spark.streaming.sinks import (
+        resolve_checkpoint,
+    )
 
     counts_path = os.path.join(store_dir, "daycounts")
     flags_path = os.path.join(store_dir, "flags")
@@ -553,4 +564,10 @@ def burst_detect_refit(
         finally:
             day_counts.unpersist()
 
-    return events.writeStream.foreachBatch(process).outputMode("update")
+    return (
+        events.writeStream.option(
+            "checkpointLocation", resolve_checkpoint(store_dir)
+        )
+        .foreachBatch(process)
+        .outputMode("update")
+    )

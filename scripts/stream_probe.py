@@ -36,7 +36,9 @@ from data_engineering_project_spotify_app_spark.tables import (  # noqa: E402
 
 
 def main() -> None:
-    n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # head window is epochs 1-2, tail the last two: need >= 5 epochs for
+    # the windows to be disjoint and each a real 2-sample average
+    n_epochs = max(5, int(sys.argv[1]) if len(sys.argv) > 1 else 8)
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     spark = get_spark(app_name="stream_probe")
     docs = table_parallel(spark, sf_dir, "documents").select(

@@ -359,3 +359,33 @@ def test_query_restart_continues_epochs_no_data_loss(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_compact_with_no_new_deltas_sweeps_crash_debris(spark, tmp_path):
+    """A compact() that crashed after committing the base but before
+    the sweep leaves folded deltas + the old base on disk; the NEXT
+    compact() must reclaim them even when no new epochs arrived."""
+    import shutil
+
+    docs = _corpus(spark, n=60)
+    out = str(tmp_path / "state")
+    sink = StreamingLshDedupSink(spark, out)
+    for e, lo in enumerate(range(0, 60, 20)):
+        sink(spark.createDataFrame(docs[lo:lo + 20], DOC_SCHEMA), e)
+    store_before = sorted(tuple(r) for r in sink.current_bands().collect())
+    # simulate the crash: fold to base_v2 by hand, skip the sweep
+    sink.current_bands().write.mode("overwrite").parquet(
+        sink._base_dir(2)
+    )
+    sink._mark(sink._base_dir(2))
+    assert os.path.isdir(sink._delta_dir(0))  # debris present
+    # no new deltas (committed_delta_epochs filters <= base) — the
+    # sweep must still run
+    assert sink.compact() == []
+    for e in range(3):
+        assert not os.path.isdir(sink._delta_dir(e)), e
+    assert (
+        sorted(tuple(r) for r in sink.current_bands().collect())
+        == store_before
+    )
+    shutil.rmtree(out, ignore_errors=True)
