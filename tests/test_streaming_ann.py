@@ -1,0 +1,134 @@
+"""Streaming IVF index maintenance: search over the streamed index must
+equal the batch q_ann_ivf result exactly — assignment with fixed
+centroids is split-invariant — across micro-batch splits, replays, and
+compactions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.operators import registry
+from data_engineering_project_spotify_app_spark.streaming.ann_stream import (
+    VEC_SCHEMA,
+    StreamingIvfIndexSink,
+    deterministic_centroids,
+    maintain_ivf_index,
+    stream_vectors,
+)
+
+registry.load_all_modules()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _vectors(spark):
+    """(vec_id, [doubles]) rows — cast through Spark so the NDJSON
+    doubles are bit-identical to the batch operator's float→double
+    cast (json float repr round-trips exactly)."""
+    rows = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [(r.vec_id, list(r.v)) for r in rows]
+
+
+def _drop_vecs(src, name, rows):
+    with open(os.path.join(src, name), "w") as fh:
+        for vec_id, v in rows:
+            fh.write(json.dumps({"vec_id": vec_id, "embedding": v}) + "\n")
+
+
+def _batch_want(spark):
+    return sorted(
+        tuple(r)
+        for r in registry.QUERIES["q_ann_ivf"](spark, SF).collect()
+    )
+
+
+def _centroids_from(spark, vecs):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs], VEC_SCHEMA
+    ).select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.sqrt(
+            F.aggregate(
+                F.zip_with("embedding", "embedding", lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("nrm"),
+    )
+    return deterministic_centroids(df)
+
+
+def test_streamed_index_search_equals_batch(spark, tmp_path):
+    vecs = _vectors(spark)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    splits = [vecs[:100], vecs[100:350], vecs[350:]]
+    _drop_vecs(src, "b0.json", splits[0])
+    cent = _centroids_from(spark, vecs)
+    out = str(tmp_path / "index")
+    q, sink = maintain_ivf_index(
+        spark, stream_vectors(spark, src), out, "ann_stream1", cent
+    )
+    try:
+        q.processAllAvailable()
+        for i, batch in enumerate(splits[1:], start=1):
+            _drop_vecs(src, f"b{i}.json", batch)
+            time.sleep(0.1)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(sink.committed_delta_epochs()) >= 3
+    got = sorted(tuple(r) for r in sink.search().collect())
+    want = _batch_want(spark)
+    assert want, "batch q_ann_ivf returned nothing — test is vacuous"
+    assert got == want
+    # the stored assignments equal the batch assignment (spot check:
+    # every stored vector has exactly one cid)
+    idx = sink.current_index()
+    assert idx.count() == len(vecs)
+    assert idx.select("vec_id").distinct().count() == len(vecs)
+
+
+def test_replay_and_compaction_preserve_search(spark, tmp_path):
+    vecs = _vectors(spark)
+    out = str(tmp_path / "index")
+    cent = _centroids_from(spark, vecs)
+    sink = StreamingIvfIndexSink(spark, out, cent)
+    splits = [vecs[:200], vecs[200:400], vecs[400:]]
+    for e, batch in enumerate(splits):
+        sink(spark.createDataFrame(batch, VEC_SCHEMA), e)
+    want = _batch_want(spark)
+    assert sorted(tuple(r) for r in sink.search().collect()) == want
+    # replay an epoch: no-op
+    sink(spark.createDataFrame(splits[1], VEC_SCHEMA), 1)
+    assert sink.current_index().count() == len(vecs)
+    # compact, replay a folded epoch, then ingest a new vector
+    assert sink.compact() == [0, 1, 2]
+    assert sink._base_epoch() == 2
+    sink(spark.createDataFrame(splits[0], VEC_SCHEMA), 0)  # folded: no-op
+    assert sink.current_index().count() == len(vecs)
+    assert sorted(tuple(r) for r in sink.search().collect()) == want
+    # a genuinely new vector lands in the index and is searchable:
+    # duplicate QUERY vector 2 (queries are vec_id < IVF_QUERIES); the
+    # copy is assigned to 2's own nearest list, which query 2 probes at
+    # rank 1, and scores sim 1.0 — it must appear among 2's neighbors
+    new_vec = (99999, list(vecs[2][1]))
+    sink(spark.createDataFrame([new_vec], VEC_SCHEMA), 3)
+    idx = sink.current_index()
+    assert idx.count() == len(vecs) + 1
+    got = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in sink.search(topk=500).collect()
+    }
+    assert got.get((2, 99999)) == 1.0
