@@ -113,49 +113,79 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sketches.py-style checks (see tests/test_ivf.py).
     """
     n = _norm_frame(spark, sf_dir)
-    cent = (
-        n.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
+    return probed_search(n, deterministic_centroids(n))
+
+
+def deterministic_centroids(n: DataFrame) -> DataFrame:
+    """(cid, cv, cnrm): the K lowest vec_ids as the coarse quantizer —
+    exactly oracle-checkable (the cent CTE). Shared by q_ann_ivf and
+    the streaming index maintainer (streaming/ann_stream.py); swap in
+    k-means centroids for the production quantizer."""
+    return n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
     )
-    return probed_search(n, cent)
 
 
 def probed_search(
-    n: DataFrame, cent: DataFrame, nprobe: int = NPROBE
+    n: DataFrame,
+    cent: DataFrame,
+    nprobe: int = NPROBE,
+    assign: DataFrame | None = None,
+    topk: int = IVF_TOPK,
 ) -> DataFrame:
     """The IVF search DAG given a (vec_id, v, nrm) corpus and a
     (cid, cv, cnrm) centroid frame — shared by the deterministic and
     the k-means-trained variants; the query shape is identical, only
     where the centroids come from (and how many lists each query
-    probes) differs."""
+    probes) differs.
+
+    ``assign``: optional STORED (vec_id, cid) assignment frame — the
+    at-rest inverted lists maintained by the streaming index sink.
+    When given, the corpus-wide assignment ranking is skipped (it was
+    paid once at ingest) and only the Q×K query-side probe ranking
+    runs; when None, assignment is computed in-plan (the batch
+    build-and-search shape)."""
     csim = F.round(
         dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4
     )
 
-    scored = n.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "cid", csim.alias("csim")
-    )
     w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
-    probes = (
-        ranked.filter(
-            (F.col("vec_id") < IVF_QUERIES) & (F.col("rn") <= nprobe)
-        ).select(F.col("vec_id").alias("query_id"), "cid")
-    )
+    if assign is None:
+        scored = n.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cid", csim.alias("csim")
+        )
+        ranked = scored.withColumn("rn", F.row_number().over(w))
+        assign = ranked.filter(F.col("rn") == 1).select("vec_id", "cid")
+        probes = (
+            ranked.filter(
+                (F.col("vec_id") < IVF_QUERIES) & (F.col("rn") <= nprobe)
+            ).select(F.col("vec_id").alias("query_id"), "cid")
+        )
+    else:
+        probes = (
+            n.filter(F.col("vec_id") < IVF_QUERIES)
+            .select("vec_id", "v", "nrm")
+            .crossJoin(F.broadcast(cent))
+            .select("vec_id", "cid", csim.alias("csim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= nprobe)
+            .select(F.col("vec_id").alias("query_id"), "cid")
+        )
 
     # probes is Q·NPROBE rows by construction but sits behind a window
     # (no stats) — hint the broadcast or assign gets sort-merge-shuffled.
+    # No distinct on cands: a candidate has exactly ONE assigned list
+    # (rn=1 / unique stored assignment) and a query probes each list at
+    # most once, so (query_id, cand_id) rows are already unique — a
+    # distinct here would shuffle the candidate set for nothing (same
+    # argument as q_ann_ivf_partitioned's probe join).
     cands = (
         F.broadcast(probes)
         .join(assign, "cid")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("cand_id"))
-        .distinct()
     )
     qn = n.select(
         F.col("vec_id").alias("query_id"),
@@ -184,7 +214,7 @@ def probed_search(
             )
             .cast("bigint"),
         )
-        .filter(F.col("rnk") <= IVF_TOPK)
+        .filter(F.col("rnk") <= topk)
     )
 
 

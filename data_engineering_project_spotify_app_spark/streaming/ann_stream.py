@@ -29,10 +29,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from data_engineering_project_spotify_app_spark.operators.ivf import (
-    IVF_QUERIES,
     IVF_TOPK,
-    N_CENTROIDS,
     NPROBE,
+    deterministic_centroids as _det_centroids,
+    probed_search,
 )
 from data_engineering_project_spotify_app_spark.operators.similarity import dot
 from data_engineering_project_spotify_app_spark.streaming.delta_chain import (
@@ -57,19 +57,10 @@ def stream_vectors(
     )
 
 
-def deterministic_centroids(vectors: DataFrame) -> DataFrame:
-    """(cid, cv, cnrm): the K lowest vec_ids as centroids — the same
-    deterministic coarse quantizer as q_ann_ivf, so the streamed index
-    is exactly comparable to the oracle-checked batch operator.
-    Production drops in k-means centroids; the sink is agnostic."""
-    return (
-        vectors.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
+# re-export: the coarse quantizer lives with the batch operator so all
+# three consumers (q_ann_ivf, q_ann_ivf_partitioned, this sink) share
+# ONE spelling of the oracle-pinned convention
+deterministic_centroids = _det_centroids
 
 
 def _normed(batch: DataFrame) -> DataFrame:
@@ -101,7 +92,20 @@ class StreamingIvfIndexSink(DeltaChainStore):
             base is not None and base >= epoch_id
         ):
             return  # replayed epoch: delta durable (or folded)
-        n = _normed(batch_df)
+        # within-batch dedup + cross-epoch duplicate guard: a vec_id
+        # re-delivered by a backfill must not produce a second index
+        # row (duplicate rows would double-emit a neighbor and evict a
+        # true top-k hit — breaking the ==batch-q_ann_ivf contract).
+        # The guard probes the STORE for the batch's ids: the batch-id
+        # frame is tiny and broadcast into a semi-join, so on a store
+        # table bucketed by vec_id this is a pruned probe, not a scan.
+        n = _normed(batch_df).dropDuplicates(["vec_id"])
+        store = self.read_store(before_epoch=epoch_id)
+        if store is not None:
+            already = store.select("vec_id").join(
+                F.broadcast(n.select("vec_id")), "vec_id", "leftsemi"
+            )
+            n = n.join(F.broadcast(already), "vec_id", "left_anti")
         csim = F.round(
             dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4
         )
@@ -122,68 +126,24 @@ class StreamingIvfIndexSink(DeltaChainStore):
     def search(
         self, nprobe: int = NPROBE, topk: int = IVF_TOPK
     ) -> DataFrame | None:
-        """Probed top-k over the streamed index using STORED
-        assignments (the inverted lists are at rest — contrast
-        operators/ivf.probed_search, which assigns in-plan because the
-        batch operator builds and searches in one DAG). Queries are the
-        q_ann_ivf convention: vec_id < IVF_QUERIES. Output schema
-        matches q_ann_ivf exactly: (query_id, neighbor_id, sim, rnk)."""
+        """Probed top-k over the streamed index using the STORED
+        assignments: the SAME oracle-pinned search DAG as the batch
+        operator (operators/ivf.probed_search), with the corpus-wide
+        assignment stage skipped — it was paid once at ingest. Queries
+        are the q_ann_ivf convention (vec_id < IVF_QUERIES); output
+        schema matches q_ann_ivf exactly:
+        (query_id, neighbor_id, sim, rnk)."""
         index = self.current_index()
         if index is None:
             return None
-        csim = F.round(
-            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4
+        out = probed_search(
+            index.select("vec_id", "v", "nrm"),
+            self.centroids,
+            nprobe=nprobe,
+            assign=index.select("vec_id", "cid"),
         )
-        w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
-        probes = (
-            index.filter(F.col("vec_id") < IVF_QUERIES)
-            .select("vec_id", "v", "nrm")  # drop stored cid: the probe
-            # ranking needs ALL centroids per query, not the assignment
-            .crossJoin(F.broadcast(self.centroids))
-            .select("vec_id", "cid", csim.alias("csim"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= nprobe)
-            .select(F.col("vec_id").alias("query_id"), "cid")
-        )
-        cands = (
-            F.broadcast(probes)
-            .join(index.select("vec_id", "cid"), "cid")
-            .filter(F.col("vec_id") != F.col("query_id"))
-            .select("query_id", F.col("vec_id").alias("cand_id"))
-            .distinct()
-        )
-        qn = index.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("nrm").alias("qnrm"),
-        ).filter(F.col("query_id") < IVF_QUERIES)
-        xn = index.select(
-            F.col("vec_id").alias("cand_id"),
-            F.col("v").alias("xv"),
-            F.col("nrm").alias("xnrm"),
-        )
-        sim = F.round(
-            dot(F.col("qv"), F.col("xv")) / (F.col("qnrm") * F.col("xnrm")), 4
-        )
-        return (
-            cands.join(F.broadcast(qn), "query_id")
-            .join(xn, "cand_id")
-            .select(
-                "query_id",
-                F.col("cand_id").alias("neighbor_id"),
-                sim.alias("sim"),
-            )
-            .withColumn(
-                "rnk",
-                F.row_number()
-                .over(
-                    Window.partitionBy("query_id").orderBy(
-                        F.col("sim").desc(), "neighbor_id"
-                    )
-                )
-                .cast("bigint"),
-            )
-            .filter(F.col("rnk") <= topk)
+        return out if topk == IVF_TOPK else out.filter(
+            F.col("rnk") <= topk
         )
 
 

@@ -40,9 +40,12 @@ def _vectors(spark):
 
 
 def _drop_vecs(src, name, rows):
-    with open(os.path.join(src, name), "w") as fh:
+    # atomic drop (write-then-rename): see test_streaming_dedup._drop_docs
+    tmp = os.path.join(src, f".{name}.tmp")
+    with open(tmp, "w") as fh:
         for vec_id, v in rows:
             fh.write(json.dumps({"vec_id": vec_id, "embedding": v}) + "\n")
+    os.rename(tmp, os.path.join(src, name))
 
 
 def _batch_want(spark):
@@ -53,20 +56,15 @@ def _batch_want(spark):
 
 
 def _centroids_from(spark, vecs):
-    df = spark.createDataFrame(
-        [(i, v) for i, v in vecs], VEC_SCHEMA
-    ).select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        F.sqrt(
-            F.aggregate(
-                F.zip_with("embedding", "embedding", lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-        ).alias("nrm"),
+    # production path, zero duplicated math: normalize with the module's
+    # own _normed and select centroids with the shared quantizer helper
+    from data_engineering_project_spotify_app_spark.streaming.ann_stream import (
+        _normed,
     )
-    return deterministic_centroids(df)
+
+    return deterministic_centroids(
+        _normed(spark.createDataFrame(vecs, VEC_SCHEMA))
+    )
 
 
 def test_streamed_index_search_equals_batch(spark, tmp_path):
@@ -132,3 +130,24 @@ def test_replay_and_compaction_preserve_search(spark, tmp_path):
         for r in sink.search(topk=500).collect()
     }
     assert got.get((2, 99999)) == 1.0
+
+
+def test_duplicate_reingest_is_ignored(spark, tmp_path):
+    """A backfill re-delivering already-indexed vec_ids in a LATER
+    epoch must not duplicate index rows (a doubled row would emit the
+    same neighbor twice and evict a true top-k hit)."""
+    vecs = _vectors(spark)
+    out = str(tmp_path / "index")
+    cent = _centroids_from(spark, vecs)
+    sink = StreamingIvfIndexSink(spark, out, cent)
+    sink(spark.createDataFrame(vecs[:300], VEC_SCHEMA), 0)
+    # epoch 1 re-delivers 100 already-stored vectors + 200 new ones,
+    # with one vec duplicated WITHIN the batch too
+    batch1 = vecs[200:500] + [vecs[250]]
+    sink(spark.createDataFrame(batch1, VEC_SCHEMA), 1)
+    idx = sink.current_index()
+    assert idx.count() == len(vecs)
+    assert idx.select("vec_id").distinct().count() == len(vecs)
+    assert sorted(tuple(r) for r in sink.search().collect()) == _batch_want(
+        spark
+    )

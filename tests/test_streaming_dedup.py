@@ -22,9 +22,14 @@ from data_engineering_project_spotify_app_spark.streaming.dedup_stream import (
 
 
 def _drop_docs(src, name, rows):
-    with open(os.path.join(src, name), "w") as fh:
+    # write-then-rename: the file source can trigger while we write, and
+    # a half-written file it lists is marked processed by name — the
+    # unflushed tail would be lost. rename() makes the drop atomic.
+    tmp = os.path.join(src, f".{name}.tmp")
+    with open(tmp, "w") as fh:
         for doc_id, text in rows:
             fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    os.rename(tmp, os.path.join(src, name))
 
 
 def _corpus(spark, n=180):
