@@ -86,36 +86,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     across the full registry; within each group, registration order.
     """
     seen = _checked_in_prior_rounds()
-    # round-7 plan (VERDICT.md r06 item 1): 53 registered names have no
-    # CORRECTNESS row — the round-6 continuation waves outran the 50-per-
-    # round driver window. Drain the debt: every unseen name sorts first,
-    # with the numerically-touchiest ones (stat-test / covariance / Gini
-    # machinery, named by the judge) at the very front, and the LOWEST-
-    # risk unseen names demoted to the back of the unseen group so the
-    # ≤5 that structurally miss the 50-window are simple deterministic
-    # aggregations (the DAU/stickiness family) plus this round's two new
-    # registrations (which are already locally oracle-parity-tested and
-    # will drain in r08, when the unseen group fits the window again).
-    priority = [
-        "q_ab_cuped", "q_power_analysis", "q_srm_check",
-        "q_lead_lag", "q_lorenz_curve", "q_embedding_covariance",
-    ]
-    demote = [
-        "q_active_users", "q_rolling_dau", "q_stickiness",
-        "q_remove_overlaps_short", "q_intra_doc_dedup",
-    ]
     reg_pos = {n: i for i, n in enumerate(registry.QUERIES)}
-    pri_pos = {n: i for i, n in enumerate(priority)}
-    dem_pos = {n: i for i, n in enumerate(demote)}
 
     def key(n: str) -> tuple:
-        if n in pri_pos:
-            group = 0
-        elif n not in seen:
-            group = 2 if n in dem_pos else 1
-        else:
-            group = 3
-        return (group, pri_pos.get(n, 0), dem_pos.get(n, 0), reg_pos[n])
+        return (n in seen, reg_pos[n])
 
     return {n: registry.QUERIES[n] for n in sorted(registry.QUERIES, key=key)}
 

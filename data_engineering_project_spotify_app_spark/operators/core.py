@@ -94,12 +94,19 @@ def q_page_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The reference pages the albums endpoint with offset/limit; the
     observable semantics are a stable slice of a totally ordered set.
+
+    rank(), not row_number(): o_orderkey is unique so the order is total
+    and the two are identical — but only rank()/dense_rank() get the
+    WindowGroupLimit map-side prune on this Spark build; row_number()
+    would funnel all of ``orders`` through an Exchange SinglePartition.
+    (q_keyset_page below is still the preferred 100 TB form — no global
+    rank at all.)
     """
     o = table(spark, sf_dir, "orders")
     w = Window.orderBy("o_orderkey")
     return (
         o.select("o_orderkey", "o_custkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn("rn", F.rank().over(w).cast("bigint"))
         .filter(F.col("rn").between(51, 100))
         .select(
             "o_orderkey",

@@ -25,14 +25,26 @@ from data_engineering_project_spotify_app_spark.tables import table
 
 EMB_DIM = 64
 
+# Quantization scale for the covariance moments. Float64 partial sums of
+# float32 products round in a partition-order-dependent way (48 significand
+# bits per product; addition order varies with the physical plan), which
+# flipped round(cov, 6) boundary cells between local[8] and local[32] runs.
+# Quantizing each input ONCE to int64 (floor(x*2^17 + 0.5)) makes every
+# moment an exact int64 sum — order-independent at any partition count —
+# and both engines then divide the identical integers into the identical
+# doubles. 2^17 keeps Σxq·yq < 2^63 out to ~10^8 vectors at |x| ≤ 1.
+COV_SCALE = 1 << 17
+
 
 def covariance_partials(e: DataFrame, dim: int = EMB_DIM) -> DataFrame:
     """Per-partition moment partials: (i, j, n, sx, sy, sxy), i <= j.
 
     ``e`` must have an ``embedding: array<float|double>`` column. One
     mapInPandas pass; each Arrow batch contributes d(d+1)/2 rows built
-    from a single float64 GEMM (X^T·X) plus a column sum — no per-pair
-    Python loop over rows, no shuffle of the vectors.
+    from a single int64 GEMM (Xq^T·Xq over floor(x*2^17 + 0.5)-quantized
+    inputs) plus a column sum — no per-pair Python loop over rows, no
+    shuffle of the vectors. All partials are exact integers, so the
+    downstream sum is bit-identical at any partition count.
     """
     import numpy as np
     import pandas as pd
@@ -44,8 +56,11 @@ def covariance_partials(e: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             if len(pdf) == 0:
                 continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            xtx = x.T @ x  # d × d
-            s = x.sum(axis=0)  # d
+            # floor(x*S + 0.5), not rint: rint is half-to-even while the
+            # oracle's SQL floor(x*S + 0.5) is half-up — must match exactly.
+            xq = np.floor(x * COV_SCALE + 0.5).astype(np.int64)
+            xtx = xq.T @ xq  # d × d, exact int64
+            s = xq.sum(axis=0)  # d, exact int64
             yield pd.DataFrame(
                 {
                     "i": (iu + 1).astype(np.int32),
@@ -58,19 +73,66 @@ def covariance_partials(e: DataFrame, dim: int = EMB_DIM) -> DataFrame:
             )
 
     return e.select("embedding").mapInPandas(
-        gen, "i int, j int, n long, sx double, sy double, sxy double"
+        gen, "i int, j int, n long, sx long, sy long, sxy long"
     )
 
 
+def corpus_mean(e: DataFrame, dim: int = EMB_DIM):
+    """Driver-collected per-dim corpus mean as a d-sized float64 ndarray.
+
+    Unquantized float64 column sums (one mapInPandas pass, d rows per
+    partition) — the centroid consumers (pca_project, outlier scoring)
+    round to 4 decimals, where float64 sum-order noise (~1e-13) cannot
+    flip a boundary, so they keep the exact mean rather than the
+    covariance path's int64-quantized one.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "i": np.arange(1, dim + 1, dtype=np.int32),
+                    "n": np.full(dim, len(pdf), dtype=np.int64),
+                    "sx": x.sum(axis=0),
+                }
+            )
+
+    parts = e.select("embedding").mapInPandas(gen, "i int, n long, sx double")
+    rows = (
+        parts.groupBy("i")
+        .agg((F.sum("sx") / F.sum("n")).alias("mu"))
+        .collect()
+    )
+    mu = np.zeros(dim)
+    for r in rows:
+        mu[r["i"] - 1] = r["mu"]
+    return mu
+
+
+# The oracle quantizes identically (floor(x*S + 0.5) as BIGINT); DuckDB sums
+# BIGINT exactly (HUGEINT accumulator) and its `/` is true division to
+# DOUBLE, same as Spark's — identical integers in, identical doubles out.
 _COV_ORACLE = f"""
     WITH pos AS (
       SELECT CAST(unnest(generate_series(1, {EMB_DIM})) AS INT) AS i
+    ),
+    q AS (
+      SELECT p1.i AS i, p2.i AS j,
+             CAST(floor(CAST(e.embedding[p1.i] AS DOUBLE) * {COV_SCALE}.0 + 0.5) AS BIGINT) AS xq,
+             CAST(floor(CAST(e.embedding[p2.i] AS DOUBLE) * {COV_SCALE}.0 + 0.5) AS BIGINT) AS yq
+      FROM embeddings e, pos p1, pos p2
+      WHERE p1.i <= p2.i
     )
-    SELECT p1.i AS i, p2.i AS j,
-           round(covar_pop(CAST(e.embedding[p1.i] AS DOUBLE),
-                           CAST(e.embedding[p2.i] AS DOUBLE)), 6) AS cov
-    FROM embeddings e, pos p1, pos p2
-    WHERE p1.i <= p2.i
+    SELECT i, j,
+           round((SUM(xq * yq) / COUNT(*)
+                  - (SUM(xq) / COUNT(*)) * (SUM(yq) / COUNT(*)))
+                 / ({COV_SCALE}.0 * {COV_SCALE}.0), 6) AS cov
+    FROM q
     GROUP BY 1, 2
     """
 
@@ -78,9 +140,12 @@ _COV_ORACLE = f"""
 @query("q_embedding_covariance", oracle=_COV_ORACLE)
 def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population covariance matrix of the embedding corpus (upper
-    triangle, 1-based dims): cov(i,j) = Σxy/n − (Σx/n)(Σy/n).
+    triangle, 1-based dims), over inputs quantized once to int64
+    (floor(x·2^17 + 0.5)): cov(i,j) = (Σxy/n − (Σx/n)(Σy/n)) / 2^34.
 
-    See the module docstring for the scale argument; the whole corpus
+    Quantization makes every moment an exact integer sum, so the result
+    is bit-identical at any partition count (see COV_SCALE note). See
+    the module docstring for the scale argument; the whole corpus
     reduces to d(d+1)/2 = 2080 rows through one partial-aggregated
     shuffle of O(partitions · d²) tiny tuples.
     """
@@ -92,9 +157,10 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sy").alias("sy"),
         F.sum("sxy").alias("sxy"),
     )
-    cov = F.col("sxy") / F.col("n") - (F.col("sx") / F.col("n")) * (
-        F.col("sy") / F.col("n")
-    )
+    cov = (
+        F.col("sxy") / F.col("n")
+        - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+    ) / F.lit(float(COV_SCALE) * float(COV_SCALE))
     return agg.select("i", "j", F.round(cov, 6).alias("cov"))
 
 
@@ -421,16 +487,7 @@ def pca_project(
 
     e = table(spark, sf_dir, "embeddings")
     _, comps = pca_top_components(spark, sf_dir, k)
-    parts = covariance_partials(e)
-    mean_rows = (
-        parts.filter(F.col("i") == F.col("j"))
-        .groupBy("i")
-        .agg((F.sum("sx") / F.sum("n")).alias("mu"))
-        .collect()
-    )
-    mu = np.zeros(max(r["i"] for r in mean_rows))
-    for r in mean_rows:
-        mu[r["i"] - 1] = r["mu"]
+    mu = corpus_mean(e)
     w = np.asarray(comps, dtype=np.float64)  # k × d
 
     def gen(batches):
@@ -600,16 +657,7 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "embeddings")
-    parts = covariance_partials(e)
-    mean_rows = (
-        parts.filter(F.col("i") == F.col("j"))
-        .groupBy("i")
-        .agg((F.sum("sx") / F.sum("n")).alias("mu"))
-        .collect()
-    )
-    mu = np.zeros(max(r["i"] for r in mean_rows))
-    for r in mean_rows:
-        mu[r["i"] - 1] = r["mu"]
+    mu = corpus_mean(e)
 
     def gen(batches):
         for pdf in batches:
@@ -627,10 +675,14 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = dist.agg(
         F.avg("d").alias("md"), F.stddev_pop("d").alias("sd")
     )
+    # rank(), not row_number(): the order is total (vec_id tie-break) so
+    # they are identical, but only rank()/dense_rank() get the
+    # WindowGroupLimit map-side prune on this Spark build — row_number()
+    # funnels EVERY distance row through an Exchange SinglePartition.
     w = Window.orderBy(F.col("d").desc(), "vec_id")
     return (
         dist.crossJoin(F.broadcast(st))
-        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .withColumn("rnk", F.rank().over(w).cast("bigint"))
         .filter(F.col("rnk") <= OUTLIER_TOP_K)
         .select(
             "vec_id",

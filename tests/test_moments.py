@@ -30,8 +30,39 @@ def test_covariance_matches_numpy(spark, sf_dir):
         [r.asDict() for r in q_embedding_covariance(spark, sf_dir).collect()]
     )
     assert got.shape == ref.shape
-    # Engine output is rounded to 6 decimals; allow that quantization.
-    assert np.abs(got - ref).max() < 1e-6
+    # Engine output is over floor(x·2^17 + 0.5)-quantized inputs (≤ ~2.4e-6
+    # cov perturbation at |x| ≤ 0.3) and rounded to 6 decimals.
+    assert np.abs(got - ref).max() < 1e-5
+
+
+def test_covariance_partition_invariant(spark, sf_dir):
+    """The quantized-moment form must be bit-identical at any partition
+    count — this is the r07 driver flake (float64 partial-sum order
+    flipping a round(6) boundary cell between local[8] and local[32])."""
+    from data_engineering_project_spotify_app_spark.operators.moments import (
+        covariance_partials,
+    )
+    from pyspark.sql import functions as F
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def run(df):
+        parts = covariance_partials(df)
+        agg = parts.groupBy("i", "j").agg(
+            F.sum("n").alias("n"),
+            F.sum("sx").alias("sx"),
+            F.sum("sy").alias("sy"),
+            F.sum("sxy").alias("sxy"),
+        )
+        return {
+            (r["i"], r["j"]): (r["n"], r["sx"], r["sy"], r["sxy"])
+            for r in agg.collect()
+        }
+
+    base = run(e)
+    for n_parts in (1, 7):
+        other = run(e.repartition(n_parts))
+        assert other == base, f"moments differ at {n_parts} partitions"
 
 
 def test_pca_top_components(spark, sf_dir):

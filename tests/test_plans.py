@@ -589,3 +589,13 @@ def test_span_removal_windows_are_doc_partitioned(spark, sf_dir, name):
     assert wins, plan
     for w in wins:
         assert ("doc_id" in w) or ("da#" in w and "db#" in w), (w, plan)
+
+
+@pytest.mark.parametrize("name", ["q_page_slice", "q_embedding_outliers"])
+def test_global_topk_rank_is_group_limited(spark, sf_dir, name):
+    """Global top-k via rank() over a total order must get the
+    WindowGroupLimit map-side prune (only rank/dense_rank do on this
+    Spark build — row_number() regressing back in would funnel the full
+    input through an Exchange SinglePartition before the window)."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "WindowGroupLimit" in plan, plan
