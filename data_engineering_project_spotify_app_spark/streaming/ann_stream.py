@@ -136,14 +136,15 @@ class StreamingIvfIndexSink(DeltaChainStore):
         index = self.current_index()
         if index is None:
             return None
-        out = probed_search(
+        # topk must flow INTO probed_search: it ranks and filters
+        # rnk <= topk internally, so a post-hoc filter on its output
+        # could never widen a smaller internal default.
+        return probed_search(
             index.select("vec_id", "v", "nrm"),
             self.centroids,
             nprobe=nprobe,
             assign=index.select("vec_id", "cid"),
-        )
-        return out if topk == IVF_TOPK else out.filter(
-            F.col("rnk") <= topk
+            topk=topk,
         )
 
 

@@ -220,7 +220,29 @@ class StreamingLshDedupSink(DeltaChainStore):
         if self._committed(delta_dir):
             bands_new = self.spark.read.parquet(delta_dir)
         else:
-            bands_new = lsh_bands_df(minhash_signatures_df(batch_df))
+            # within-batch dedup + cross-epoch duplicate guard (mirror
+            # of the ANN sink's): a doc_id re-delivered by a backfill
+            # must not append a second set of band rows — duplicates
+            # would re-emit already-logged pairs and inflate
+            # n_bands_matched, breaking the "union of pair logs ==
+            # batch pair set" contract. The batch-id frame is tiny and
+            # broadcast into a semi-join, so on a store table bucketed
+            # by doc_id this is a pruned probe, not a scan.
+            docs = batch_df.dropDuplicates(["doc_id"])
+            guard_paths = self._store_paths(before_epoch=epoch_id)
+            if guard_paths:
+                store_ids = self.spark.read.parquet(*guard_paths)
+                already = (
+                    store_ids.select("doc_id")
+                    .join(
+                        F.broadcast(docs.select("doc_id")),
+                        "doc_id",
+                        "leftsemi",
+                    )
+                    .distinct()
+                )
+                docs = docs.join(F.broadcast(already), "doc_id", "left_anti")
+            bands_new = lsh_bands_df(minhash_signatures_df(docs))
             bands_new.write.mode("overwrite").parquet(delta_dir)
             bands_new = self.spark.read.parquet(delta_dir)
         if not self._committed(pairs_dir):

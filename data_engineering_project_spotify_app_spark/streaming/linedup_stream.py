@@ -77,23 +77,51 @@ class StreamingLineDedupSink(DeltaChainStore):
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         docs_dir = self._docs_dir(epoch_id)
         delta_dir = self._delta_dir(epoch_id)
+        staged = os.path.join(self.out_dir, f"staged_e{epoch_id}")
         base = self._base_epoch()
         delta_done = self._committed(delta_dir) or (
             base is not None and base >= epoch_id
         )
         if self._committed(docs_dir) and delta_done:
-            return  # replayed epoch
+            # Replayed epoch: both outputs durable. A crash between the
+            # second marker and the staged-dir rmtree below leaves the
+            # staged parquet behind, and compact() only sweeps delta/
+            # base dirs — reclaim it here or it leaks permanently.
+            if os.path.isdir(staged):
+                shutil.rmtree(staged, ignore_errors=True)
+            return
         store_paths = self._store_paths(before_epoch=epoch_id)
         store = (
             self.spark.read.parquet(*store_paths) if store_paths else None
         )
+        # within-batch dedup + cross-epoch duplicate guard (mirror of
+        # the LSH/ANN sinks'): a doc_id re-delivered by a backfill would
+        # re-log the document into a second docs_e log (clean_docs()
+        # would return it twice, with all its lines dropped as "already
+        # kept"). The digest store has no doc ids, so the guard probes
+        # the committed docs logs' doc_id column — a pruned single-
+        # column read; at 100 TB the docs log is a table bucketed by
+        # doc_id and this is a broadcast semi probe.
+        batch = batch_df.dropDuplicates(["doc_id"])
+        seen_epochs = [
+            e for e in self._committed_ids("docs_e") if e < epoch_id
+        ]
+        if seen_epochs:
+            prior_ids = self.spark.read.parquet(
+                *[self._docs_dir(e) for e in seen_epochs]
+            ).select("doc_id")
+            already = (
+                prior_ids.join(
+                    F.broadcast(batch.select("doc_id")), "doc_id", "leftsemi"
+                ).distinct()
+            )
+            batch = batch.join(F.broadcast(already), "doc_id", "left_anti")
         # Chunk ONCE per epoch; both consumers (the cleaned-doc log and
         # the store append) read the staged materialization, the same
         # diamond-avoidance trade as dedup_stream's staged bands.
-        lines = _chunk_lines(batch_df, self.k).withColumn(
+        lines = _chunk_lines(batch, self.k).withColumn(
             "h", F.md5("line")
         )
-        staged = os.path.join(self.out_dir, f"staged_e{epoch_id}")
         lines.write.mode("overwrite").parquet(staged)
         lines = self.spark.read.parquet(staged)
         # batch-local first occurrence: the same min-struct HASH

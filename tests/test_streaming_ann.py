@@ -151,3 +151,29 @@ def test_duplicate_reingest_is_ignored(spark, tmp_path):
     assert sorted(tuple(r) for r in sink.search().collect()) == _batch_want(
         spark
     )
+
+
+def test_search_topk_flows_into_probe_ranking(spark, tmp_path):
+    """search(topk=T) must return T neighbors per query for T above the
+    batch default — topk has to flow INTO probed_search (which filters
+    rnk <= topk internally); a post-hoc filter on its output silently
+    truncates every search to the default k."""
+    from data_engineering_project_spotify_app_spark.operators.ivf import (
+        IVF_TOPK,
+    )
+
+    vecs = _vectors(spark)
+    out = str(tmp_path / "index")
+    cent = _centroids_from(spark, vecs)
+    sink = StreamingIvfIndexSink(spark, out, cent)
+    sink(spark.createDataFrame(vecs, VEC_SCHEMA), 0)
+    topk = IVF_TOPK + 7
+    per_query = (
+        sink.search(topk=topk)
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    assert per_query, "search returned nothing — test is vacuous"
+    assert all(r["count"] == topk for r in per_query), per_query
+    assert max(r["count"] for r in per_query) > IVF_TOPK

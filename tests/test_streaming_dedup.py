@@ -394,3 +394,91 @@ def test_compact_with_no_new_deltas_sweeps_crash_debris(spark, tmp_path):
         == store_before
     )
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_lsh_duplicate_reingest_is_ignored(spark, tmp_path):
+    """A backfill re-delivering already-stored doc_ids in a LATER epoch
+    must not append duplicate band rows or re-emit already-logged
+    pairs — the 'union of pair logs == batch pair set' contract holds
+    under re-delivery (mirror of the ANN sink's guard)."""
+    docs = _corpus(spark, n=120)
+    out = str(tmp_path / "state")
+    sink = StreamingLshDedupSink(spark, out)
+    sink(spark.createDataFrame(docs[:80], DOC_SCHEMA), 0)
+    # epoch 1 re-delivers 30 already-stored docs + 40 new ones, with
+    # one doc duplicated WITHIN the batch too
+    batch1 = docs[50:120] + [docs[60]]
+    sink(spark.createDataFrame(batch1, DOC_SCHEMA), 1)
+    full = spark.createDataFrame(docs, DOC_SCHEMA)
+    n_sig_docs = minhash_signatures_df(full).count()
+    bands = sink.current_bands()
+    assert bands.select("doc_id").distinct().count() == n_sig_docs
+    # no doc has a doubled band set
+    per_doc = bands.groupBy("doc_id").count().select("count").distinct()
+    assert per_doc.count() == 1
+    got = sorted(tuple(r) for r in sink.pairs().collect())
+    want = sorted(
+        tuple(r)
+        for r in minhash_candidate_pairs_df(
+            minhash_signatures_df(full)
+        ).collect()
+    )
+    assert want, "fixture slice produced no pairs — test is vacuous"
+    assert got == want
+    assert len(got) == len({(a, b) for a, b, _ in got})
+
+
+def test_line_dedup_duplicate_reingest_is_ignored(spark, tmp_path):
+    """A doc_id re-delivered in a later epoch must not be re-logged into
+    a second cleaned-docs entry (clean_docs() would return it twice,
+    with every line dropped as already-kept)."""
+    from data_engineering_project_spotify_app_spark.operators.linedup import (
+        LINE_TOKENS,
+        dedup_lines,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.linedup_stream import (
+        StreamingLineDedupSink,
+    )
+
+    boiler = "please enable java script"
+    docs = [(i, f"{boiler} unique tail line {i}") for i in range(20)]
+    out = str(tmp_path / "state")
+    sink = StreamingLineDedupSink(spark, out)
+    sink(spark.createDataFrame(docs[:12], DOC_SCHEMA), 0)
+    # epoch 1 re-delivers 4 already-seen docs + 8 new ones, one
+    # duplicated within the batch
+    batch1 = docs[8:20] + [docs[10]]
+    sink(spark.createDataFrame(batch1, DOC_SCHEMA), 1)
+    got = sorted(tuple(r) for r in sink.clean_docs().collect())
+    assert len(got) == len(docs)  # each doc exactly once
+    want = sorted(
+        tuple(r)
+        for r in dedup_lines(
+            spark.createDataFrame(docs, DOC_SCHEMA), LINE_TOKENS
+        ).collect()
+    )
+    assert got == want
+
+
+def test_line_dedup_replay_reclaims_staged_debris(spark, tmp_path):
+    """A crash between the second commit marker and the staged-dir
+    cleanup leaves staged_e{N} behind; the replay's early-return path
+    must reclaim it (compact() never sweeps staged dirs)."""
+    from data_engineering_project_spotify_app_spark.streaming.linedup_stream import (
+        StreamingLineDedupSink,
+    )
+
+    docs = [(i, f"crash debris line tail {i}") for i in range(6)]
+    out = str(tmp_path / "state")
+    sink = StreamingLineDedupSink(spark, out)
+    batch = spark.createDataFrame(docs, DOC_SCHEMA)
+    sink(batch, 0)
+    before = sorted(tuple(r) for r in sink.clean_docs().collect())
+    # simulate the crash leftover: a staged dir for the committed epoch
+    staged = os.path.join(out, "staged_e0")
+    os.makedirs(staged, exist_ok=True)
+    with open(os.path.join(staged, "part-junk.parquet"), "w") as fh:
+        fh.write("debris")
+    sink(batch, 0)  # replay: both outputs committed -> early return
+    assert not os.path.isdir(staged), "staged debris leaked on replay"
+    assert sorted(tuple(r) for r in sink.clean_docs().collect()) == before
