@@ -34,6 +34,8 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -89,6 +91,49 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.distinct()
 
 
+# Edge-landing bucket count: fixed at write time, sized for the bench/
+# test graphs (1.2 M edges at sf0.1). At 100 TB this is the "buckets ≈
+# data / 512 MB" sizing note in sources/bucketed.py.
+EDGE_BUCKETS = 16
+
+# sf_dirs whose edge landing THIS process has already written. The set
+# is process-local on purpose: a table left by a previous process may
+# be stale against regenerated testdata, so the first graph query per
+# process re-lands (mode=overwrite); every later one reads it back.
+_LANDED_EDGE_DIRS: dict[str, str] = {}
+
+
+def landed_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase edge frame as a shared, bucketed, at-rest table.
+
+    Seven graph queries consume the SAME derived edge set; re-deriving
+    it per query re-pays the basket build + 1.2 M-row distinct each
+    time (the top two bench entries both paid it). Landing it once as
+    a managed parquet table bucketed+sorted on ``src``
+    (sources/bucketed.py) makes every later consumer a table scan, and
+    the src-bucketing co-locates the degree aggregations and src-keyed
+    joins the family runs next. This is the graph twin of the IVF
+    at-rest inverted lists: derive once, probe many.
+    """
+    from data_engineering_project_spotify_app_spark.sources.bucketed import (
+        land_bucketed,
+    )
+
+    name = _LANDED_EDGE_DIRS.get(sf_dir)
+    if name is None:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        name = f"copurchase_edges_{digest}"
+        land_bucketed(
+            copurchase_edges(spark, sf_dir),
+            name,
+            "src",
+            EDGE_BUCKETS,
+            sort_cols=["src", "dst"],
+        )
+        _LANDED_EDGE_DIRS[sf_dir] = name
+    return spark.table(name)
+
+
 @query(
     "q_bfs_hops",
     oracle=f"""
@@ -116,7 +161,7 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale. No driver-side action anywhere; the fixed depth makes the
     whole traversal one declarative plan.
     """
-    edges = copurchase_edges(spark, sf_dir)
+    edges = landed_copurchase_edges(spark, sf_dir)
     seeds = (
         table(spark, sf_dir, "part")
         .filter(F.col("p_partkey") % SEED_MOD == 0)
@@ -193,7 +238,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the oracle), the standard simplification when ranks are only
     used for ordering.
     """
-    edges = copurchase_edges(spark, sf_dir)
+    edges = landed_copurchase_edges(spark, sf_dir)
     nodes = table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("part")
     )
@@ -275,36 +320,18 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge-join form shuffled Σ C(outdeg,2) rows — measured 10.8 s vs
     ~4 s for this form at sf0.1's 1.2 M-edge / 1.9 M-triangle graph).
 
-    Unlike the shared ``copurchase_edges`` consumers (BFS, PageRank),
-    this skips the global pair ``distinct()`` entirely: the per-order
-    arrays emit src<dst pairs WITH multiplicity, and dedup folds into
-    the two aggregations that must run anyway (``count_distinct`` for
-    degrees, ``collect_set`` for the oriented adjacency) — one less
-    1.2 M-row shuffle. See _triangle_counts_from_pairs for the
-    remaining plan discipline (cache placement, carried
-    neighbor arrays, single-explode contributions).
+    Reads the SHARED bucketed edge landing (landed_copurchase_edges):
+    the whole graph family pays the basket build + 1.2 M-row distinct
+    ONCE per corpus, and this query starts from a src-bucketed table
+    scan. See _triangle_counts_from_pairs for the remaining plan
+    discipline (cache placement, carried neighbor arrays,
+    single-explode contributions).
 
     The triangle SET is orientation-invariant, so the oracle uses the
     simple id-ordered a<b<c wedge-join enumeration: identical
     triangles, identical counts.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    grp = li.groupBy("l_orderkey").agg(
-        F.array_distinct(F.collect_list("l_partkey")).alias("ps")
-    )
-    pairs = (
-        grp.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, x -> "
-                    "transform(filter(ps, y -> y > x), "
-                    "y -> struct(x AS src, y AS dst))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.src", "pr.dst")
-    )
-    return _triangle_counts_from_pairs(pairs)
+    return triangle_counts(landed_copurchase_edges(spark, sf_dir))
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -439,7 +466,7 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram re-agg is |distinct degrees| rows — two partial-aggregated
     shuffles, each strictly smaller than its input.
     """
-    edges = copurchase_edges(spark, sf_dir)
+    edges = landed_copurchase_edges(spark, sf_dir)
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
@@ -478,7 +505,7 @@ def q_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (runtime-settable SQL conf, same defensive pattern as
     # tables._ensure_session_confs)
     spark.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
-    edges = copurchase_edges(spark, sf_dir)
+    edges = landed_copurchase_edges(spark, sf_dir)
     edges.createOrReplaceTempView("bfs_edges_v")
     seeds = table(spark, sf_dir, "part").filter(
         F.col("p_partkey") % SEED_MOD == 0
@@ -526,7 +553,7 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (high-cardinality), and the corr is a closed-form one-pass
     aggregate (the regress.py posture on a graph).
     """
-    edges = copurchase_edges(spark, sf_dir)
+    edges = landed_copurchase_edges(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("d")
     )
@@ -580,9 +607,10 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame. Both reduce to single rows before the final join.
     """
     # Two consumers (triangle counting AND the degree/wedge aggregate)
-    # read the edge list — persist it or the bucket-collect build runs
-    # twice (measured 7.4 → 5.7 s at sf0.1; the affinity persist note).
-    edges = copurchase_edges(spark, sf_dir).persist()
+    # read the edge list — the shared bucketed landing makes both reads
+    # table scans (the earlier persist() avoided a double derivation;
+    # the landing removes the derivation from this query entirely).
+    edges = landed_copurchase_edges(spark, sf_dir)
     tri = (
         triangle_counts(edges)
         .agg((F.sum("n_triangles") / 3).alias("n_tri"))
