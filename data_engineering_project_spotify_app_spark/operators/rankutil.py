@@ -60,6 +60,47 @@ def two_phase_global_rank(
     )
 
 
+def two_phase_prefix_max(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    n_ranges: int,
+    out_col: str = "prefix_max",
+) -> DataFrame:
+    """Add ``out_col`` = EXCLUSIVE running max of ``value_col`` over the
+    global ``order_cols`` order, without a single-partition window
+    (null for the globally first row — no strictly-earlier rows).
+
+    Same decomposition as two_phase_global_rank: range-partition on the
+    sort key, per-range local exclusive prefix max (windows partitioned
+    by ``pid``), then one tiny window over the per-range TOTAL maxes
+    (n_ranges rows) to get each range's carry-in, combined with
+    ``greatest`` (null-skipping). ``order_cols`` must totally order the
+    rows — with ties the exclusive prefix would be split-dependent.
+    """
+    ranged = df.repartitionByRange(n_ranges, *order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    part_tot = ranged.groupBy("pid").agg(F.max(value_col).alias("_ptot"))
+    # carry-in per range: max over all STRICTLY EARLIER ranges (pid
+    # order IS the global range order, as in two_phase_global_rank)
+    carry_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)
+    carries = part_tot.select(
+        "pid", F.max("_ptot").over(carry_w).alias("_carry")
+    )
+    local_w = (
+        W.partitionBy("pid")
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return (
+        ranged.join(F.broadcast(carries), "pid")
+        .withColumn("_local", F.max(value_col).over(local_w))
+        .withColumn(out_col, F.greatest("_carry", "_local"))
+        .drop("pid", "_carry", "_local")
+    )
+
+
 def ntile_from_rank(rn: Column, n: Column, k: int) -> Column:
     """SQL-standard ntile(k) from an exact global row_number: the first
     ``n mod k`` buckets hold floor(n/k)+1 rows, the rest floor(n/k) —

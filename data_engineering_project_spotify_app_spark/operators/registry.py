@@ -29,6 +29,43 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# THE rows-only carve-out list: every registered query WITHOUT a DuckDB
+# oracle, with the reason it is genuinely non-oracle-able and where its
+# correctness evidence lives instead. A query may ship rows-only ONLY by
+# being added here — tests/test_registry_carveouts.py fails the suite on
+# any unlisted (or stale) entry, so the set cannot silently grow.
+ROWS_ONLY_CARVEOUTS: dict[str, str] = {
+    "q_bpe_train": (
+        "iterative greedy merge training — each merge depends on the "
+        "previous round's corpus rewrite, not SQL-expressible; pinned "
+        "against a sequential pure-Python BPE + hypothesis corpora in "
+        "tests/test_bpe.py"
+    ),
+    "q_bpe_encode": (
+        "applies the trained (engine-specific) merge table; pinned "
+        "against the sequential encoder in tests/test_bpe.py"
+    ),
+    "q_bpe_encode_arrow": (
+        "same semantics as q_bpe_encode via the Arrow batch path; "
+        "equivalence with q_bpe_encode pinned in tests/test_bpe.py"
+    ),
+    "q_approx_distinct": (
+        "HyperLogLog++ sketch — estimate is engine-specific by design; "
+        "error bound vs exact count_distinct pinned in "
+        "tests/test_sketches.py"
+    ),
+    "q_approx_quantile": (
+        "Greenwald-Khanna sketch — rank-error guarantee, not a unique "
+        "value; bound vs exact percentiles pinned in "
+        "tests/test_sketches.py"
+    ),
+    "q_ann_ivf_kmeans": (
+        "k-means|| centroid initialization is engine-specific, so the "
+        "probed lists differ from any SQL twin; recall >= 0.6 vs brute "
+        "force pinned in tests/test_ivf.py"
+    ),
+}
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a driver query, optionally with its DuckDB oracle SQL."""

@@ -215,27 +215,34 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     The engine form exploits the 2-D structure instead: per price, only
     the max-size rows can survive; across prices sorted ascending, a
     row survives iff its size exceeds the running max size of all
-    strictly cheaper prices. One distinct-price aggregate + one window
-    over #distinct-prices rows — O(N log N), no pairwise stage at all.
+    strictly cheaper prices. One distinct-price aggregate + an exclusive
+    prefix max over the price order — O(N log N), no pairwise stage.
 
-    Scale: the price-level table is #distinct-prices rows (bounded,
-    shuffled once); the running max is a window over that small table;
-    candidates join back by price (broadcast). For d > 2 dimensions the
-    sort trick dies — there you partition, take per-block skylines
-    (skyline is distributive over any partition), and finish on the
-    reduced union.
+    Scale: the price-level table is #distinct-prices rows — bounded at
+    TPC-H shapes but UNBOUNDED in general, so the running max is the
+    two-phase range-partitioned form (rankutil.two_phase_prefix_max):
+    per-range local prefix windows partitioned by pid plus one tiny
+    carry-in window over the n_ranges-row per-range maxes — never a
+    single-partition window over the price-level rows (plan-pinned in
+    tests/test_plans.py). Candidates join back by price (broadcast).
+    For d > 2 dimensions the sort trick dies — there you partition,
+    take per-block skylines (skyline is distributive over any
+    partition), and finish on the reduced union.
     """
-    p = table(spark, sf_dir, "part")
-    from pyspark.sql.window import Window
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        two_phase_prefix_max,
+    )
 
+    p = table(spark, sf_dir, "part")
     per_price = p.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("max_size")
     )
-    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
-    frontier = per_price.select(
-        "price",
+    frontier = two_phase_prefix_max(
+        per_price,
+        [F.col("price")],
         "max_size",
-        F.max("max_size").over(w).alias("cheaper_max"),
+        n_ranges=8,
+        out_col="cheaper_max",
     ).filter(
         F.col("cheaper_max").isNull()
         | (F.col("max_size") > F.col("cheaper_max"))

@@ -17,12 +17,21 @@ and compactions).
 The coarse quantizer is trained ONCE and held fixed — the standard IVF
 operating mode; re-training centroids is an index REBUILD (a batch
 job), not an incremental update, because every stored assignment would
-change. At 100 TB the store is a table partitioned by cid (the
-q_ann_ivf_partitioned layout) so probed search prunes to the probed
-lists' partitions; the delta chain here is the format-free stand-in.
+change. ``StreamingIvfIndexSink.rebuild_index`` implements that job:
+retrain (or take) new centroids, reassign EVERY stored vector, and
+write a fresh store whose base folds the whole index — into a NEW
+directory, because a rebuild rewrites every row and an in-place base
+overwrite would have a crash window where the live index is gone.
+Callers swap to the returned sink (restarting the stream with the same
+checkpoint, so epoch ids stay monotone). At 100 TB the store is a
+table partitioned by cid (the q_ann_ivf_partitioned layout) so probed
+search prunes to the probed lists' partitions; the delta chain here is
+the format-free stand-in.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,6 +81,52 @@ def _normed(batch: DataFrame) -> DataFrame:
     )
 
 
+def _assign(n: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment of a (vec_id, v, nrm) frame — the
+    identical cosine ranking (round(4), cid tie-break) as the batch
+    probed_search's in-plan assignment, so streamed/rebuilt indexes
+    stay row-identical to batch builds. Centroids broadcast (K tiny)."""
+    csim = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
+    return (
+        n.crossJoin(F.broadcast(centroids))
+        .select("vec_id", "v", "nrm", "cid", csim.alias("csim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "nrm", "cid")
+    )
+
+
+def retrain_centroids(
+    index: DataFrame, k: int, seed: int = 42, max_iter: int = 10
+) -> DataFrame:
+    """Retrain the coarse quantizer from the at-rest index: seed-pinned
+    spherical-ish k-means over the stored unit vectors (the
+    q_ann_ivf_kmeans recipe — normalize, fit, centers re-enter as a
+    (cid, cv, cnrm) frame). The fit is distributed Lloyd iterations;
+    the K×DIM centers are driver-collected (KB-sized)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    unit = index.filter(F.col("nrm") > 0).select(
+        F.transform("v", lambda x: x / F.col("nrm")).alias("u")
+    )
+    feats = unit.select(array_to_vector(F.col("u")).alias("features"))
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, initMode="k-means||"
+    ).fit(feats)
+    centers = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    spark = index.sparkSession
+    return spark.createDataFrame(
+        centers, "cid int, cv array<double>"
+    ).select("cid", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cnrm"))
+
+
 class StreamingIvfIndexSink(DeltaChainStore):
     """foreachBatch maintainer of an at-rest IVF index: per-epoch
     (vec_id, v, nrm, cid) deltas, assignment paid once at ingest."""
@@ -106,18 +161,7 @@ class StreamingIvfIndexSink(DeltaChainStore):
                 F.broadcast(n.select("vec_id")), "vec_id", "leftsemi"
             )
             n = n.join(F.broadcast(already), "vec_id", "left_anti")
-        csim = F.round(
-            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 4
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "cid")
-        assigned = (
-            n.crossJoin(F.broadcast(self.centroids))
-            .select("vec_id", "v", "nrm", "cid", csim.alias("csim"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "nrm", "cid")
-        )
-        assigned.write.mode("overwrite").parquet(delta_dir)
+        _assign(n, self.centroids).write.mode("overwrite").parquet(delta_dir)
         self._mark(delta_dir)
 
     def current_index(self) -> DataFrame | None:
@@ -146,6 +190,56 @@ class StreamingIvfIndexSink(DeltaChainStore):
             assign=index.select("vec_id", "cid"),
             topk=topk,
         )
+
+    def rebuild_index(
+        self,
+        out_dir: str,
+        centroids: DataFrame | None = None,
+        k: int | None = None,
+    ) -> "StreamingIvfIndexSink":
+        """Centroid re-train = index REBUILD: take ``centroids`` (or
+        retrain k=|old centroid set| via retrain_centroids from the
+        at-rest vectors), reassign EVERY stored vector, and write a
+        fresh delta-chain store in ``out_dir`` whose base folds the
+        entire current index at the current max epoch.
+
+        A NEW directory is required (same-dir rebuild raises): every
+        stored row changes cid, so the rebuild is a full-store rewrite,
+        and rewriting the live base in place would open a crash window
+        with no committed base and its deltas already swept — the old
+        index must stay intact until the new store's marker lands.
+        Callers swap to the returned sink and restart the stream with
+        the SAME checkpoint: epoch ids continue monotone, so a replay
+        of any pre-rebuild epoch sees base >= epoch_id and no-ops,
+        while genuinely new epochs land as deltas on the new base.
+
+        Search over the rebuilt index equals the batch build-and-search
+        on the same new centroids exactly (pinned in
+        tests/test_streaming_ann.py::test_rebuild_equals_fresh_batch_build).
+        """
+        if os.path.abspath(out_dir) == os.path.abspath(self.out_dir):
+            raise ValueError(
+                "rebuild_index requires a fresh out_dir: an in-place "
+                "base rewrite would leave no committed store if the "
+                "rebuild crashes mid-write"
+            )
+        index = self.current_index()
+        if index is None:
+            raise ValueError("rebuild_index: the current index is empty")
+        if centroids is None:
+            k = k if k is not None else self.centroids.count()
+            centroids = retrain_centroids(index, k=k)
+        epochs = self.committed_delta_epochs()
+        base = self._base_epoch()
+        target = max(epochs + ([base] if base is not None else []))
+        new_sink = StreamingIvfIndexSink(self.spark, out_dir, centroids)
+        os.makedirs(out_dir, exist_ok=True)
+        base_dir = new_sink._base_dir(target)
+        _assign(index.select("vec_id", "v", "nrm"), centroids).write.mode(
+            "overwrite"
+        ).parquet(base_dir)
+        new_sink._mark(base_dir)
+        return new_sink
 
 
 def maintain_ivf_index(

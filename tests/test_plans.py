@@ -599,3 +599,24 @@ def test_global_topk_rank_is_group_limited(spark, sf_dir, name):
     input through an Exchange SinglePartition before the window)."""
     plan = plan_of(spark, sf_dir, name)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_skyline_frontier_has_no_single_partition_window(spark, sf_dir):
+    """q_skyline's running max must be the two-phase range-partitioned
+    form: every window over price-level rows is partitioned by pid; the
+    only unpartitioned window runs over the n_ranges-row carry frame —
+    no Exchange SinglePartition feeding a Window over data rows."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "q_skyline")
+    assert "rangepartitioning" in plan, plan
+    assert "windowspecdefinition(pid#" in plan, plan
+    # the unpartitioned carry window exists but consumes the per-range
+    # aggregate (pid, _ptot), never price-level rows: assert no window
+    # spec orders by price without a pid partition key
+    bad = [
+        w
+        for w in re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        if "price" in w and "pid#" not in w
+    ]
+    assert not bad, (bad, plan)

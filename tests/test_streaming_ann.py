@@ -177,3 +177,70 @@ def test_search_topk_flows_into_probe_ranking(spark, tmp_path):
     assert per_query, "search returned nothing — test is vacuous"
     assert all(r["count"] == topk for r in per_query), per_query
     assert max(r["count"] for r in per_query) > IVF_TOPK
+
+
+def test_rebuild_equals_fresh_batch_build(spark, tmp_path):
+    """Centroid re-train = index rebuild: search over the rebuilt store
+    must equal the batch build-and-search DAG (probed_search with
+    in-plan assignment) on the SAME new centroids, exactly. Also pins:
+    the old index dir is untouched, a pre-rebuild epoch replayed on
+    the new sink no-ops, and a genuinely new post-rebuild epoch lands
+    on the new centroids."""
+    from data_engineering_project_spotify_app_spark.operators.ivf import (
+        probed_search,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.ann_stream import (
+        _normed,
+        retrain_centroids,
+    )
+
+    vecs = _vectors(spark)
+    out = str(tmp_path / "index")
+    cent = _centroids_from(spark, vecs)
+    sink = StreamingIvfIndexSink(spark, out, cent)
+    splits = [vecs[:200], vecs[200:450], vecs[450:]]
+    for e, batch in enumerate(splits):
+        sink(spark.createDataFrame(batch, VEC_SCHEMA), e)
+    old_store = sorted(
+        tuple(r) for r in sink.current_index().collect()
+    )
+
+    new_cent = retrain_centroids(sink.current_index(), k=4)
+    sink2 = sink.rebuild_index(str(tmp_path / "index2"), centroids=new_cent)
+    got = sorted(tuple(r) for r in sink2.search().collect())
+    n = _normed(spark.createDataFrame(vecs, VEC_SCHEMA))
+    want = sorted(
+        tuple(r) for r in probed_search(n, new_cent).collect()
+    )
+    assert want, "batch search returned nothing — test is vacuous"
+    assert got == want
+    # the old index is untouched (crash mid-rebuild keeps it live)
+    assert sorted(
+        tuple(r) for r in sink.current_index().collect()
+    ) == old_store
+    # replay of a pre-rebuild epoch on the new sink: base >= epoch, no-op
+    before = sink2.current_index().count()
+    sink2(spark.createDataFrame(splits[1], VEC_SCHEMA), 1)
+    assert sink2.current_index().count() == before
+    # a post-rebuild epoch lands as a delta on the new base, assigned
+    # with the NEW centroids — searched identically to a batch build
+    # over the widened corpus
+    extra = [(99999, list(vecs[2][1]))]
+    sink2(spark.createDataFrame(extra, VEC_SCHEMA), 3)
+    assert sink2.current_index().count() == before + 1
+    n_all = _normed(spark.createDataFrame(vecs + extra, VEC_SCHEMA))
+    want_all = sorted(
+        tuple(r) for r in probed_search(n_all, new_cent).collect()
+    )
+    assert sorted(tuple(r) for r in sink2.search().collect()) == want_all
+
+
+def test_rebuild_refuses_in_place(spark, tmp_path):
+    import pytest as _pytest
+
+    vecs = _vectors(spark)
+    out = str(tmp_path / "index")
+    sink = StreamingIvfIndexSink(spark, out, _centroids_from(spark, vecs))
+    sink(spark.createDataFrame(vecs[:50], VEC_SCHEMA), 0)
+    with _pytest.raises(ValueError, match="fresh out_dir"):
+        sink.rebuild_index(out)
