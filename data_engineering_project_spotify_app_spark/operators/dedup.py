@@ -24,6 +24,8 @@ hatch needed.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -364,13 +366,41 @@ _MINHASH_ORACLE = f"""
     """
 
 
+# sf_dirs whose signature landing THIS process has already written —
+# process-local like graphs._LANDED_EDGE_DIRS, so a table left by a
+# previous process is overwritten on first use, never trusted stale.
+_LANDED_SIG_DIRS: dict[str, str] = {}
+SIG_BUCKETS = 32
+
+
 def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K=16 min-hash signature per doc — one aggregation over exploded
-    multiset shingles (min is duplicate-invariant, so no distinct pass —
-    measured ~0.5 s/consumer at sf0.1; see word_bigrams_multiset for the
-    array-form equivalent).
+    """K=16 min-hash signature per doc, as a shared bucketed landing.
+
+    EIGHT registered queries consume this exact frame (pair generation,
+    clusters, calibration sweeps, method agreement, savings, splits,
+    incremental) and Spark shares no subplans across separate query
+    executions — each used to re-pay the shingle+minhash build (~1 s at
+    sf0.1). Landed once per corpus as a managed parquet table bucketed
+    by doc_id (the graph family's landed_copurchase_edges pattern:
+    derive once, probe many); signatures are deterministic in the
+    corpus, so every consumer reads bit-identical values.
     """
-    return minhash_signatures_df(table_parallel(spark, sf_dir, "documents"))
+    from data_engineering_project_spotify_app_spark.sources.bucketed import (
+        land_bucketed,
+    )
+
+    name = _LANDED_SIG_DIRS.get(sf_dir)
+    if name is None:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        name = f"minhash_signatures_{digest}"
+        land_bucketed(
+            minhash_signatures_df(table_parallel(spark, sf_dir, "documents")),
+            name,
+            "doc_id",
+            SIG_BUCKETS,
+        )
+        _LANDED_SIG_DIRS[sf_dir] = name
+    return spark.table(name)
 
 
 def minhash_signatures_df(docs: DataFrame) -> DataFrame:
