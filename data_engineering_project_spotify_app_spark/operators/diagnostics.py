@@ -1,0 +1,203 @@
+"""Corpus-diagnostics operators: the QA reports a training-data team
+runs before committing a corpus to a tokenizer/training run.
+
+- ``q_tokenizer_fertility`` — per-language fertility (sub-word tokens
+  per whitespace word) with the GPT-2-shaped pre-tokenizer regex the
+  token-budget operators already use (mlops.BPE_RE). High fertility for
+  a language means the tokenizer fragments it — the standard signal for
+  rebalancing BPE training data (cf. the multilingual-tokenizer
+  literature's fertility metric).
+- ``q_winsorize`` — per-source winsorized length statistics: exact
+  interpolated p05/p95 of n_chars and the mean before/after clipping.
+  The robust twin of a plain mean; a big raw-vs-winsorized gap flags a
+  heavy tail (crawl boilerplate, concatenation bugs) that z-scores
+  would miss.
+- ``q_near_dup_rate_by_source`` — fraction of each source's documents
+  that participate in at least one MinHash-LSH candidate pair. The
+  per-source dedup QA report: a source with a high near-dup rate gets
+  down-weighted or re-crawled. Reads the shared landed signature frame
+  (dedup._minhash_signatures), so the expensive build is shared with
+  the whole LSH family.
+
+Scale posture: fertility and winsorize are scan + one or two hash
+aggregations (per-lang / per-source groups — tiny); the winsorize
+percentile frame re-enters as a broadcast side. The near-dup rate
+reuses the capped bucket-collect pair generation — no new pairwise
+stage anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.functions.text import TOKENS_SQL, tokens
+from data_engineering_project_spotify_app_spark.operators.dedup import (
+    MINHASH_CTES,
+    MINHASH_PAIRS_SQL,
+    minhash_candidate_pairs,
+)
+from data_engineering_project_spotify_app_spark.operators.mlops import BPE_RE
+from data_engineering_project_spotify_app_spark.operators.registry import query
+from data_engineering_project_spotify_app_spark.tables import table
+
+_WORDS = TOKENS_SQL.format(col="text")
+
+_FERTILITY_ORACLE = f"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '{BPE_RE}')) AS n_tok,
+             len({_WORDS}) AS n_words,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           round(sum(n_tok) / (sum(n_words) + 0.0), 4) AS fertility,
+           round(sum(n_chars) / (sum(n_tok) + 0.0), 4) AS chars_per_token
+    FROM t
+    GROUP BY lang
+    """
+
+
+@query("q_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility: BPE-style pre-tokens per
+    whitespace word (plus chars/token), aggregated corpus-wide.
+
+    Both counts are regexp/split + size — JVM codegen end-to-end; the
+    aggregation is |languages| groups. Integer sums divide exactly the
+    same in both engines; the ratios are rounded to 4dp (registry
+    double discipline).
+    """
+    d = table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+    t = d.select(
+        "lang",
+        F.size(bpe).cast("bigint").alias("n_tok"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_words"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.sum("n_words").alias("n_words"),
+        F.round(F.sum("n_tok") / (F.sum("n_words") + F.lit(0.0)), 4).alias(
+            "fertility"
+        ),
+        F.round(F.sum("n_chars") / (F.sum("n_tok") + F.lit(0.0)), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+_WINSOR_ORACLE = """
+    WITH q AS (
+      SELECT source,
+             quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY source
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(q.p05, 4) AS p05,
+           round(q.p95, 4) AS p95,
+           round(avg(d.n_chars), 4) AS mean_raw,
+           round(avg(least(greatest(d.n_chars + 0.0, q.p05), q.p95)), 4)
+             AS mean_winsorized
+    FROM documents d JOIN q ON q.source = d.source
+    GROUP BY d.source, q.p05, q.p95
+    """
+
+
+@query("q_winsorize", oracle=_WINSOR_ORACLE)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source winsorized document-length statistics: exact
+    interpolated p05/p95 of n_chars (Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the p·(n−1) linear-interpolation
+    definition) and the mean before/after clipping to that band.
+
+    Two aggregations: the per-source percentile frame (|sources| rows)
+    broadcasts back onto the scan for the clipped mean. The exact
+    percentile sorts within each source group — bounded by the largest
+    source; at extreme group sizes swap in approx_percentile with a
+    documented error bound (the sketch carve-out path).
+    """
+    d = table(spark, sf_dir, "documents")
+    q = d.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("p05"),
+        F.percentile("n_chars", F.lit(0.95)).alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("n_chars") + F.lit(0.0), F.col("p05")), F.col("p95")
+    )
+    return (
+        d.join(F.broadcast(q), "source")
+        .groupBy("source", "p05", "p95")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round("p05", 4).alias("p05"),
+            F.round("p95", 4).alias("p95"),
+            "mean_raw",
+            "mean_winsorized",
+        )
+    )
+
+
+_NEAR_DUP_RATE_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    mh AS ({MINHASH_PAIRS_SQL}),
+    dup_ids AS (
+      SELECT doc_a AS doc_id FROM mh
+      UNION
+      SELECT doc_b AS doc_id FROM mh
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(i.doc_id) AS BIGINT) AS n_near_dup_docs,
+           round(count(i.doc_id) / (count(*) + 0.0), 4) AS near_dup_rate
+    FROM documents d LEFT JOIN dup_ids i ON i.doc_id = d.doc_id
+    GROUP BY d.source
+    """
+
+
+@query("q_near_dup_rate_by_source", oracle=_NEAR_DUP_RATE_ORACLE)
+def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplicate participation rate: the fraction of a
+    source's documents appearing in at least one MinHash-LSH candidate
+    pair — the dedup QA table that decides which source gets
+    down-weighted or re-crawled.
+
+    The pair set comes from the shared landed signature frame (built
+    once per corpus for the whole LSH family); member ids are two
+    projections + a distinct (bounded by |pairs|), then one broadcast
+    semi-enrichment onto the documents scan and a |sources|-group
+    aggregate. No new pairwise work.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = minhash_candidate_pairs(spark, sf_dir)
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        d.join(F.broadcast(members), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("is_dup").alias("n_near_dup_docs"),
+            F.round(F.count("is_dup") / (F.count("*") + F.lit(0.0)), 4).alias(
+                "near_dup_rate"
+            ),
+        )
+    )

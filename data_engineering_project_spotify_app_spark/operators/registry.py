@@ -90,6 +90,7 @@ def load_all_modules() -> None:
         core,
         curation,
         dataset,
+        diagnostics,
         entity,
         dedup,
         extras,
