@@ -185,6 +185,16 @@ HEADLINE = [
     # ExactSubstr removal twin
     "q_intra_doc_dedup",
     "q_remove_overlaps_short",
+    # round-8 additions: shared-landing consumers (graph family rides the
+    # bucketed edge table; near-dup rate rides the signature landing) +
+    # the new corpus diagnostics + the two-phase skyline
+    "q_bfs_hops",
+    "q_degree_histogram",
+    "q_skyline",
+    "q_tokenizer_fertility",
+    "q_winsorize",
+    "q_near_dup_rate_by_source",
+    "q_cross_source_overlap",
 ]
 
 

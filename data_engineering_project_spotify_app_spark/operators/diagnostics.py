@@ -201,3 +201,54 @@ def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_CROSS_SOURCE_ORACLE = f"""
+    WITH {MINHASH_CTES},
+    mh AS ({MINHASH_PAIRS_SQL})
+    SELECT least(da.source, db.source) AS source_x,
+           greatest(da.source, db.source) AS source_y,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM mh
+    JOIN documents da ON da.doc_id = mh.doc_a
+    JOIN documents db ON db.doc_id = mh.doc_b
+    GROUP BY 1, 2
+    """
+
+
+@query("q_cross_source_overlap", oracle=_CROSS_SOURCE_ORACLE)
+def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: MinHash-LSH candidate pairs
+    bucketed by the (unordered) source pair of their two members. The
+    off-diagonal cells are content LEAKING between sources — the same
+    article syndicated across crawls, or an eval set contaminating a
+    train source; the diagonal is within-source redundancy.
+
+    The id→source map is built only for docs that APPEAR in pairs
+    (semi-join prune), so the two enrichment joins broadcast a
+    |pair-members|-sized frame instead of shuffling the documents
+    table; the result is a |sources|²-bounded matrix.
+    """
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = minhash_candidate_pairs(spark, sf_dir)
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    src_map = d.join(F.broadcast(members), "doc_id", "leftsemi")
+    sa = src_map.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
+    )
+    sb = src_map.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )

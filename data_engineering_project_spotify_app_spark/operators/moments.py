@@ -2,17 +2,24 @@
 
 The canonical "reduce 100 TB to a d×d matrix" pattern (Spark MLlib's
 RowMatrix.computeCovariance does exactly this shape): each partition
-folds its vectors into ONE X^T·X partial (a d×d numpy GEMM over the
+folds its vectors into ONE Xq^T·Xq partial (a d×d numpy GEMM over the
 Arrow batch), the partials — 2080 tiny rows each for d=64 — are summed
-in a hash agg, and cov(i,j) = Σxy/n − (Σx/n)(Σy/n). The data-sized
-input never shuffles; only O(d²)-sized partials do. Eigendecomposition
-of the assembled d×d matrix is then a driver-side numpy call (the
-matrix is KB-sized at any corpus scale) — that is the standard
-distributed-PCA split: distributed moments, local eigensolve.
+in a hash agg, and cov(i,j) = (Σxy/n − (Σx/n)(Σy/n)) / S². The
+data-sized input never shuffles; only O(d²)-sized partials do.
+Eigendecomposition of the assembled d×d matrix is then a driver-side
+numpy call (the matrix is KB-sized at any corpus scale) — that is the
+standard distributed-PCA split: distributed moments, local eigensolve.
 
-Oracle: DuckDB computes the same entries relationally with covar_pop
-over the position-exploded vectors — an O(n·d²) formulation that is
-fine at sf0.01 and exactly what the Spark side must NOT do at scale.
+Determinism: inputs are quantized ONCE to int64 (floor(x·2^17 + 0.5),
+see COV_SCALE) so every moment is an exact integer sum — bit-identical
+at any partition count. Float64 partials were partition-order-dependent
+in the last ulps, and the E[xy]−E[x]E[y] cancellation amplified that
+into round(cov, 6) boundary flips between local[8] and local[32].
+
+Oracle: DuckDB quantizes identically and computes the same entries
+relationally over the position-exploded vectors — an O(n·d²)
+formulation that is fine at sf0.01 and exactly what the Spark side
+must NOT do at scale.
 """
 
 from __future__ import annotations

@@ -620,3 +620,14 @@ def test_skyline_frontier_has_no_single_partition_window(spark, sf_dir):
         if "price" in w and "pid#" not in w
     ]
     assert not bad, (bad, plan)
+
+
+def test_degree_agg_rides_bucketed_edge_landing(spark, sf_dir):
+    """The shared edge landing is bucketed on src, so q_degree_histogram's
+    degree aggregation (groupBy src) must be co-located — no Exchange
+    between the bucketed scan and the degree HashAggregate; the only
+    shuffle left is the |distinct degrees|-row histogram re-agg."""
+    plan = plan_of(spark, sf_dir, "q_degree_histogram")
+    assert "Bucketed: true" in plan, plan
+    tree = plan.split("\n(1)")[0]
+    assert tree.count("Exchange") == 1, plan

@@ -199,8 +199,12 @@ def test_rebuild_equals_fresh_batch_build(spark, tmp_path):
     cent = _centroids_from(spark, vecs)
     sink = StreamingIvfIndexSink(spark, out, cent)
     splits = [vecs[:200], vecs[200:450], vecs[450:]]
-    for e, batch in enumerate(splits):
-        sink(spark.createDataFrame(batch, VEC_SCHEMA), e)
+    # compact between epochs so the rebuild reads the MIXED store shape
+    # (base folding epochs 0-1, epoch 2 still a live delta)
+    sink(spark.createDataFrame(splits[0], VEC_SCHEMA), 0)
+    sink(spark.createDataFrame(splits[1], VEC_SCHEMA), 1)
+    sink.compact()
+    sink(spark.createDataFrame(splits[2], VEC_SCHEMA), 2)
     old_store = sorted(
         tuple(r) for r in sink.current_index().collect()
     )
