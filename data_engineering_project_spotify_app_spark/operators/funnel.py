@@ -1427,8 +1427,11 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (
         d.join(F.broadcast(last_week), d.week == F.col("wk"))
         .withColumn(
+            # rank(), not row_number(): the (|chg|, brand) order is total,
+            # so they agree — and only rank gets the WindowGroupLimit
+            # map-side prune (brand-bounded input today, but free safety)
             "rnk",
-            F.row_number()
+            F.rank()
             .over(Window.orderBy(F.abs(chg).desc(), "brand"))
             .cast("bigint"),
         )
