@@ -743,7 +743,35 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded tokens; zero pairwise computation. The standard choice when
     even LSH candidate joins are too hot.
     """
-    return simhash_signatures_df(table_parallel(spark, sf_dir, "documents"))
+    return _simhash_signatures(spark, sf_dir)
+
+
+# Process-local landing memo, same contract as _LANDED_SIG_DIRS.
+_LANDED_SIMHASH_DIRS: dict[str, str] = {}
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus (doc_id, simhash) frame as a shared bucketed landing —
+    three consumers (q_simhash, q_simhash_hamming, and through it
+    q_dedup_method_agreement) re-paid the exploded-token vote
+    aggregation (~0.9 s at sf0.1); same derive-once pattern as
+    _minhash_signatures."""
+    from data_engineering_project_spotify_app_spark.sources.bucketed import (
+        land_bucketed,
+    )
+
+    name = _LANDED_SIMHASH_DIRS.get(sf_dir)
+    if name is None:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        name = f"simhash_signatures_{digest}"
+        land_bucketed(
+            simhash_signatures_df(table_parallel(spark, sf_dir, "documents")),
+            name,
+            "doc_id",
+            SIG_BUCKETS,
+        )
+        _LANDED_SIMHASH_DIRS[sf_dir] = name
+    return spark.table(name)
 
 
 def simhash_signatures_df(docs: DataFrame) -> DataFrame:
@@ -848,20 +876,28 @@ def q_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block, bkey, doc_id, simhash), pairs generated array-side inside
     capped buckets, then an exact verify on 128 chars per pair.
     """
-    d = table_parallel(spark, sf_dir, "documents")
     cap = table(spark, sf_dir, "documents").agg(
         _auto_cap(F.count("*")).alias("bucket_cap")
     )
-    return simhash_hamming_pairs_df(d, cap_df=cap)
+    return simhash_hamming_pairs_df(
+        cap_df=cap, sig=_simhash_signatures(spark, sf_dir)
+    )
 
 
 def simhash_hamming_pairs_df(
-    docs: DataFrame, cap_df: DataFrame | None = None
+    docs: DataFrame | None = None,
+    cap_df: DataFrame | None = None,
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """SimHash Hamming pairs from a (doc_id, text) frame — see
     q_simhash_hamming. ``cap_df`` is an optional 1-row (bucket_cap)
-    frame; None disables the skew cap (tests / pre-capped inputs)."""
-    sig = simhash_signatures_df(docs)
+    frame; None disables the skew cap (tests / pre-capped inputs).
+    ``sig`` short-circuits the fingerprint build with a precomputed
+    (doc_id, simhash) frame (the shared landing)."""
+    if sig is None:
+        if docs is None:
+            raise ValueError("simhash_hamming_pairs_df needs docs or sig")
+        sig = simhash_signatures_df(docs)
     # Convert the 64-char bit string ONCE PER DOC into two bigint
     # halves (each ≤ 2^32 — no signed-overflow risk) so the per-PAIR
     # verify below is two xor+popcounts instead of 64 substring
