@@ -392,12 +392,14 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_distinct(F.collect_list("l_partkey")).alias("ps"))
-        .persist()
+    from data_engineering_project_spotify_app_spark.operators.graphs import (
+        landed_part_baskets,
     )
+
+    # The shared basket landing replaces the per-query groupBy build
+    # (and the persist that guarded its two consumers — both now read
+    # the at-rest table).
+    baskets = landed_part_baskets(spark, sf_dir)
     pair = F.explode(
         F.expr(
             "flatten(transform(ps, x -> transform("

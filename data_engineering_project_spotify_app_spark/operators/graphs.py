@@ -59,6 +59,39 @@ _EDGES_SQL = """
 """
 
 
+# Process-local landing memo (same contract as _LANDED_EDGE_DIRS below).
+_LANDED_BASKET_DIRS: dict[str, str] = {}
+
+
+def landed_part_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order distinct part baskets (l_orderkey, ps) as a shared
+    bucketed landing — the frame BOTH the co-purchase edge build and
+    the item-CF recommender start from (one groupBy over lineitem that
+    every consumer used to re-pay). Bucketed by l_orderkey; per-row
+    payload is order-size-bounded (≤ 7 parts in TPC-H-shaped data)."""
+    from data_engineering_project_spotify_app_spark.sources.bucketed import (
+        land_bucketed,
+    )
+
+    name = _LANDED_BASKET_DIRS.get(sf_dir)
+    if name is None:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        name = f"part_baskets_{digest}"
+        li = table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
+        )
+        land_bucketed(
+            li.groupBy("l_orderkey").agg(
+                F.array_distinct(F.collect_list("l_partkey")).alias("ps")
+            ),
+            name,
+            "l_orderkey",
+            EDGE_BUCKETS,
+        )
+        _LANDED_BASKET_DIRS[sf_dir] = name
+    return spark.table(name)
+
+
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct directed edge list (src, dst), both directions.
 
@@ -72,10 +105,7 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     regardless of corpus size. Both orientations are emitted so
     consumers never need a mirror union.
     """
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    grp = li.groupBy("l_orderkey").agg(
-        F.array_distinct(F.collect_list("l_partkey")).alias("ps")
-    )
+    grp = landed_part_baskets(spark, sf_dir)
     pairs = (
         grp.select(
             F.explode(
