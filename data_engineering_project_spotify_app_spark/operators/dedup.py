@@ -130,27 +130,34 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, source, shingle) is the shuffle key; per-doc shingles are
     distinct so each common shingle contributes exactly 1 to |A∩B|.
     """
-    return ngram_jaccard_pairs(table_parallel(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(grams=_bigram_grams(spark, sf_dir))
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, df_cap: int | str | None = None
+    docs: DataFrame | None = None,
+    df_cap: int | str | None = None,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Bigram-Jaccard near-dup pairs over a (doc_id, lang, source, text)
     frame; ``df_cap`` drops shingles with per-shard doc-frequency above
     the cap before pair generation (the production skew guard — see
     q_dedup_ngram_jaccard_capped). An int caps absolutely; ``"auto"``
-    uses max(CAP_FLOOR, n_docs/CAP_DIVISOR) computed in-plan.
+    uses max(CAP_FLOOR, n_docs/CAP_DIVISOR) computed in-plan. ``grams``
+    short-circuits the tokenize+shingle pass with a precomputed
+    (doc_id, lang, source, bg) frame (the shared landing).
     """
-    # materialize the token array BEFORE shingling: expression trees that
-    # reference tokens() inline would re-run the regex split per
-    # element_at call inside the transform lambda (measured 10x slowdown)
-    toks = docs.select(
-        "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
-    )
-    grams = toks.select(
-        "doc_id", "lang", "source", word_bigrams(F.col("tok")).alias("bg")
-    )
+    if grams is None:
+        if docs is None:
+            raise ValueError("ngram_jaccard_pairs needs docs or grams")
+        # materialize the token array BEFORE shingling: expression trees
+        # that reference tokens() inline would re-run the regex split per
+        # element_at call inside the transform lambda (measured 10x)
+        toks = docs.select(
+            "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
+        )
+        grams = toks.select(
+            "doc_id", "lang", "source", word_bigrams(F.col("tok")).alias("bg")
+        )
     # carry |shingles(doc)| on every exploded row (size() before explode is
     # free) so no join-back-to-counts is needed after the pair aggregation
     sh = grams.select(
@@ -182,7 +189,7 @@ def ngram_jaccard_pairs(
         .filter(F.size("ds") > 1)
     )
     if df_cap == "auto":
-        cap = docs.agg(_auto_cap(F.count("*")).alias("df_cap"))
+        cap = grams.agg(_auto_cap(F.count("*")).alias("df_cap"))
         buckets = buckets.crossJoin(F.broadcast(cap)).filter(
             F.size("ds") <= F.col("df_cap")
         )
@@ -267,7 +274,7 @@ def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported.
     """
     return ngram_jaccard_pairs(
-        table_parallel(spark, sf_dir, "documents"), df_cap="auto"
+        df_cap="auto", grams=_bigram_grams(spark, sf_dir)
     )
 
 
@@ -400,6 +407,42 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             SIG_BUCKETS,
         )
         _LANDED_SIG_DIRS[sf_dir] = name
+    return spark.table(name)
+
+
+# Process-local landing memo for the word-bigram frame.
+_LANDED_BIGRAM_DIRS: dict[str, str] = {}
+
+
+def _bigram_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus word-bigram SET frame (doc_id, lang, source, bg) as a
+    shared bucketed landing — five consumers (exact/capped Jaccard,
+    prefix join, containment join, calibration truth, weighted Jaccard)
+    each re-paid the tokenize+shingle pass; same derive-once pattern as
+    _minhash_signatures. One row per document (bg is the per-doc array),
+    bucketed by doc_id."""
+    from data_engineering_project_spotify_app_spark.sources.bucketed import (
+        land_bucketed,
+    )
+
+    name = _LANDED_BIGRAM_DIRS.get(sf_dir)
+    if name is None:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        name = f"word_bigrams_{digest}"
+        docs = table_parallel(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
+        )
+        land_bucketed(
+            toks.select(
+                "doc_id", "lang", "source",
+                word_bigrams(F.col("tok")).alias("bg"),
+            ),
+            name,
+            "doc_id",
+            SIG_BUCKETS,
+        )
+        _LANDED_BIGRAM_DIRS[sf_dir] = name
     return spark.table(name)
 
 
@@ -1192,11 +1235,11 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         two_phase_global_rank,
     )
 
-    docs = table_parallel(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-    sets = toks.select(
-        "doc_id", word_bigrams(F.col("tok")).alias("bg")
-    ).filter(F.size("bg") > 0)
+    sets = (
+        _bigram_grams(spark, sf_dir)
+        .select("doc_id", "bg")
+        .filter(F.size("bg") > 0)
+    )
     sh = sets.select("doc_id", F.explode("bg").alias("sh"))
     dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     ranked = two_phase_global_rank(
@@ -1322,13 +1365,7 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ultra-common shingle's C(df, 2) explosion is the one serialized
     task at 100 TB); integer cross-multiplied threshold.
     """
-    docs = table_parallel(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
-    )
-    grams = toks.select(
-        "doc_id", "lang", "source", word_bigrams(F.col("tok")).alias("bg")
-    )
+    grams = _bigram_grams(spark, sf_dir)
     sh = grams.select(
         "doc_id",
         "lang",
@@ -1336,7 +1373,7 @@ def q_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("bg").cast("bigint").alias("n"),
         F.explode("bg").alias("shingle"),
     )
-    cap = docs.agg(_auto_cap(F.count("*")).alias("df_cap"))
+    cap = grams.agg(_auto_cap(F.count("*")).alias("df_cap"))  # 1 row/doc
     buckets = (
         sh.groupBy("lang", "source", "shingle")
         .agg(
@@ -1441,13 +1478,11 @@ def q_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     All counts are integers; precision/recall are single exact
     divisions rounded to 4dp.
     """
-    docs = table_parallel(spark, sf_dir, "documents")
     cand = minhash_candidate_pairs(spark, sf_dir).select(
         "doc_a", "doc_b", F.lit(True).alias("is_c")
     )
 
-    toks = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-    grams = toks.select("doc_id", word_bigrams(F.col("tok")).alias("bg"))
+    grams = _bigram_grams(spark, sf_dir).select("doc_id", "bg")
     sh = grams.select(
         "doc_id",
         F.size("bg").cast("bigint").alias("n"),
@@ -1614,11 +1649,13 @@ def q_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets (one extra explode over bucket doc-lists, no second
     tokenize pass). |A∪B| folds as dwa + dwb − wcommon.
     """
-    return weighted_jaccard_pairs(table_parallel(spark, sf_dir, "documents"))
+    return weighted_jaccard_pairs(grams=_bigram_grams(spark, sf_dir))
 
 
 def weighted_jaccard_pairs(
-    docs: DataFrame, df_cap: int | str | None = None
+    docs: DataFrame | None = None,
+    df_cap: int | str | None = None,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """IDF-weighted Jaccard pairs over a (doc_id, lang, source, text)
     frame; see q_weighted_jaccard. ``df_cap`` is the production skew
@@ -1628,16 +1665,20 @@ def weighted_jaccard_pairs(
     share ONLY ultra-common shingles are the (deliberate) recall cost,
     and those are precisely the pairs IDF weighting already scores ≈ 0.
     """
-    toks = docs.select(
-        "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
-    )
-    grams = toks.select(
-        "doc_id", "lang", "source", word_bigrams(F.col("tok")).alias("bg")
-    )
+    if grams is None:
+        if docs is None:
+            raise ValueError("weighted_jaccard_pairs needs docs or grams")
+        toks = docs.select(
+            "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
+        )
+        grams = toks.select(
+            "doc_id", "lang", "source",
+            word_bigrams(F.col("tok")).alias("bg"),
+        )
     sh = grams.select(
         "doc_id", "lang", "source", F.explode("bg").alias("shingle")
     )
-    n_docs = docs.agg(F.count("*").alias("n"))
+    n_docs = grams.agg(F.count("*").alias("n"))  # one row per doc
     buckets = (
         sh.groupBy("lang", "source", "shingle")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
