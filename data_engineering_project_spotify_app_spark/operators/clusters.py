@@ -187,6 +187,38 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
+_CLUSTER_SIZE_HIST_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTERS_CTES},
+    sizes AS (
+      SELECT cluster_id, count(*) AS n FROM cc GROUP BY 1
+    )
+    SELECT CAST(n AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+    """
+
+
+@query("q_cluster_size_histogram", oracle=_CLUSTER_SIZE_HIST_ORACLE)
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many connected
+    components of each size (and the docs they hold) — the dedup QA
+    chart that separates a healthy corpus (mass at size 1, thin tail)
+    from a template-farm crawl (a few huge components). A fat tail here
+    is also the capacity warning for any per-cluster pairwise stage.
+
+    Two hash re-aggregations over the cluster labeling (|clusters| then
+    |distinct sizes| rows) — strictly shrinking shuffles on top of the
+    registered CC operator.
+    """
+    cc = q_dedup_clusters(spark, sf_dir)
+    sizes = cc.groupBy("cluster_id").agg(F.count("*").alias("n"))
+    return sizes.groupBy(F.col("n").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n").alias("n_docs"),
+    )
+
+
 _KEEP_BEST_ORACLE = f"""
     WITH RECURSIVE {_CLUSTERS_CTES},
     ranked AS (
