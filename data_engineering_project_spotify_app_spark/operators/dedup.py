@@ -24,8 +24,6 @@ hatch needed.
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -373,10 +371,6 @@ _MINHASH_ORACLE = f"""
     """
 
 
-# sf_dirs whose signature landing THIS process has already written —
-# process-local like graphs._LANDED_EDGE_DIRS, so a table left by a
-# previous process is overwritten on first use, never trusted stale.
-_LANDED_SIG_DIRS: dict[str, str] = {}
 SIG_BUCKETS = 32
 
 
@@ -393,25 +387,19 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, so every consumer reads bit-identical values.
     """
     from data_engineering_project_spotify_app_spark.sources.bucketed import (
-        land_bucketed,
+        landed_frame,
     )
 
-    name = _LANDED_SIG_DIRS.get(sf_dir)
-    if name is None:
-        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        name = f"minhash_signatures_{digest}"
-        land_bucketed(
-            minhash_signatures_df(table_parallel(spark, sf_dir, "documents")),
-            name,
-            "doc_id",
-            SIG_BUCKETS,
-        )
-        _LANDED_SIG_DIRS[sf_dir] = name
-    return spark.table(name)
-
-
-# Process-local landing memo for the word-bigram frame.
-_LANDED_BIGRAM_DIRS: dict[str, str] = {}
+    return landed_frame(
+        spark,
+        sf_dir,
+        "minhash_signatures",
+        "doc_id",
+        SIG_BUCKETS,
+        lambda: minhash_signatures_df(
+            table_parallel(spark, sf_dir, "documents")
+        ),
+    )
 
 
 def _bigram_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -422,28 +410,22 @@ def _bigram_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     _minhash_signatures. One row per document (bg is the per-doc array),
     bucketed by doc_id."""
     from data_engineering_project_spotify_app_spark.sources.bucketed import (
-        land_bucketed,
+        landed_frame,
     )
 
-    name = _LANDED_BIGRAM_DIRS.get(sf_dir)
-    if name is None:
-        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        name = f"word_bigrams_{digest}"
+    def build():
         docs = table_parallel(spark, sf_dir, "documents")
         toks = docs.select(
             "doc_id", "lang", "source", tokens(F.col("text")).alias("tok")
         )
-        land_bucketed(
-            toks.select(
-                "doc_id", "lang", "source",
-                word_bigrams(F.col("tok")).alias("bg"),
-            ),
-            name,
-            "doc_id",
-            SIG_BUCKETS,
+        return toks.select(
+            "doc_id", "lang", "source",
+            word_bigrams(F.col("tok")).alias("bg"),
         )
-        _LANDED_BIGRAM_DIRS[sf_dir] = name
-    return spark.table(name)
+
+    return landed_frame(
+        spark, sf_dir, "word_bigrams", "doc_id", SIG_BUCKETS, build
+    )
 
 
 def minhash_signatures_df(docs: DataFrame) -> DataFrame:
@@ -513,9 +495,9 @@ def minhash_candidate_pairs(
     except within a bucket, which ``bucket_cap`` bounds (see
     q_minhash_lsh_capped).
     """
-    # "auto" cap counts the cheap documents scan, NOT the sig frame —
-    # a second consumer of sig would recompute the whole shingle+minhash
-    # aggregation (no subplan sharing across consumers).
+    # "auto" cap counts the cheap documents scan, NOT the sig frame;
+    # sig is the at-rest landing now, so a second consumer is only a
+    # table scan, but the raw documents count is cheaper still.
     cap_df = (
         table(spark, sf_dir, "documents") if bucket_cap == "auto" else None
     )
@@ -678,10 +660,12 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(J(1-J)/K) ≈ 0.12 at K=16 — tests bound the error against exact
     bigram Jaccard.
     """
-    sig = _minhash_signatures(spark, sf_dir)
     # the signature table feeds three consumers (bands → pairs, and both
-    # sides of the scoring join): materialize it once
-    sig = sig.localCheckpoint(eager=False)
+    # sides of the scoring join); it is the at-rest landing, so each
+    # consumer is a bucketed table scan — the localCheckpoint that once
+    # stopped a triple recompute would now just copy the parquet into
+    # executor block storage
+    sig = _minhash_signatures(spark, sf_dir)
 
     band_structs = []
     for band in range(N_BANDS):
@@ -789,10 +773,6 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _simhash_signatures(spark, sf_dir)
 
 
-# Process-local landing memo, same contract as _LANDED_SIG_DIRS.
-_LANDED_SIMHASH_DIRS: dict[str, str] = {}
-
-
 def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus (doc_id, simhash) frame as a shared bucketed landing —
     three consumers (q_simhash, q_simhash_hamming, and through it
@@ -800,21 +780,19 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation (~0.9 s at sf0.1); same derive-once pattern as
     _minhash_signatures."""
     from data_engineering_project_spotify_app_spark.sources.bucketed import (
-        land_bucketed,
+        landed_frame,
     )
 
-    name = _LANDED_SIMHASH_DIRS.get(sf_dir)
-    if name is None:
-        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        name = f"simhash_signatures_{digest}"
-        land_bucketed(
-            simhash_signatures_df(table_parallel(spark, sf_dir, "documents")),
-            name,
-            "doc_id",
-            SIG_BUCKETS,
-        )
-        _LANDED_SIMHASH_DIRS[sf_dir] = name
-    return spark.table(name)
+    return landed_frame(
+        spark,
+        sf_dir,
+        "simhash_signatures",
+        "doc_id",
+        SIG_BUCKETS,
+        lambda: simhash_signatures_df(
+            table_parallel(spark, sf_dir, "documents")
+        ),
+    )
 
 
 def simhash_signatures_df(docs: DataFrame) -> DataFrame:

@@ -178,9 +178,13 @@ def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pair set comes from the shared landed signature frame (built
     once per corpus for the whole LSH family); member ids are two
-    projections + a distinct (bounded by |pairs|), then one broadcast
-    semi-enrichment onto the documents scan and a |sources|-group
-    aggregate. No new pairwise work.
+    projections + a distinct (bounded by |pairs|), then one
+    left-enrichment onto the documents scan and a |sources|-group
+    aggregate. No new pairwise work. The member frame carries NO
+    broadcast hint: on a dup-heavy corpus — exactly when this QA
+    report gets run — |members| approaches |documents|, so the join
+    must be allowed to degrade to a co-partitioned shuffle; AQE still
+    broadcasts it at runtime while it is small.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     pairs = minhash_candidate_pairs(spark, sf_dir)
@@ -191,7 +195,7 @@ def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("is_dup", F.lit(1))
     )
     return (
-        d.join(F.broadcast(members), "doc_id", "left")
+        d.join(members, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -225,9 +229,12 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     train source; the diagonal is within-source redundancy.
 
     The id→source map is built only for docs that APPEAR in pairs
-    (semi-join prune), so the two enrichment joins broadcast a
-    |pair-members|-sized frame instead of shuffling the documents
-    table; the result is a |sources|²-bounded matrix.
+    (semi-join prune), so the enrichment joins carry a
+    |pair-members|-sized frame instead of the documents table; the
+    result is a |sources|²-bounded matrix. No broadcast hints: on a
+    dup-heavy corpus |members| is a corpus fraction, so the joins must
+    be allowed to degrade to co-partitioned shuffles — AQE broadcasts
+    at runtime while the map is genuinely small.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     pairs = minhash_candidate_pairs(spark, sf_dir)
@@ -236,7 +243,7 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    src_map = d.join(F.broadcast(members), "doc_id", "leftsemi")
+    src_map = d.join(members, "doc_id", "leftsemi")
     sa = src_map.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
     )
@@ -244,8 +251,8 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b")
     )
     return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .groupBy(
             F.least("src_a", "src_b").alias("source_x"),
             F.greatest("src_a", "src_b").alias("source_y"),

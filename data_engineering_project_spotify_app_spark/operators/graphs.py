@@ -34,8 +34,6 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
@@ -59,37 +57,28 @@ _EDGES_SQL = """
 """
 
 
-# Process-local landing memo (same contract as _LANDED_EDGE_DIRS below).
-_LANDED_BASKET_DIRS: dict[str, str] = {}
-
-
 def landed_part_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order distinct part baskets (l_orderkey, ps) as a shared
     bucketed landing — the frame BOTH the co-purchase edge build and
     the item-CF recommender start from (one groupBy over lineitem that
     every consumer used to re-pay). Bucketed by l_orderkey; per-row
-    payload is order-size-bounded (≤ 7 parts in TPC-H-shaped data)."""
+    payload is order-size-bounded (≤ 7 parts in TPC-H-shaped data).
+    Derive-once contract: sources/bucketed.landed_frame."""
     from data_engineering_project_spotify_app_spark.sources.bucketed import (
-        land_bucketed,
+        landed_frame,
     )
 
-    name = _LANDED_BASKET_DIRS.get(sf_dir)
-    if name is None:
-        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        name = f"part_baskets_{digest}"
+    def build():
         li = table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_partkey"
         )
-        land_bucketed(
-            li.groupBy("l_orderkey").agg(
-                F.array_distinct(F.collect_list("l_partkey")).alias("ps")
-            ),
-            name,
-            "l_orderkey",
-            EDGE_BUCKETS,
+        return li.groupBy("l_orderkey").agg(
+            F.array_distinct(F.collect_list("l_partkey")).alias("ps")
         )
-        _LANDED_BASKET_DIRS[sf_dir] = name
-    return spark.table(name)
+
+    return landed_frame(
+        spark, sf_dir, "part_baskets", "l_orderkey", EDGE_BUCKETS, build
+    )
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,12 +115,6 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data / 512 MB" sizing note in sources/bucketed.py.
 EDGE_BUCKETS = 16
 
-# sf_dirs whose edge landing THIS process has already written. The set
-# is process-local on purpose: a table left by a previous process may
-# be stale against regenerated testdata, so the first graph query per
-# process re-lands (mode=overwrite); every later one reads it back.
-_LANDED_EDGE_DIRS: dict[str, str] = {}
-
 
 def landed_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-purchase edge frame as a shared, bucketed, at-rest table.
@@ -146,22 +129,18 @@ def landed_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-rest inverted lists: derive once, probe many.
     """
     from data_engineering_project_spotify_app_spark.sources.bucketed import (
-        land_bucketed,
+        landed_frame,
     )
 
-    name = _LANDED_EDGE_DIRS.get(sf_dir)
-    if name is None:
-        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        name = f"copurchase_edges_{digest}"
-        land_bucketed(
-            copurchase_edges(spark, sf_dir),
-            name,
-            "src",
-            EDGE_BUCKETS,
-            sort_cols=["src", "dst"],
-        )
-        _LANDED_EDGE_DIRS[sf_dir] = name
-    return spark.table(name)
+    return landed_frame(
+        spark,
+        sf_dir,
+        "copurchase_edges",
+        "src",
+        EDGE_BUCKETS,
+        lambda: copurchase_edges(spark, sf_dir),
+        sort_cols=["src", "dst"],
+    )
 
 
 @query(

@@ -85,3 +85,70 @@ def drop_landed(spark: SparkSession, *table_names: str) -> None:
     """Drop managed landings (test hygiene / TTL'd staging parity)."""
     for name in table_names:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# ---------------------------------------------------------------------------
+# Shared derive-once landings
+#
+# Several operator families consume the same derived frame (co-purchase
+# edges, part baskets, minhash/simhash signatures, word bigrams); Spark
+# shares no subplans across separate query executions, so each consumer
+# used to re-pay the derivation. landed_frame() lands a derivation ONCE
+# per (prefix, corpus) as a bucketed managed table and hands every later
+# consumer a table scan.
+#
+# Contract:
+# - The memo is PROCESS-LOCAL on purpose: a managed table left by a
+#   previous process may be stale against regenerated testdata, so the
+#   first consumer in each process re-lands (mode=overwrite) rather than
+#   trust the catalog (pinned in tests/test_landings.py).
+# - Within a process the landing is immutable: regenerating the corpus
+#   at the SAME sf_dir mid-process is unsupported — call
+#   invalidate_landings() (or restart) after rewriting testdata.
+# - Single-writer: two processes sharing one warehouse dir must not
+#   land the same (prefix, sf_dir) concurrently (same md5-derived table
+#   name; an overwrite can race another process's read). The bench /
+#   driver / test flows are all single-process per warehouse.
+# - Constructing a query DataFrame that consumes a landing triggers the
+#   one-time write as a side effect (plan-only callers pay it once per
+#   process; it is what makes the plan a bucketed table scan at all).
+# ---------------------------------------------------------------------------
+
+from collections.abc import Callable  # noqa: E402
+
+_LANDED: dict[tuple[str, str], str] = {}
+
+
+def landed_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    bucket_col: str,
+    n_buckets: int,
+    build: Callable[[], DataFrame],
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """The derive-once landing: on first use per (prefix, sf_dir) in
+    this process, land ``build()`` via land_bucketed under a
+    corpus-digested table name; afterwards return the table."""
+    import hashlib
+
+    key = (prefix, sf_dir)
+    name = _LANDED.get(key)
+    if name is None:
+        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        name = f"{prefix}_{digest}"
+        land_bucketed(build(), name, bucket_col, n_buckets, sort_cols)
+        _LANDED[key] = name
+    return spark.table(name)
+
+
+def invalidate_landings(sf_dir: str | None = None) -> None:
+    """Forget this process's landing memos (all, or one corpus) so the
+    next consumer re-lands — required after regenerating testdata at an
+    sf_dir this process has already landed."""
+    if sf_dir is None:
+        _LANDED.clear()
+    else:
+        for key in [k for k in _LANDED if k[1] == sf_dir]:
+            del _LANDED[key]

@@ -52,11 +52,16 @@ class StreamingLineDedupSink(DeltaChainStore):
     DELTA_PREFIX = "digests_e"
 
     def __init__(
-        self, spark: SparkSession, out_dir: str, k: int = LINE_TOKENS
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        k: int = LINE_TOKENS,
+        dedupe_guard: bool = True,
     ) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.k = k
+        self.dedupe_guard = dedupe_guard
 
     def _docs_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"docs_e{epoch_id}")
@@ -99,13 +104,19 @@ class StreamingLineDedupSink(DeltaChainStore):
         # re-log the document into a second docs_e log (clean_docs()
         # would return it twice, with all its lines dropped as "already
         # kept"). The digest store has no doc ids, so the guard probes
-        # the committed docs logs' doc_id column — a pruned single-
-        # column read; at 100 TB the docs log is a table bucketed by
-        # doc_id and this is a broadcast semi probe.
+        # the committed docs logs' doc_id column. COST MODEL, stated
+        # honestly: a single-column (column-pruned) read of every
+        # committed docs log per epoch — O(docs logged) per epoch on
+        # this format-free layout; at 100 TB the docs log is a table
+        # bucketed by doc_id where the broadcast semi probe prunes to
+        # matching buckets. At-most-once ingest pipelines can construct
+        # the sink with dedupe_guard=False and skip the probe.
         batch = batch_df.dropDuplicates(["doc_id"])
-        seen_epochs = [
-            e for e in self._committed_ids("docs_e") if e < epoch_id
-        ]
+        seen_epochs = (
+            [e for e in self._committed_ids("docs_e") if e < epoch_id]
+            if self.dedupe_guard
+            else []
+        )
         if seen_epochs:
             prior_ids = self.spark.read.parquet(
                 *[self._docs_dir(e) for e in seen_epochs]
@@ -184,6 +195,7 @@ def maintain_line_dedup(
     name: str,
     k: int = LINE_TOKENS,
     checkpoint_dir: str | None = None,
+    dedupe_guard: bool = True,
 ):
     """Attach the streaming line-dedup maintainer to a document stream;
     returns (query, sink) so callers read ``sink.clean_docs()``.
@@ -192,7 +204,9 @@ def maintain_line_dedup(
     — see maintain_lsh_store: without durable monotone epoch ids a
     restarted query lands new files on already-marked epochs and
     silently drops them."""
-    sink = StreamingLineDedupSink(spark, out_dir, k=k)
+    sink = StreamingLineDedupSink(
+        spark, out_dir, k=k, dedupe_guard=dedupe_guard
+    )
     q = (
         stream_df.writeStream.outputMode("append")
         .queryName(name)

@@ -28,16 +28,18 @@ def test_landing_overwrites_stale_cross_process_table(spark, sf_dir):
     """A table left by a PREVIOUS process (memo empty) must be re-landed
     on first use, not trusted — regenerated testdata would otherwise be
     silently served from the stale catalog entry."""
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
     want = sorted(
         tuple(r)
         for r in graphs.landed_copurchase_edges(spark, sf_dir).collect()
     )
-    name = graphs._LANDED_EDGE_DIRS[sf_dir]
+    name = bucketed._LANDED[("copurchase_edges", sf_dir)]
     # simulate the stale leftover: same table name, junk contents
     spark.createDataFrame([(999999, 999998)], "src long, dst long").write.mode(
         "overwrite"
     ).format("parquet").saveAsTable(name)
-    graphs._LANDED_EDGE_DIRS.pop(sf_dir)  # "new process": memo empty
+    bucketed.invalidate_landings(sf_dir)  # "new process": memo empty
     got = sorted(
         tuple(r)
         for r in graphs.landed_copurchase_edges(spark, sf_dir).collect()
