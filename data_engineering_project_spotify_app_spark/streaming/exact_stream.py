@@ -1,0 +1,160 @@
+"""Streaming exact-content dedup: the streaming twin of
+``q_dedup_exact`` (operators/dedup.py:78), completing the dedup
+ladder's streaming story (exact here, MinHash-LSH in dedup_stream.py,
+C4 line dedup in linedup_stream.py, ANN index in ann_stream.py).
+
+The batch semantics — group by md5(text), keep min doc_id, count
+copies — are MERGEABLE AGGREGATES (min and sum are order- and
+split-invariant), so unlike the line-dedup twin this equivalence needs
+no ingest-order assumption: for ANY micro-batch split of the corpus,
+re-aggregating the union of per-epoch deltas equals the batch
+recompute exactly (pinned in tests/test_streaming_dedup.py).
+
+State is the usual append-only delta chain (delta_chain.py): epoch N
+appends only its own batch's (text_hash, keep_id, n_copies) triples —
+O(|delta|) rows, 16-byte digest key, uniform by construction. Readers
+re-aggregate on read (one hash agg over base+deltas); compact() folds
+the chain into a PRE-MERGED base, so the at-rest state stays
+O(distinct hashes) rather than O(Σ deltas).
+
+Cross-epoch duplicate-id guard (mirror of the other sinks'): the hash
+state collapses doc_ids away, so re-delivery detection needs its own
+record — a per-epoch single-column ids log, probed with a broadcast
+semi-join. Same honest cost model as the LSH sink: a column-pruned
+O(ids logged) scan per epoch on this format-free layout (a bucketed
+ids table prunes it at 100 TB); at-most-once pipelines pass
+``dedupe_guard=False`` and skip both the probe and the ids log.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_engineering_project_spotify_app_spark.streaming.delta_chain import (
+    DeltaChainStore,
+)
+from data_engineering_project_spotify_app_spark.streaming.sinks import (
+    resolve_checkpoint,
+)
+
+
+class StreamingExactDedupSink(DeltaChainStore):
+    """foreachBatch maintainer of the exact-dedup hash state. Marker
+    order inside an epoch: ids log first, then the state delta — a
+    committed delta implies its ids are durable, which keeps the guard
+    sound across retries (a replayed epoch's guard only reads epochs
+    strictly before it)."""
+
+    DELTA_PREFIX = "exact_e"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        dedupe_guard: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.out_dir = out_dir
+        self.dedupe_guard = dedupe_guard
+
+    def _ids_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.out_dir, f"ids_e{epoch_id}")
+
+    def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
+        delta_dir = self._delta_dir(epoch_id)
+        ids_dir = self._ids_dir(epoch_id)
+        base = self._base_epoch()
+        if self._committed(delta_dir) or (
+            base is not None and base >= epoch_id
+        ):
+            return  # replayed epoch: delta durable (or folded)
+        batch = batch_df.dropDuplicates(["doc_id"])
+        if self.dedupe_guard:
+            seen_epochs = [
+                e
+                for e in self._committed_ids("ids_e")
+                if e < epoch_id
+            ]
+            if seen_epochs:
+                prior_ids = self.spark.read.parquet(
+                    *[self._ids_dir(e) for e in seen_epochs]
+                ).select("doc_id")
+                already = prior_ids.join(
+                    F.broadcast(batch.select("doc_id")), "doc_id", "leftsemi"
+                ).distinct()
+                batch = batch.join(
+                    F.broadcast(already), "doc_id", "left_anti"
+                )
+            batch.select("doc_id").write.mode("overwrite").parquet(ids_dir)
+            self._mark(ids_dir)
+        delta = (
+            batch.select(F.md5("text").alias("text_hash"), "doc_id")
+            .groupBy("text_hash")
+            .agg(
+                F.min("doc_id").alias("keep_id"),
+                F.count("*").alias("n_copies"),
+            )
+        )
+        delta.write.mode("overwrite").parquet(delta_dir)
+        self._mark(delta_dir)
+
+    def current_state(self) -> DataFrame | None:
+        """The streamed equivalent of the batch q_dedup_exact result:
+        re-aggregate the delta chain (min/sum are mergeable, so this is
+        one hash agg regardless of how many epochs contributed)."""
+        store = self.read_store()
+        if store is None:
+            return None
+        return store.groupBy("text_hash").agg(
+            F.min("keep_id").alias("keep_id"),
+            F.sum("n_copies").alias("n_copies"),
+        )
+
+    def compact(self) -> list[int]:
+        """Fold committed deltas into a PRE-MERGED base (the mergeable
+        aggregates make the merged form equivalent for every reader),
+        so the at-rest state is O(distinct hashes), then run the
+        inherited sweep for the delta/base debris."""
+        deltas = self.committed_delta_epochs()
+        if not deltas:
+            return super().compact()  # debris sweep only
+        target = max(deltas)
+        merged = self.current_state()
+        merged.write.mode("overwrite").parquet(self._base_dir(target))
+        self._mark(self._base_dir(target))
+        import shutil
+
+        for v in self._all_ids(self.DELTA_PREFIX):
+            if v <= target:
+                shutil.rmtree(self._delta_dir(v), ignore_errors=True)
+        for b in self._all_ids(self.BASE_PREFIX):
+            if b != target:
+                shutil.rmtree(self._base_dir(b), ignore_errors=True)
+        return deltas
+
+
+def maintain_exact_dedup(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    name: str,
+    checkpoint_dir: str | None = None,
+    dedupe_guard: bool = True,
+):
+    """Attach the exact-dedup maintainer to a document stream; returns
+    (query, sink) so callers read ``sink.current_state()``.
+    checkpointLocation is always set — see maintain_lsh_store."""
+    sink = StreamingExactDedupSink(spark, out_dir, dedupe_guard=dedupe_guard)
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .queryName(name)
+        .option(
+            "checkpointLocation", resolve_checkpoint(out_dir, checkpoint_dir)
+        )
+        .foreachBatch(sink)
+        .start()
+    )
+    return q, sink

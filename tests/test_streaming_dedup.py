@@ -482,3 +482,98 @@ def test_line_dedup_replay_reclaims_staged_debris(spark, tmp_path):
     sink(batch, 0)  # replay: both outputs committed -> early return
     assert not os.path.isdir(staged), "staged debris leaked on replay"
     assert sorted(tuple(r) for r in sink.clean_docs().collect()) == before
+
+
+def _batch_exact(spark, src):
+    from pyspark.sql import functions as F
+
+    full = spark.read.schema(DOC_SCHEMA).json(src)
+    return sorted(
+        (r["text_hash"], r["keep_id"], r["n_copies"])
+        for r in full.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .collect()
+    )
+
+
+def test_streamed_exact_dedup_equals_batch_any_split_order(spark, tmp_path):
+    """Exact dedup's state is mergeable aggregates (min/sum), so the
+    streamed state must equal the batch recompute for ANY micro-batch
+    split — including out-of-order doc_id ingest, which the line-dedup
+    twin cannot claim."""
+    from data_engineering_project_spotify_app_spark.streaming.exact_stream import (
+        StreamingExactDedupSink,
+    )
+
+    docs = _corpus(spark, n=90)
+    # deliberately OUT-OF-ORDER splits + exact duplicates across epochs
+    dup_text = docs[0][1]
+    splits = [
+        docs[60:90],
+        docs[:30] + [(7001, dup_text)],
+        docs[30:60] + [(7000, dup_text)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, batch in enumerate(splits):
+        _drop_docs(src, f"b{i}.json", batch)
+    out = str(tmp_path / "state")
+    sink = StreamingExactDedupSink(spark, out)
+    for e, batch in enumerate(splits):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    got = sorted(tuple(r) for r in sink.current_state().collect())
+    want = _batch_exact(spark, src)
+    assert got == want and got
+    # the duplicated text collapsed to one hash with the min keep_id
+    from pyspark.sql import functions as F
+
+    row = (
+        sink.current_state()
+        .filter(F.col("text_hash") == F.md5(F.lit(dup_text)))
+        .collect()[0]
+    )
+    assert row["n_copies"] >= 3 and row["keep_id"] == docs[0][0]
+    # replay an epoch: no-op
+    before = got
+    sink(spark.createDataFrame(splits[1], DOC_SCHEMA), 1)
+    assert sorted(tuple(r) for r in sink.current_state().collect()) == before
+    # cross-epoch re-delivery of existing doc_ids: guarded, no-op
+    sink(spark.createDataFrame(splits[0][:10], DOC_SCHEMA), 3)
+    assert sorted(tuple(r) for r in sink.current_state().collect()) == before
+    # compact pre-merges the base; state unchanged, replays stay no-ops
+    folded = sink.compact()
+    assert folded == [0, 1, 2, 3]
+    assert sorted(tuple(r) for r in sink.current_state().collect()) == before
+    sink(spark.createDataFrame(splits[2], DOC_SCHEMA), 2)  # folded: no-op
+    assert sorted(tuple(r) for r in sink.current_state().collect()) == before
+    # post-compaction ingest still lands
+    extra = [(8000, "a genuinely new exact stream document")]
+    sink(spark.createDataFrame(extra, DOC_SCHEMA), 4)
+    assert sink.current_state().count() == len(before) + 1
+
+
+def test_streamed_exact_dedup_via_real_stream(spark, tmp_path):
+    from data_engineering_project_spotify_app_spark.streaming.exact_stream import (
+        maintain_exact_dedup,
+    )
+
+    docs = _corpus(spark, n=50)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _drop_docs(src, "b0.json", docs[:25])
+    stream = stream_documents(spark, src, max_files_per_trigger=1)
+    out = str(tmp_path / "state")
+    q, sink = maintain_exact_dedup(spark, stream, out, "exact_stream1")
+    try:
+        q.processAllAvailable()
+        _drop_docs(src, "b1.json", docs[25:])
+        time.sleep(0.1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in sink.current_state().collect())
+    assert got == _batch_exact(spark, src)
