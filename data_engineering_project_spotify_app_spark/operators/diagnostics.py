@@ -259,3 +259,79 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+PAD_BUCKET_TOKENS = 64
+
+_PADDING_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT)
+               AS n_tok
+      FROM documents
+    ),
+    g AS (SELECT max(n_tok) AS gmax FROM t),
+    b AS (
+      SELECT n_tok, n_tok // {PAD_BUCKET_TOKENS} AS bucket FROM t
+    ),
+    per AS (
+      SELECT bucket,
+             count(*) AS n_docs,
+             max(n_tok) AS bucket_max,
+             sum(n_tok) AS sum_tokens
+      FROM b GROUP BY bucket
+    )
+    SELECT CAST(per.bucket AS BIGINT) AS bucket,
+           CAST(per.n_docs AS BIGINT) AS n_docs,
+           CAST(per.bucket_max AS BIGINT) AS bucket_max,
+           CAST(per.sum_tokens AS BIGINT) AS sum_tokens,
+           CAST(per.n_docs * per.bucket_max - per.sum_tokens AS BIGINT)
+             AS pad_bucketed,
+           CAST(per.n_docs * g.gmax - per.sum_tokens AS BIGINT)
+             AS pad_global
+    FROM per, g
+    """
+
+
+@query("q_padding_waste", oracle=_PADDING_ORACLE)
+def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching efficiency: per {PAD_BUCKET_TOKENS}-token
+    length bucket, the padding tokens wasted when batches pad to the
+    bucket max versus to the global max — the standard argument for
+    length-bucketed (or packed) batching in LLM training and the number
+    that sizes the win before anyone reshuffles a 100 TB corpus.
+
+    One token-count scan (JVM regexp), one |buckets|-group aggregate,
+    and the 1-row global max broadcast back — no joins on data-sized
+    frames, no windows.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+        ).cast("bigint").alias("n_tok")
+    )
+    g = t.agg(F.max("n_tok").alias("gmax"))
+    per = (
+        t.withColumn(
+            "bucket", (F.col("n_tok") / PAD_BUCKET_TOKENS).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_tok").alias("bucket_max"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "bucket",
+        "n_docs",
+        "bucket_max",
+        "sum_tokens",
+        (F.col("n_docs") * F.col("bucket_max") - F.col("sum_tokens")).alias(
+            "pad_bucketed"
+        ),
+        (F.col("n_docs") * F.col("gmax") - F.col("sum_tokens")).alias(
+            "pad_global"
+        ),
+    )
