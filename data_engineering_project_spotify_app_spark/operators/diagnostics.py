@@ -335,3 +335,106 @@ def q_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pad_global"
         ),
     )
+
+
+LENGTH_FLOOR_CHARS = 60
+
+_FUNNEL_ORACLE_TEMPLATE = """
+    WITH RECURSIVE {clusters_ctes},
+    exact_keep AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1
+    ),
+    near_keep AS (
+      SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT cc.cluster_id, d.doc_id,
+               row_number() OVER (
+                 PARTITION BY cc.cluster_id
+                 ORDER BY length(d.text) DESC, d.doc_id
+               ) AS rn
+        FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+      ) WHERE rn = 1
+    ),
+    staged AS (
+      SELECT d.doc_id, d.n_chars,
+             CASE
+               WHEN d.n_chars < {floor} THEN 'length'
+               WHEN d.doc_id <> ek.keep_id THEN 'exact_dup'
+               WHEN d.doc_id <> nk.keep_id THEN 'near_dup'
+               ELSE 'kept'
+             END AS stage
+      FROM documents d
+      JOIN exact_keep ek ON ek.h = md5(d.text)
+      JOIN cc ON cc.doc_id = d.doc_id
+      JOIN near_keep nk ON nk.cluster_id = cc.cluster_id
+    )
+    SELECT stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM staged GROUP BY stage
+    """
+
+
+def _funnel_oracle() -> str:
+    from data_engineering_project_spotify_app_spark.operators.clusters import (
+        _CLUSTERS_CTES,
+    )
+
+    return _FUNNEL_ORACLE_TEMPLATE.format(
+        clusters_ctes=_CLUSTERS_CTES, floor=LENGTH_FLOOR_CHARS
+    )
+
+
+@query("q_curation_funnel", oracle=_funnel_oracle())
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation funnel, attributed: every document is
+    charged to the FIRST stage that would drop it — length floor
+    (< {LENGTH_FLOOR_CHARS} chars), exact-duplicate removal (not the
+    min-doc_id of its md5 group), near-duplicate removal (not the
+    keep-best of its MinHash-LSH cluster) — or 'kept'. This is the
+    one-table report a curation team publishes per corpus: how much
+    each rule costs, in documents and characters, with no
+    double-counting across rules.
+
+    Composes the REGISTERED stage operators (q_dedup_exact's keep ids,
+    q_dedup_clusters + keep-best ranking) over the shared signature
+    landing; the final attribution is a CASE over three joined keep
+    frames and one |stages|-group aggregate. The keep/cluster frames
+    are corpus-bounded, so their joins are ordinary co-partitioned
+    equi-joins at 100 TB (no broadcast hints), keyed on doc_id/hash.
+    """
+    from data_engineering_project_spotify_app_spark.operators.clusters import (
+        q_dedup_clusters,
+        q_dedup_keep_best,
+    )
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        q_dedup_exact,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.md5("text").alias("h")
+    )
+    ek = q_dedup_exact(spark, sf_dir).select(
+        F.col("text_hash").alias("h"), F.col("keep_id").alias("ekeep")
+    )
+    cc = q_dedup_clusters(spark, sf_dir)
+    nk = q_dedup_keep_best(spark, sf_dir).select(
+        "cluster_id", F.col("keep_id").alias("nkeep")
+    )
+    stage = (
+        F.when(F.col("n_chars") < LENGTH_FLOOR_CHARS, F.lit("length"))
+        .when(F.col("doc_id") != F.col("ekeep"), F.lit("exact_dup"))
+        .when(F.col("doc_id") != F.col("nkeep"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        d.join(ek, "h")
+        .join(cc, "doc_id")
+        .join(nk, "cluster_id")
+        .select(stage.alias("stage"), "n_chars")
+        .groupBy("stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
