@@ -195,6 +195,9 @@ HEADLINE = [
     "q_winsorize",
     "q_near_dup_rate_by_source",
     "q_cross_source_overlap",
+    "q_cluster_size_histogram",
+    "q_padding_waste",
+    "q_curation_funnel",
 ]
 
 
