@@ -340,7 +340,9 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     simple id-ordered a<b<c wedge-join enumeration: identical
     triangles, identical counts.
     """
-    return triangle_counts(landed_copurchase_edges(spark, sf_dir))
+    return _triangle_counts_from_oadj(
+        landed_oriented_adjacency(spark, sf_dir)
+    )
 
 
 def triangle_counts(edges: DataFrame) -> DataFrame:
@@ -391,6 +393,14 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
       for the counting stage alone.
     """
     pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    oadj = _oriented_adjacency(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    return _triangle_counts_from_oadj(oadj)
+
+
+def _oriented_adjacency(pairs: DataFrame) -> DataFrame:
+    """Degree-ordered oriented adjacency (s, ons) from src<dst pairs —
+    the graph INDEX of the triangle family (each undirected edge points
+    from its lower-(degree, id) endpoint; |N⁺| bounded at O(√|E|))."""
     both = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -405,11 +415,40 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
         F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("s"),
         F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("d"),
     )
-    oadj = (
-        o.groupBy("s")
-        .agg(F.collect_set("d").alias("ons"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return o.groupBy("s").agg(F.collect_set("d").alias("ons"))
+
+
+def landed_oriented_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oriented adjacency as a shared bucketed landing: BOTH
+    triangle consumers (q_triangle_count, q_clustering_coefficient)
+    rebuild the same degree+orientation+collect_set index (~1 s of each
+    query at sf0.1); landing it leaves only the intersect stage per
+    query. Derived from the landed edge table, so the whole chain is
+    derive-once. The neighbor-SET content is deterministic (array order
+    is not, but every consumer is order-insensitive: array_intersect +
+    size)."""
+    from data_engineering_project_spotify_app_spark.sources.bucketed import (
+        landed_frame,
     )
+
+    return landed_frame(
+        spark,
+        sf_dir,
+        "oriented_adjacency",
+        "s",
+        EDGE_BUCKETS,
+        lambda: _oriented_adjacency(
+            landed_copurchase_edges(spark, sf_dir).filter(
+                F.col("src") < F.col("dst")
+            )
+        ),
+    )
+
+
+def _triangle_counts_from_oadj(oadj: DataFrame) -> DataFrame:
+    """The counting stage of the edge-iterator: explode each node's
+    oriented neighbor list, carry the source array, intersect with the
+    destination's list, fold contributions."""
     # The adjacency frame is small in SHUFFLE BYTES (|V| rows), so AQE
     # coalesces it to a handful of partitions — but the work below
     # AMPLIFIES per row (explode to |E| edges, then an O(|N⁺|)
@@ -621,7 +660,7 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the landing removes the derivation from this query entirely).
     edges = landed_copurchase_edges(spark, sf_dir)
     tri = (
-        triangle_counts(edges)
+        _triangle_counts_from_oadj(landed_oriented_adjacency(spark, sf_dir))
         .agg((F.sum("n_triangles") / 3).alias("n_tri"))
     )
     deg = edges.groupBy(F.col("src").alias("node")).agg(

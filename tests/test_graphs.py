@@ -194,12 +194,10 @@ def test_triangle_plan_is_edge_iterator(spark):
     """The counting step must be the codegen array_intersect over
     adjacency arrays, never a join over materialized wedges (the
     wedge-join form shuffled Σ C(outdeg,2) rows — measured 2.4× slower
-    at sf0.1), and the multi-consumer frames (pair list, oriented
-    adjacency) must be CACHED — a lazy persist, so the expensive edge
-    derivation appears as an InMemoryTableScan per extra reference,
-    not as a recomputed join subtree (the prior eager localCheckpoint
-    paid a separate materialization pass; persist measured 2.1×
-    faster, see _triangle_counts_from_pairs)."""
+    at sf0.1), and the multi-consumer oriented adjacency must come from
+    the shared AT-REST landing (both scans of the plan read the
+    oriented_adjacency table; no degree/orientation join subtree is
+    rebuilt inside the query)."""
     import io
     import contextlib
 
@@ -209,7 +207,10 @@ def test_triangle_plan_is_edge_iterator(spark):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "array_intersect" in plan, plan
-    assert "InMemoryTableScan" in plan, plan
+    assert "oriented_adjacency_" in plan, plan
+    # the adjacency index is consumed, not rebuilt: no orientation
+    # machinery (degree count_distinct) survives in this plan
+    assert "count_distinct" not in plan.lower(), plan
 
 
 def test_clustering_coefficient_identities(spark):
