@@ -138,7 +138,7 @@ _COV_ORACLE = f"""
     SELECT i, j,
            round((SUM(xq * yq) / COUNT(*)
                   - (SUM(xq) / COUNT(*)) * (SUM(yq) / COUNT(*)))
-                 / ({COV_SCALE}.0 * {COV_SCALE}.0), 6) AS cov
+                 / ({COV_SCALE}.0 * {COV_SCALE}.0), 6) + 0.0 AS cov
     FROM q
     GROUP BY 1, 2
     """
@@ -150,9 +150,14 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle, 1-based dims), over inputs quantized once to int64
     (floor(x·2^17 + 0.5)): cov(i,j) = (Σxy/n − (Σx/n)(Σy/n)) / 2^34.
 
-    Quantization makes every moment an exact integer sum, so the result
-    is bit-identical at any partition count (see COV_SCALE note). See
-    the module docstring for the scale argument; the whole corpus
+    Output contract: ``cov`` is the covariance of the QUANTIZED inputs,
+    not of the raw floats — quantization perturbs each input by up to
+    2^-18 ≈ 4e-6, so ``cov`` may deviate from unquantized covariance by
+    more than the 6dp rounding grain (~1e-5 worst case). Consumers
+    comparing against an unquantized covariance should expect >1e-6
+    deviations; the trade is exactness: every moment is an exact integer
+    sum, so the result is bit-identical at any partition count (see
+    COV_SCALE note). ``-0.0`` is folded to ``+0.0``. The whole corpus
     reduces to d(d+1)/2 = 2080 rows through one partial-aggregated
     shuffle of O(partitions · d²) tiny tuples.
     """
@@ -168,7 +173,11 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sxy") / F.col("n")
         - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
     ) / F.lit(float(COV_SCALE) * float(COV_SCALE))
-    return agg.select("i", "j", F.round(cov, 6).alias("cov"))
+    # + 0.0 folds IEEE -0.0 to +0.0 (round-3 convention): DuckDB's round()
+    # preserves the sign of a negative value that rounds to zero, while
+    # Spark's round goes through Java BigDecimal which cannot represent
+    # -0.0 — two of the 2080 cells hit this at sf0.01.
+    return agg.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
 
 
 def assemble_covariance(rows: list) -> "object":
