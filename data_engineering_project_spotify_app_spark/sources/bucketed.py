@@ -98,13 +98,17 @@ def drop_landed(spark: SparkSession, *table_names: str) -> None:
 # consumer a table scan.
 #
 # Contract:
-# - The memo is PROCESS-LOCAL on purpose: a managed table left by a
-#   previous process may be stale against regenerated testdata, so the
-#   first consumer in each process re-lands (mode=overwrite) rather than
-#   trust the catalog (pinned in tests/test_landings.py).
-# - Within a process the landing is immutable: regenerating the corpus
-#   at the SAME sf_dir mid-process is unsupported — call
-#   invalidate_landings() (or restart) after rewriting testdata.
+# - Rebuild decisions are CONTENT-DRIVEN: every landing is stamped with a
+#   fingerprint of its source corpus (file count + total bytes + max
+#   mtime of the sf_dir's parquet, in TBLPROPERTIES); a consumer whose
+#   fingerprint check fails re-lands instead of serving stale rows — so
+#   regenerating the corpus in place (any process, any time) is safe and
+#   needs no manual invalidation (pinned in tests/test_landings.py).
+# - The process-local memo is a fast path only: a memo hit is validated
+#   against the catalog (drop_landed / a new warehouse in-process must
+#   not serve a dangling name — the memo is keyed on the session's
+#   warehouse dir) and against the source fingerprint (an os.stat pass
+#   over ~10 files, no Spark job).
 # - Single-writer: two processes sharing one warehouse dir must not
 #   land the same (prefix, sf_dir) concurrently (same md5-derived table
 #   name; an overwrite can race another process's read). The bench /
@@ -114,9 +118,50 @@ def drop_landed(spark: SparkSession, *table_names: str) -> None:
 #   process; it is what makes the plan a bucketed table scan at all).
 # ---------------------------------------------------------------------------
 
+import os  # noqa: E402
 from collections.abc import Callable  # noqa: E402
 
-_LANDED: dict[tuple[str, str], str] = {}
+# (prefix, sf_dir, warehouse) -> (table_name, source_fingerprint)
+_LANDED: dict[tuple[str, str, str], tuple[str, str]] = {}
+
+_FP_PROP = "graft.source_fingerprint"
+
+
+def corpus_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of a corpus directory: parquet file count +
+    total bytes + max mtime (ns). Cheap (one os.stat per file, no data
+    read) yet catches every in-place regeneration short of a same-size
+    same-mtime rewrite — the staleness granularity a metastore's own
+    transaction log would give a real table format."""
+    n, total, mx = 0, 0, 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                st = os.stat(os.path.join(root, f))
+                n += 1
+                total += st.st_size
+                mx = max(mx, st.st_mtime_ns)
+    return f"{n}:{total}:{mx}"
+
+
+def _table_fingerprint(spark: SparkSession, name: str) -> str | None:
+    """The source fingerprint a landed table was stamped with, or None
+    (pre-fingerprint table / externally created)."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+    for r in rows:
+        if r["key"] == _FP_PROP:
+            return r["value"]
+    return None
+
+
+def _stamp_fingerprint(spark: SparkSession, name: str, fp: str) -> None:
+    spark.sql(
+        f"ALTER TABLE {name} SET TBLPROPERTIES ('{_FP_PROP}'='{fp}')"
+    )
+
+
+def _warehouse(spark: SparkSession) -> str:
+    return spark.conf.get("spark.sql.warehouse.dir", "")
 
 
 def landed_frame(
@@ -128,25 +173,65 @@ def landed_frame(
     build: Callable[[], DataFrame],
     sort_cols: list[str] | None = None,
 ) -> DataFrame:
-    """The derive-once landing: on first use per (prefix, sf_dir) in
-    this process, land ``build()`` via land_bucketed under a
-    corpus-digested table name; afterwards return the table."""
+    """The derive-once landing: land ``build()`` via land_bucketed under
+    a corpus-digested table name on first use, then serve the table —
+    re-landing whenever the SOURCE fingerprint no longer matches the one
+    the table was stamped with (corpus regenerated in place), or the
+    memoized table is gone from this session's catalog (drop_landed)."""
     import hashlib
 
-    key = (prefix, sf_dir)
-    name = _LANDED.get(key)
-    if name is None:
-        digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-        name = f"{prefix}_{digest}"
+    fp = corpus_fingerprint(sf_dir)
+    key = (prefix, sf_dir, _warehouse(spark))
+    memo = _LANDED.get(key)
+    # Memo fast path: serve the memoized table (which may be a seeded
+    # external one) if the source fingerprint still holds and the table
+    # still exists in this session's catalog.
+    if (
+        memo is not None
+        and memo[1] == fp
+        and spark.catalog.tableExists(memo[0])
+    ):
+        return spark.table(memo[0])
+    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    name = f"{prefix}_{digest}"
+    # Cross-process / post-drop path: trust an existing catalog table
+    # only if its stamped fingerprint matches the current source (with
+    # the default in-memory catalog a fresh process never sees old
+    # tables, so this triggers only under a durable metastore or after
+    # an in-process memo invalidation).
+    if not (
+        spark.catalog.tableExists(name)
+        and _table_fingerprint(spark, name) == fp
+    ):
         land_bucketed(build(), name, bucket_col, n_buckets, sort_cols)
-        _LANDED[key] = name
+        _stamp_fingerprint(spark, name, fp)
+    _LANDED[key] = (name, fp)
     return spark.table(name)
 
 
+def seed_landing(
+    spark: SparkSession,
+    sf_dir: str,
+    prefix: str,
+    table_name: str,
+) -> None:
+    """Adopt an externally-maintained bucketed table (e.g. a streaming
+    landing maintainer's published table — streaming/landing_stream.py)
+    as THE landing for (prefix, sf_dir): every landed_frame consumer
+    reads it instead of rebuilding, for as long as the current corpus
+    fingerprint holds. The table must have the landing's schema and
+    bucketing; it is stamped with the current source fingerprint so the
+    ordinary staleness rules apply from then on."""
+    fp = corpus_fingerprint(sf_dir)
+    _stamp_fingerprint(spark, table_name, fp)
+    _LANDED[(prefix, sf_dir, _warehouse(spark))] = (table_name, fp)
+
+
 def invalidate_landings(sf_dir: str | None = None) -> None:
-    """Forget this process's landing memos (all, or one corpus) so the
-    next consumer re-lands — required after regenerating testdata at an
-    sf_dir this process has already landed."""
+    """Forget this process's landing memos (all, or one corpus). With
+    content fingerprints this is no longer REQUIRED after regenerating
+    testdata (the fingerprint check re-lands automatically); it remains
+    for tests that want to force the slow path."""
     if sf_dir is None:
         _LANDED.clear()
     else:

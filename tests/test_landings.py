@@ -1,10 +1,10 @@
 """Shared at-rest landings (edges, baskets, minhash/simhash/bigram
 frames): derive-once correctness contracts.
 
-The landing memos are process-local ON PURPOSE: a managed table left by
-a previous process may be stale against regenerated testdata, so the
-first consumer in each process must re-land (mode=overwrite) rather
-than trust the catalog. These tests pin that contract and the
+Rebuild decisions are content-driven: each landing is stamped with a
+fingerprint of its source corpus, and a consumer whose fingerprint
+check fails re-lands instead of serving stale rows. These tests pin
+that contract, the memo-vs-catalog validation, and the
 landed == derived equivalence.
 """
 
@@ -25,17 +25,21 @@ def test_landed_edges_equal_derived(spark, sf_dir):
 
 
 def test_landing_overwrites_stale_cross_process_table(spark, sf_dir):
-    """A table left by a PREVIOUS process (memo empty) must be re-landed
-    on first use, not trusted — regenerated testdata would otherwise be
-    silently served from the stale catalog entry."""
+    """A table left by a PREVIOUS process (memo empty) without a
+    matching source fingerprint must be re-landed on first use, not
+    trusted — regenerated testdata would otherwise be silently served
+    from the stale catalog entry."""
     from data_engineering_project_spotify_app_spark.sources import bucketed
 
     want = sorted(
         tuple(r)
         for r in graphs.landed_copurchase_edges(spark, sf_dir).collect()
     )
-    name = bucketed._LANDED[("copurchase_edges", sf_dir)]
-    # simulate the stale leftover: same table name, junk contents
+    key = ("copurchase_edges", sf_dir, bucketed._warehouse(spark))
+    name = bucketed._LANDED[key][0]
+    # simulate the stale leftover: same table name, junk contents (the
+    # overwrite drops the fingerprint property, as a foreign table would
+    # lack it)
     spark.createDataFrame([(999999, 999998)], "src long, dst long").write.mode(
         "overwrite"
     ).format("parquet").saveAsTable(name)
@@ -45,6 +49,68 @@ def test_landing_overwrites_stale_cross_process_table(spark, sf_dir):
         for r in graphs.landed_copurchase_edges(spark, sf_dir).collect()
     )
     assert got == want
+
+
+def _write_corpus(spark, corpus_dir: str, rows) -> None:
+    spark.createDataFrame(rows, "k long, v string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{corpus_dir}/data.parquet")
+
+
+def test_landing_rebuilds_on_corpus_mutation(spark, tmp_path):
+    """Mutating the corpus in place under a WARM memo must serve the
+    rebuilt landing, not stale rows — the content fingerprint, not the
+    memo, decides (VERDICT r8 item 4)."""
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    corpus = str(tmp_path / "corpus")
+
+    def build():
+        return spark.read.parquet(f"{corpus}/data.parquet")
+
+    def landing():
+        return bucketed.landed_frame(
+            spark, corpus, "fp_probe", "k", 2, build
+        )
+
+    _write_corpus(spark, corpus, [(1, "a"), (2, "b")])
+    assert sorted(tuple(r) for r in landing().collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    # warm memo + corpus rewritten in place (fresh-process staleness is
+    # a strict subset of this: there the memo is cold and the catalog
+    # fingerprint mismatches the same way)
+    _write_corpus(spark, corpus, [(3, "c")])
+    assert sorted(tuple(r) for r in landing().collect()) == [(3, "c")]
+    # unchanged corpus: the memo fast path serves the same table with no
+    # rebuild (the build() closure would fail loudly if re-run against a
+    # dropped source, so just re-read)
+    assert sorted(tuple(r) for r in landing().collect()) == [(3, "c")]
+
+
+def test_landing_memo_validates_catalog_after_drop(spark, tmp_path):
+    """drop_landed under a warm memo must re-land on next use, not raise
+    on a dangling table name (ADVICE r8 item 1)."""
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    corpus = str(tmp_path / "corpus2")
+    _write_corpus(spark, corpus, [(7, "x")])
+
+    def landing():
+        return bucketed.landed_frame(
+            spark,
+            corpus,
+            "drop_probe",
+            "k",
+            2,
+            lambda: spark.read.parquet(f"{corpus}/data.parquet"),
+        )
+
+    assert landing().count() == 1
+    key = ("drop_probe", corpus, bucketed._warehouse(spark))
+    bucketed.drop_landed(spark, bucketed._LANDED[key][0])
+    assert [tuple(r) for r in landing().collect()] == [(7, "x")]
 
 
 def test_landed_signatures_equal_derived(spark, sf_dir):
