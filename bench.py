@@ -201,11 +201,63 @@ HEADLINE = [
 ]
 
 
+# The six shared derive-once landings (sources/bucketed.py). Their build
+# cost is paid once per corpus and would otherwise land only in a first
+# (warm-up) run and be excluded from every per-query min — build them
+# HERE, explicitly timed, so the amortized cost is disclosed in
+# BENCH_QUERIES.json ("landings_sec") rather than silently dropped.
+# Order matters: oriented_adjacency derives from copurchase_edges which
+# derives from part_baskets, so building in chain order attributes each
+# landing its own cost.
+def _landing_builders():
+    from data_engineering_project_spotify_app_spark.operators import (
+        dedup,
+        graphs,
+    )
+
+    return [
+        ("part_baskets", graphs.landed_part_baskets),
+        ("copurchase_edges", graphs.landed_copurchase_edges),
+        ("oriented_adjacency", graphs.landed_oriented_adjacency),
+        ("minhash_signatures", dedup._minhash_signatures),
+        ("word_bigrams", dedup._bigram_grams),
+        ("simhash_signatures", dedup._simhash_signatures),
+    ]
+
+
+def _rotation_window(all_names: list[str]) -> tuple[list[str], int]:
+    """~50 non-headline queries per round, rotating so every registered
+    query gets a regression-tracked timing within ceil(others/50) = 3
+    rounds (VERDICT r8 item 2). The rotation index defaults to the
+    number of completed bench rounds on disk (BENCH_r*.json count) so
+    consecutive driver runs advance the window without any state of
+    their own."""
+    import glob
+
+    others = sorted(n for n in all_names if n not in HEADLINE)
+    if not others:
+        return [], 0
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_ROTATE_N", "50"))
+    if n <= 0:
+        return [], 0
+    here = os.path.dirname(os.path.abspath(__file__))
+    idx_env = os.environ.get("SPARK_GRAFT_BENCH_ROTATE_IDX")
+    idx = (
+        int(idx_env)
+        if idx_env is not None
+        else len(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    )
+    start = (idx * n) % len(others)
+    window = (others + others)[start:start + min(n, len(others))]
+    return window, idx
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     registry.load_all_modules()
     spark = get_spark(app_name="bench")
+    rotation, rotate_idx = _rotation_window(list(registry.QUERIES))
 
     # Warm-up: run the headline set once at sf0.001 (tiny data) so the
     # timed loop measures steady-state compute, not one-time JVM/codegen
@@ -216,11 +268,24 @@ def main() -> None:
     # sub-second queries here (measured: 2-6x noise on cold first runs).
     warm_dir = "/root/testdata/sf0.001"
     registry.QUERIES["q_count"](spark, sf_dir).collect()
-    for name in HEADLINE:
+    for name in HEADLINE + rotation:
         try:
             registry.QUERIES[name](spark, warm_dir).count()
         except Exception:
             pass  # never let warm-up kill the bench
+
+    # Build the shared landings up front, each explicitly timed (the
+    # construction of a consuming query's DataFrame triggers the build
+    # as a side effect, so without this the cost lands untimed inside
+    # whichever query runs first).
+    landings: dict[str, float] = {}
+    for lname, lfn in _landing_builders():
+        t0 = time.perf_counter()
+        try:
+            lfn(spark, sf_dir)  # land_bucketed write is eager
+            landings[lname] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass  # never let a landing kill the bench
 
     # Per-query MIN across N full passes: this box's run-to-run noise is
     # ±30% (BASELINE.md), so a single pass can't distinguish a plan
@@ -228,18 +293,20 @@ def main() -> None:
     # estimator of a query's achievable cost.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    rotation_timings: dict[str, float] = {}
     import gc
 
     for _ in range(n_runs):
-        for name in HEADLINE:
+        for name in HEADLINE + rotation:
+            sink = timings if name in set(HEADLINE) else rotation_timings
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             # count() forces full execution of every operator in the plan
             # (aggregations/joins/windows can't short-circuit a count)
             fn(spark, sf_dir).count()
             dt = round(time.perf_counter() - t0, 3)
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
+            if name not in sink or dt < sink[name]:
+                sink[name] = dt
             # Housekeeping between queries, outside the timer:
             # - gc.collect() drops Py4J DataFrame refs so ContextCleaner
             #   unpersists finished queries' localCheckpoint RDD blocks
@@ -272,6 +339,18 @@ def main() -> None:
                 "aggregation": "per_query_min_of_runs",
                 "total_sec": total,
                 "queries": timings,
+                # one-time per-corpus landing builds (paid before the
+                # timed loop; NOT part of any per-query min — disclosed
+                # here so headline totals are comparable to pre-landing
+                # rounds with the amortized cost in view)
+                "landings_sec": landings,
+                "landings_total_sec": round(sum(landings.values()), 3),
+                # rotating non-headline window: regression-tracked
+                # timings for the rest of the registry, ~50/round, full
+                # coverage every 3 rounds; same min-of-N protocol
+                "rotation_idx": rotate_idx,
+                "rotation_sec": round(sum(rotation_timings.values()), 3),
+                "rotation": rotation_timings,
             },
             fh,
             indent=1,
@@ -295,6 +374,9 @@ def main() -> None:
                 "queries_file": "BENCH_QUERIES.json",
                 "runs": n_runs,
                 "aggregation": "per_query_min_of_runs",
+                "landings_sec": round(sum(landings.values()), 3),
+                "rotation_n": len(rotation_timings),
+                "rotation_sec": round(sum(rotation_timings.values()), 3),
                 "sf": sf_val,
             },
             separators=(",", ":"),
