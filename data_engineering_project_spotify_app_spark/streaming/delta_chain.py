@@ -115,6 +115,108 @@ class DeltaChainStore:
             return None
         return self.spark.read.parquet(*paths)
 
+    # ---- secondary per-epoch log families (guard ids, output docs) ----
+    #
+    # Several sinks keep a SECOND per-epoch log family next to the store
+    # deltas (exact_stream's ids_e duplicate-guard logs, linedup_stream's
+    # docs_e cleaned-document logs). Without their own compaction these
+    # grow one tiny parquet dir per epoch forever — unbounded file count
+    # and listing cost over a long-lived stream even after the store
+    # chain is compacted. The helpers below give any ``{prefix}{N}``
+    # family the same fold-into-base treatment: logs are union-mergeable
+    # by construction (a set of ids / a bag of doc rows), so folding
+    # epochs <= the store's own compaction target into one
+    # ``{family}_base{target}`` dir preserves every reader's view.
+    # Replay safety mirrors the store chain: an epoch <= the fold target
+    # has a committed (now folded) store delta, so its replay returns at
+    # the base check before ever reading the folded logs.
+
+    def _log_dir(self, prefix: str, epoch_or_version: int) -> str:
+        return os.path.join(self.out_dir, f"{prefix}{epoch_or_version}")
+
+    @staticmethod
+    def _log_base_prefix(prefix: str) -> str:
+        # "ids_e" -> "ids_base", "docs_e" -> "docs_base"
+        assert prefix.endswith("_e"), prefix
+        return prefix[:-2] + "_base"
+
+    def _log_base_epoch(self, prefix: str) -> int | None:
+        bases = self._committed_ids(self._log_base_prefix(prefix))
+        return bases[-1] if bases else None
+
+    def log_paths(
+        self, prefix: str, before_epoch: int | None = None
+    ) -> list[str]:
+        """Committed log dirs of a family: folded base + per-epoch logs
+        newer than it (optionally only epochs < ``before_epoch`` — the
+        guard-probe shape)."""
+        base = self._log_base_epoch(prefix)
+        paths = []
+        if base is not None:
+            if before_epoch is not None and base >= before_epoch:
+                raise ValueError(
+                    f"{prefix} log as of epoch {before_epoch} is not "
+                    f"reconstructible: {self._log_base_prefix(prefix)}"
+                    f"{base} already folded it in (fold only epochs "
+                    "whose store deltas are committed)"
+                )
+            paths.append(self._log_dir(self._log_base_prefix(prefix), base))
+        paths += [
+            self._log_dir(prefix, e)
+            for e in self._committed_ids(prefix)
+            if (base is None or e > base)
+            and (before_epoch is None or e < before_epoch)
+        ]
+        return paths
+
+    def read_log(
+        self, prefix: str, before_epoch: int | None = None
+    ) -> DataFrame | None:
+        paths = self.log_paths(prefix, before_epoch)
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def fold_log(self, prefix: str, target: int, transform=None) -> None:
+        """Fold the family's committed logs <= ``target`` (plus the
+        current folded base) into a single new base dir; crash-safe in
+        the compact() style (new base commits before any delete, and
+        the sweep reclaims debris from previously crashed folds).
+        ``transform`` (e.g. a distinct()) may compress the union — it
+        must preserve every reader's view of the log contents."""
+        import shutil as _shutil
+
+        base_prefix = self._log_base_prefix(prefix)
+        base = self._log_base_epoch(prefix)
+        fresh = [
+            e
+            for e in self._committed_ids(prefix)
+            if (base is None or e > base) and e <= target
+        ]
+        if fresh:
+            paths = ([self._log_dir(base_prefix, base)] if base is not None else [])
+            paths += [self._log_dir(prefix, e) for e in fresh]
+            df = self.spark.read.parquet(*paths)
+            if transform is not None:
+                df = transform(df)
+            new_base = max(fresh)
+            df.write.mode("overwrite").parquet(
+                self._log_dir(base_prefix, new_base)
+            )
+            self._mark(self._log_dir(base_prefix, new_base))
+        else:
+            new_base = base
+            if new_base is None:
+                return
+        for e in self._all_ids(prefix):
+            if e <= new_base:
+                _shutil.rmtree(self._log_dir(prefix, e), ignore_errors=True)
+        for b in self._all_ids(base_prefix):
+            if b != new_base:
+                _shutil.rmtree(
+                    self._log_dir(base_prefix, b), ignore_errors=True
+                )
+
     def compact(self) -> list[int]:
         """Fold every committed delta into a new base; the sinks'
         output logs (pairs/docs) are never touched. Crash-safe AND

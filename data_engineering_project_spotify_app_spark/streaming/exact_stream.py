@@ -73,16 +73,12 @@ class StreamingExactDedupSink(DeltaChainStore):
             return  # replayed epoch: delta durable (or folded)
         batch = batch_df.dropDuplicates(["doc_id"])
         if self.dedupe_guard:
-            seen_epochs = [
-                e
-                for e in self._committed_ids("ids_e")
-                if e < epoch_id
-            ]
-            if seen_epochs:
-                prior_ids = self.spark.read.parquet(
-                    *[self._ids_dir(e) for e in seen_epochs]
-                ).select("doc_id")
-                already = prior_ids.join(
+            # folded ids base + per-epoch logs strictly before this epoch
+            # (compact() folds the logs, so the probe's file count stays
+            # bounded over a long-lived stream)
+            prior_ids = self.read_log("ids_e", before_epoch=epoch_id)
+            if prior_ids is not None:
+                already = prior_ids.select("doc_id").join(
                     F.broadcast(batch.select("doc_id")), "doc_id", "leftsemi"
                 ).distinct()
                 batch = batch.join(
@@ -117,10 +113,21 @@ class StreamingExactDedupSink(DeltaChainStore):
         """Fold committed deltas into a PRE-MERGED base (the mergeable
         aggregates make the merged form equivalent for every reader),
         so the at-rest state is O(distinct hashes), then run the
-        inherited sweep for the delta/base debris."""
+        inherited sweep for the delta/base debris. The ids guard logs
+        are folded to the same target (the guard only needs the SET of
+        seen doc_ids, which is union-mergeable), so the per-epoch probe
+        stays a bounded file count instead of one tiny dir per epoch."""
         deltas = self.committed_delta_epochs()
         if not deltas:
-            return super().compact()  # debris sweep only
+            folded = super().compact()  # debris sweep only
+            base = self._base_epoch()
+            if self.dedupe_guard and base is not None:
+                self.fold_log(
+                    "ids_e",
+                    base,
+                    transform=lambda df: df.select("doc_id").distinct(),
+                )
+            return folded
         target = max(deltas)
         merged = self.current_state()
         merged.write.mode("overwrite").parquet(self._base_dir(target))
@@ -133,6 +140,15 @@ class StreamingExactDedupSink(DeltaChainStore):
         for b in self._all_ids(self.BASE_PREFIX):
             if b != target:
                 shutil.rmtree(self._base_dir(b), ignore_errors=True)
+        if self.dedupe_guard:
+            # every epoch <= target has a committed (now folded) delta,
+            # so a replay of one returns at the base check and never
+            # probes the folded ids
+            self.fold_log(
+                "ids_e",
+                target,
+                transform=lambda df: df.select("doc_id").distinct(),
+            )
         return deltas
 
 

@@ -70,14 +70,10 @@ class StreamingLineDedupSink(DeltaChainStore):
         return self.read_store()
 
     def clean_docs(self) -> DataFrame | None:
-        """Union of every committed per-epoch cleaned-document log —
-        the streamed equivalent of the batch dedup_lines result."""
-        epochs = self._committed_ids("docs_e")
-        if not epochs:
-            return None
-        return self.spark.read.parquet(
-            *[self._docs_dir(e) for e in epochs]
-        )
+        """The cleaned-document log (folded docs base + per-epoch logs
+        newer than it) — the streamed equivalent of the batch
+        dedup_lines result."""
+        return self.read_log("docs_e")
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         docs_dir = self._docs_dir(epoch_id)
@@ -87,7 +83,11 @@ class StreamingLineDedupSink(DeltaChainStore):
         delta_done = self._committed(delta_dir) or (
             base is not None and base >= epoch_id
         )
-        if self._committed(docs_dir) and delta_done:
+        docs_base = self._log_base_epoch("docs_e")
+        docs_done = self._committed(docs_dir) or (
+            docs_base is not None and docs_base >= epoch_id
+        )
+        if docs_done and delta_done:
             # Replayed epoch: both outputs durable. A crash between the
             # second marker and the staged-dir rmtree below leaves the
             # staged parquet behind, and compact() only sweeps delta/
@@ -112,15 +112,13 @@ class StreamingLineDedupSink(DeltaChainStore):
         # matching buckets. At-most-once ingest pipelines can construct
         # the sink with dedupe_guard=False and skip the probe.
         batch = batch_df.dropDuplicates(["doc_id"])
-        seen_epochs = (
-            [e for e in self._committed_ids("docs_e") if e < epoch_id]
+        prior = (
+            self.read_log("docs_e", before_epoch=epoch_id)
             if self.dedupe_guard
-            else []
+            else None
         )
-        if seen_epochs:
-            prior_ids = self.spark.read.parquet(
-                *[self._docs_dir(e) for e in seen_epochs]
-            ).select("doc_id")
+        if prior is not None:
+            prior_ids = prior.select("doc_id")
             already = (
                 prior_ids.join(
                     F.broadcast(batch.select("doc_id")), "doc_id", "leftsemi"
@@ -156,7 +154,7 @@ class StreamingLineDedupSink(DeltaChainStore):
                 & (F.col("line_idx") == F.col("first.line_idx"))
             ).alias("keep"),
         )
-        if not self._committed(docs_dir):
+        if not docs_done:
             cleaned = flagged.groupBy("doc_id").agg(
                 F.concat_ws(
                     " ",
@@ -186,6 +184,21 @@ class StreamingLineDedupSink(DeltaChainStore):
             self._mark(delta_dir)
         if os.path.isdir(staged):
             shutil.rmtree(staged, ignore_errors=True)
+
+    def compact(self) -> list[int]:
+        """Fold the digest-store chain (inherited), then fold the docs
+        OUTPUT logs to the same target: clean_docs() is a plain union,
+        so one folded docs base preserves every reader's view while
+        bounding the per-epoch guard probe's file count (the docs_e
+        twin of exact_stream's ids fold). Every docs log <= the target
+        belongs to an epoch whose digest delta committed (marker order:
+        docs first), so a replay of one returns at the base checks and
+        never re-logs into the folded range."""
+        folded = super().compact()
+        target = self._base_epoch()
+        if target is not None:
+            self.fold_log("docs_e", target)
+        return folded
 
 
 def maintain_line_dedup(

@@ -577,3 +577,75 @@ def test_streamed_exact_dedup_via_real_stream(spark, tmp_path):
         q.stop()
     got = sorted(tuple(r) for r in sink.current_state().collect())
     assert got == _batch_exact(spark, src)
+
+def test_exact_guard_ids_fold_on_compact(spark, tmp_path):
+    """compact() must fold the per-epoch ids guard logs into a single
+    ids base (bounded file count over a long-lived stream) WITHOUT
+    weakening the guard: a doc_id ingested before the fold is still
+    rejected when re-delivered in a post-compaction epoch."""
+    from data_engineering_project_spotify_app_spark.streaming.exact_stream import (
+        StreamingExactDedupSink,
+    )
+
+    docs = _corpus(spark, n=60)
+    out = str(tmp_path / "state")
+    sink = StreamingExactDedupSink(spark, out)
+    for e, batch in enumerate([docs[:20], docs[20:40], docs[40:]]):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    assert len([d for d in os.listdir(out) if d.startswith("ids_e")]) == 3
+    before = sorted(tuple(r) for r in sink.current_state().collect())
+    assert sink.compact() == [0, 1, 2]
+    names = os.listdir(out)
+    assert [d for d in names if d.startswith("ids_e")] == []
+    assert [d for d in names if d.startswith("ids_base")] == ["ids_base2"]
+    # guard survives the fold: re-deliver pre-fold ids in a new epoch
+    sink(spark.createDataFrame(docs[:10], DOC_SCHEMA), 3)
+    assert sorted(tuple(r) for r in sink.current_state().collect()) == before
+    # post-fold ingest of genuinely new docs still lands and re-compacts
+    sink(
+        spark.createDataFrame([(9100, "post fold brand new doc")], DOC_SCHEMA),
+        4,
+    )
+    assert sink.current_state().count() == len(before) + 1
+    sink.compact()
+    names = os.listdir(out)
+    assert [d for d in names if d.startswith("ids_e")] == []
+    assert [d for d in names if d.startswith("ids_base")] == ["ids_base4"]
+    # second-fold guard: epoch-3 ids (rejected re-deliveries are still
+    # logged as seen) + epoch-4 ids folded; re-deliver again
+    sink(spark.createDataFrame(docs[10:20], DOC_SCHEMA), 5)
+    assert sink.current_state().count() == len(before) + 1
+
+
+def test_line_dedup_docs_log_fold_preserves_clean_docs(spark, tmp_path):
+    """The docs logs are OUTPUT (clean_docs unions them) and guard input;
+    folding them into docs_base must leave clean_docs() bit-identical
+    and keep the re-delivery guard sound."""
+    from data_engineering_project_spotify_app_spark.streaming.linedup_stream import (
+        StreamingLineDedupSink,
+    )
+
+    boiler = "cookie banner boilerplate line"
+    out = str(tmp_path / "state")
+    sink = StreamingLineDedupSink(spark, out)
+    for e in range(3):
+        rows = [
+            (e * 10 + i, f"{boiler} unique tail {e * 10 + i}")
+            for i in range(4)
+        ]
+        sink(spark.createDataFrame(rows, DOC_SCHEMA), e)
+    docs_before = sorted(tuple(r) for r in sink.clean_docs().collect())
+    assert sink.compact() == [0, 1, 2]
+    names = os.listdir(out)
+    assert [d for d in names if d.startswith("docs_e")] == []
+    assert [d for d in names if d.startswith("docs_base")] == ["docs_base2"]
+    assert (
+        sorted(tuple(r) for r in sink.clean_docs().collect()) == docs_before
+    )
+    # guard survives: re-deliver a folded doc_id in a new epoch — it must
+    # not be re-logged (clean_docs would return it twice)
+    rows0 = [(0, f"{boiler} unique tail 0")]
+    sink(spark.createDataFrame(rows0, DOC_SCHEMA), 3)
+    assert (
+        sorted(tuple(r) for r in sink.clean_docs().collect()) == docs_before
+    )
