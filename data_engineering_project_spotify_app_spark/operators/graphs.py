@@ -95,8 +95,16 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers never need a mirror union.
     """
     grp = landed_part_baskets(spark, sf_dir)
+    return basket_edges(grp)
+
+
+def basket_edges(baskets: DataFrame) -> DataFrame:
+    """Distinct directed co-occurrence edges from a basket frame
+    (any frame with a ``ps: array`` column) — the array-side pair
+    generation stage shared by the batch edge build above and the
+    streaming landing maintainer (streaming/landing_stream.py)."""
     pairs = (
-        grp.select(
+        baskets.select(
             F.explode(
                 F.expr(
                     "flatten(transform(ps, x -> "

@@ -178,8 +178,6 @@ def landed_frame(
     re-landing whenever the SOURCE fingerprint no longer matches the one
     the table was stamped with (corpus regenerated in place), or the
     memoized table is gone from this session's catalog (drop_landed)."""
-    import hashlib
-
     fp = corpus_fingerprint(sf_dir)
     key = (prefix, sf_dir, _warehouse(spark))
     memo = _LANDED.get(key)
@@ -192,8 +190,7 @@ def landed_frame(
         and spark.catalog.tableExists(memo[0])
     ):
         return spark.table(memo[0])
-    digest = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    name = f"{prefix}_{digest}"
+    name = landing_table_name(prefix, sf_dir)
     # Cross-process / post-drop path: trust an existing catalog table
     # only if its stamped fingerprint matches the current source (with
     # the default in-memory catalog a fresh process never sees old
@@ -207,6 +204,15 @@ def landed_frame(
         _stamp_fingerprint(spark, name, fp)
     _LANDED[key] = (name, fp)
     return spark.table(name)
+
+
+def landing_table_name(prefix: str, sf_dir: str) -> str:
+    """The corpus-digested table name landed_frame uses for
+    (prefix, sf_dir) — exposed so external maintainers can drop or
+    inspect a landing they are superseding."""
+    import hashlib
+
+    return f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
 
 
 def seed_landing(

@@ -1,0 +1,307 @@
+"""Incremental maintenance for the shared at-rest landings
+(streaming/landing_stream.py): streamed landing == batch-rebuilt
+landing across arbitrary micro-batch splits and restarts, and the
+batch consumers reading a published (seeded) maintained landing still
+hash-match their DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from data_engineering_project_spotify_app_spark.operators import registry
+from data_engineering_project_spotify_app_spark.operators.dedup import (
+    minhash_signatures_df,
+    simhash_signatures_df,
+)
+from data_engineering_project_spotify_app_spark.operators.graphs import (
+    basket_edges,
+)
+from data_engineering_project_spotify_app_spark.streaming.dedup_stream import (
+    DOC_SCHEMA,
+    stream_documents,
+)
+from data_engineering_project_spotify_app_spark.streaming.landing_stream import (
+    StreamingBasketLandingSink,
+    StreamingDocLandingSink,
+    maintain_doc_landing,
+)
+
+from tests.oracle_harness import compare
+
+registry.load_all_modules()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, n=120):
+    rows = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(n)
+        .collect()
+    )
+    return [(r.doc_id, r.text) for r in rows]
+
+
+def _sig_transform(batch):
+    return minhash_signatures_df(batch.select("doc_id", "text"))
+
+
+def test_streamed_signature_landing_equals_batch_any_split(spark, tmp_path):
+    """Per-doc map landings are split-invariant: ANY micro-batch split
+    (including out-of-order and duplicate re-delivery) must produce the
+    batch-identical signature frame."""
+    docs = _docs(spark)
+    splits = [docs[80:], docs[:40] + docs[80:90], docs[40:80]]  # dups too
+    out = str(tmp_path / "sigs")
+    sink = StreamingDocLandingSink(spark, out, _sig_transform)
+    for e, batch in enumerate(splits):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    got = sorted(tuple(r) for r in sink.current_landing().collect())
+    want = sorted(
+        tuple(r)
+        for r in minhash_signatures_df(
+            spark.createDataFrame(docs, DOC_SCHEMA)
+        ).collect()
+    )
+    assert got == want and got
+    # replay: no-op
+    sink(spark.createDataFrame(splits[1], DOC_SCHEMA), 1)
+    assert sorted(tuple(r) for r in sink.current_landing().collect()) == want
+    # compact folds deltas + ids logs; landing unchanged, replays no-op
+    assert sink.compact() == [0, 1, 2]
+    names = os.listdir(out)
+    assert [d for d in names if d.startswith("ids_e")] == []
+    assert sorted(tuple(r) for r in sink.current_landing().collect()) == want
+    sink(spark.createDataFrame(splits[0], DOC_SCHEMA), 0)
+    assert sorted(tuple(r) for r in sink.current_landing().collect()) == want
+    # post-compaction ingest still lands incrementally
+    extra = [(990001, "a brand new streamed landing document")]
+    sink(spark.createDataFrame(extra, DOC_SCHEMA), 3)
+    assert sink.current_landing().count() == len(want) + 1
+
+
+def test_published_signature_landing_consumer_matches_oracle(
+    spark, tmp_path
+):
+    """The end-to-end bar: stream the WHOLE corpus through the
+    maintainer, publish + seed the landing, then run the registered
+    batch consumers — they must still hash-match their DuckDB oracles
+    while reading the maintained table."""
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    third = len(docs) // 3
+    out = str(tmp_path / "sigs")
+    sink = StreamingDocLandingSink(spark, out, _sig_transform)
+    for e, batch in enumerate(
+        [docs[:third], docs[third:2 * third], docs[2 * third:]]
+    ):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    name = sink.publish(SF, "minhash_signatures", n_buckets=8)
+    try:
+        assert spark.catalog.tableExists(name)
+        # the consumer must actually READ the published table
+        plan = registry.QUERIES["q_minhash_lsh"](
+            spark, SF
+        )._jdf.queryExecution().executedPlan().toString()
+        assert name in plan
+        for qname in ("q_minhash_lsh", "q_minhash_jaccard_est"):
+            compare(
+                spark, SF, qname, registry.QUERIES[qname],
+                registry.ORACLES[qname],
+            )
+    finally:
+        bucketed.invalidate_landings(SF)
+        bucketed.drop_landed(spark, name)
+
+
+def test_streamed_simhash_landing_equals_batch(spark, tmp_path):
+    """The doc-landing maintainer is transform-generic: the simhash
+    fingerprint landing rides the same sink."""
+    docs = _docs(spark, n=60)
+    out = str(tmp_path / "simhash")
+    sink = StreamingDocLandingSink(
+        spark, out, lambda b: simhash_signatures_df(b.select("doc_id", "text"))
+    )
+    for e, batch in enumerate([docs[:25], docs[25:]]):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    got = sorted(tuple(r) for r in sink.current_landing().collect())
+    want = sorted(
+        tuple(r)
+        for r in simhash_signatures_df(
+            spark.createDataFrame(docs, DOC_SCHEMA)
+        ).collect()
+    )
+    assert got == want and got
+
+
+def test_doc_landing_restart_continues_epochs(spark, tmp_path):
+    """Stop the query, drop a new file, restart against the same
+    out_dir + checkpoint: the restarted query must resume epoch ids and
+    process ONLY the new file (the delta-chain exactly-once bar)."""
+    docs = _docs(spark, n=90)
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def drop(name, rows):
+        tmp = os.path.join(src, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            for doc_id, text in rows:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.rename(tmp, os.path.join(src, name))
+
+    drop("b0.json", docs[:30])
+    drop("b1.json", docs[30:60])
+    out = str(tmp_path / "state")
+    stream = stream_documents(spark, src, max_files_per_trigger=1)
+    q, sink = maintain_doc_landing(
+        spark, stream, out, "landing_restart1", _sig_transform
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs_before = set(sink.committed_delta_epochs())
+    drop("b2.json", docs[60:])
+    time.sleep(0.05)
+    stream2 = stream_documents(spark, src, max_files_per_trigger=1)
+    q2, sink2 = maintain_doc_landing(
+        spark, stream2, out, "landing_restart2", _sig_transform
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert set(sink2.committed_delta_epochs()) - epochs_before
+    got = sorted(tuple(r) for r in sink2.current_landing().collect())
+    want = sorted(
+        tuple(r)
+        for r in minhash_signatures_df(
+            spark.createDataFrame(docs, DOC_SCHEMA)
+        ).collect()
+    )
+    assert got == want
+
+
+LINE_SCHEMA = "l_orderkey long, l_partkey long"
+
+
+def _lineitems(spark, n_orders=400):
+    rows = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .collect()
+    )
+    by_order: dict[int, list] = {}
+    for r in rows:
+        by_order.setdefault(r.l_orderkey, []).append(
+            (r.l_orderkey, r.l_partkey)
+        )
+    orders = sorted(by_order)[:n_orders]
+    return orders, by_order
+
+
+def test_streamed_basket_edge_landing_equals_batch(spark, tmp_path):
+    """Baskets and edges streamed over whole-order epochs must equal
+    the batch derivation (basket arrays compared as sets; edges are a
+    set by construction)."""
+    orders, by_order = _lineitems(spark)
+    cut1, cut2 = len(orders) // 3, 2 * len(orders) // 3
+    splits = [
+        [li for o in orders[:cut1] for li in by_order[o]],
+        [li for o in orders[cut1:cut2] for li in by_order[o]],
+        # re-deliver an already-ingested order alongside new ones: the
+        # guard must drop it
+        [li for o in orders[cut2:] for li in by_order[o]]
+        + by_order[orders[0]],
+    ]
+    out = str(tmp_path / "baskets")
+    sink = StreamingBasketLandingSink(spark, out)
+    for e, batch in enumerate(splits):
+        sink(spark.createDataFrame(batch, LINE_SCHEMA), e)
+    all_rows = [li for o in orders for li in by_order[o]]
+    full = spark.createDataFrame(all_rows, LINE_SCHEMA)
+    from pyspark.sql import functions as F
+
+    want_baskets = {
+        (r.l_orderkey, tuple(sorted(r.ps)))
+        for r in full.groupBy("l_orderkey")
+        .agg(F.array_distinct(F.collect_list("l_partkey")).alias("ps"))
+        .collect()
+    }
+    got_baskets = {
+        (r.l_orderkey, tuple(sorted(r.ps)))
+        for r in sink.current_baskets().collect()
+    }
+    assert got_baskets == want_baskets and got_baskets
+    want_edges = sorted(
+        tuple(r)
+        for r in basket_edges(
+            full.groupBy("l_orderkey").agg(
+                F.array_distinct(F.collect_list("l_partkey")).alias("ps")
+            )
+        ).collect()
+    )
+    got_edges = sorted(tuple(r) for r in sink.current_edges().collect())
+    assert got_edges == want_edges and got_edges
+    # compact: state unchanged, per-epoch dirs folded
+    sink.compact()
+    names = os.listdir(out)
+    assert [d for d in names if d.startswith("ords_e")] == []
+    assert [d for d in names if d.startswith("edges_e")] == []
+    assert (
+        sorted(tuple(r) for r in sink.current_edges().collect()) == want_edges
+    )
+    got_baskets2 = {
+        (r.l_orderkey, tuple(sorted(r.ps)))
+        for r in sink.current_baskets().collect()
+    }
+    assert got_baskets2 == want_baskets
+
+
+def test_published_edge_landing_consumer_matches_oracle(spark, tmp_path):
+    """Stream the WHOLE lineitem corpus as whole-order epochs, publish
+    baskets+edges, and run the registered triangle-family consumers —
+    they must hash-match their oracles while reading the maintained
+    tables (the adjacency re-derives from the streamed edges)."""
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    orders, by_order = _lineitems(spark, n_orders=10**9)
+    half = len(orders) // 2
+    out = str(tmp_path / "baskets")
+    sink = StreamingBasketLandingSink(spark, out)
+    for e, keys in enumerate([orders[:half], orders[half:]]):
+        batch = [li for o in keys for li in by_order[o]]
+        sink(spark.createDataFrame(batch, LINE_SCHEMA), e)
+    bname, ename = sink.publish(SF)
+    try:
+        # the basket consumer must read the published basket table, and
+        # the triangle consumers the adjacency RE-DERIVED from the
+        # streamed edges (publish dropped the batch-built one)
+        plan = registry.QUERIES["q_item_cf"](
+            spark, SF
+        )._jdf.queryExecution().executedPlan().toString()
+        assert bname in plan
+        for qname in ("q_triangle_count", "q_clustering_coefficient"):
+            compare(
+                spark, SF, qname, registry.QUERIES[qname],
+                registry.ORACLES[qname],
+            )
+    finally:
+        bucketed.drop_landed(
+            spark,
+            bname,
+            ename,
+            bucketed.landing_table_name("oriented_adjacency", SF),
+        )
+        bucketed.invalidate_landings(SF)
