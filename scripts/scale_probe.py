@@ -40,7 +40,13 @@ from data_engineering_project_spotify_app_spark.operators.linedup import (  # no
     remove_overlaps_df,
 )
 from data_engineering_project_spotify_app_spark.operators.graphs import (  # noqa: E402
+    _oriented_adjacency,
+    _triangle_counts_from_oadj,
     triangle_counts,
+)
+from data_engineering_project_spotify_app_spark.sources.bucketed import (  # noqa: E402
+    drop_landed,
+    land_bucketed,
 )
 from data_engineering_project_spotify_app_spark.session import (  # noqa: E402
     get_spark,
@@ -97,6 +103,30 @@ def pairs_from_lineitem(li):
         )
         .select("pr.src", "pr.dst")
     )
+
+
+def _clustering_shape(li):
+    pairs = pairs_from_lineitem(li)
+    tri = _triangle_counts_from_oadj(_oriented_adjacency(pairs)).agg(
+        (F.sum("n_triangles") / 3).alias("n_tri")
+    )
+    both = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = both.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("d")
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2.0).alias("n_wedges")
+    )
+    return tri.crossJoin(F.broadcast(wedges))
+
+
+def _land_edges(spark, li, name):
+    land_bucketed(
+        pairs_from_lineitem(li), name, "src", 16, sort_cols=["src", "dst"]
+    )
+    drop_landed(spark, name)
 
 
 def best_of(n, fn):
@@ -167,6 +197,35 @@ def main() -> None:
                     )
                 )
             ).count(),
+        ),
+        (
+            # the landed-adjacency path the triangle family actually
+            # runs (graphs.landed_oriented_adjacency → counting stage):
+            # degree ranking + orientation + collect_set, then the
+            # explode/intersect edge-iterator. Disjoint shards leave
+            # per-node degrees unchanged, so |N⁺| stays O(√|E_shard|)
+            # and the chain must scale ~linearly in shards.
+            "triangle via oriented adj",
+            lambda l=li1: _triangle_counts_from_oadj(
+                _oriented_adjacency(pairs_from_lineitem(l))
+            ).count(),
+            lambda l=liM: _triangle_counts_from_oadj(
+                _oriented_adjacency(pairs_from_lineitem(l))
+            ).count(),
+        ),
+        (
+            # clustering-coefficient shape = triangle chain + the
+            # one-aggregate wedge count over degrees
+            "clustering coeff (landed shape)",
+            lambda l=li1: _clustering_shape(l).count(),
+            lambda l=liM: _clustering_shape(l).count(),
+        ),
+        (
+            # the landing WRITE itself (pay-the-shuffle-once bucketed
+            # table build the consumers amortize)
+            "edge landing write (bucketed)",
+            lambda l=li1, s=spark: _land_edges(s, l, "probe_edges_1x"),
+            lambda l=liM, s=spark: _land_edges(s, l, "probe_edges_mx"),
         ),
         (
             "weighted_jaccard (capped)",
