@@ -195,14 +195,22 @@ class StreamingLshDedupSink(DeltaChainStore):
         return self.read_store()
 
     def pairs(self) -> DataFrame | None:
-        """Union of every committed per-epoch pairs log — the streamed
-        equivalent of the batch q_minhash_lsh result."""
-        epochs = self.committed_pair_epochs()
-        if not epochs:
-            return None
-        return self.spark.read.parquet(
-            *[self._pairs_dir(e) for e in epochs]
-        )
+        """The pairs output log (folded base + per-epoch logs newer
+        than it) — the streamed equivalent of the batch q_minhash_lsh
+        result. Every pair lands in exactly one epoch (the guard's
+        job), so the fold is a plain union."""
+        return self.read_log("pairs_e")
+
+    def compact(self) -> list[int]:
+        """Fold the band-store chain (inherited), then fold the pairs
+        output logs to the same target — the per-epoch log family would
+        otherwise grow one tiny dir per epoch forever (the ids_e growth
+        pattern, fixed the same way)."""
+        folded = super().compact()
+        target = self._base_epoch()
+        if target is not None:
+            self.fold_log("pairs_e", target)
+        return folded
 
     # Marker order inside an epoch: pairs FIRST, then the band delta —
     # so a committed delta implies its pairs are durable, which is what
@@ -214,8 +222,12 @@ class StreamingLshDedupSink(DeltaChainStore):
         delta_done = self._committed(delta_dir) or (
             base is not None and base >= epoch_id
         )
-        if self._committed(pairs_dir) and delta_done:
-            return  # replayed epoch: both outputs durable
+        pairs_base = self._log_base_epoch("pairs_e")
+        pairs_done = self._committed(pairs_dir) or (
+            pairs_base is not None and pairs_base >= epoch_id
+        )
+        if pairs_done and delta_done:
+            return  # replayed epoch: both outputs durable (or folded)
         # Shingle + minhash the batch ONCE: the delta parquet is the
         # materialization both consumers (pair generation and the store
         # chain) read, so the signature aggregation never runs twice.
@@ -260,7 +272,7 @@ class StreamingLshDedupSink(DeltaChainStore):
             bands_new = lsh_bands_df(minhash_signatures_df(docs))
             bands_new.write.mode("overwrite").parquet(delta_dir)
             bands_new = self.spark.read.parquet(delta_dir)
-        if not self._committed(pairs_dir):
+        if not pairs_done:
             store_paths = self._store_paths(before_epoch=epoch_id)
             store = (
                 self.spark.read.parquet(*store_paths)

@@ -249,7 +249,8 @@ def test_streamed_line_dedup_replay_is_noop(spark, tmp_path):
 def test_compaction_folds_deltas_and_replays_stay_noop(spark, tmp_path):
     """The store is an append-only DELTA chain (per-epoch O(|delta|)
     writes — never a full-store rewrite): compact() folds committed
-    deltas into a base, never touches the pair logs; a replay of a
+    deltas into a base and the pair logs into a pairs base (content
+    preserved — every pair lands in exactly one epoch); a replay of a
     compacted-away epoch neither re-emits pairs nor resurrects its
     delta; new epochs build on the base."""
     docs = _corpus(spark, n=90)
