@@ -241,6 +241,36 @@ class StreamingIvfIndexSink(DeltaChainStore):
         new_sink._mark(base_dir)
         return new_sink
 
+    def catch_up(self, old_sink: "StreamingIvfIndexSink") -> list[int]:
+        """The swap protocol's second half: fold epochs that committed
+        to ``old_sink`` BETWEEN the rebuild snapshot and the swap into
+        this (rebuilt) store — reassigned under the new centroids, at
+        their ORIGINAL epoch ids, so the shared checkpoint's ids stay
+        monotone and a replay of a caught-up epoch no-ops against this
+        store's markers.
+
+        Call order for a live-stream rebuild: (1) rebuild_index while
+        the old query keeps ingesting, (2) stop the old query, (3)
+        catch_up(old) — idempotent, so crash-and-retry is safe, (4)
+        restart the stream with the SAME checkpoint against the new
+        sink. Epochs arriving after the restart land as ordinary new
+        deltas here. Returns the caught-up epoch ids."""
+        base = self._base_epoch()
+        caught = []
+        for e in old_sink.committed_delta_epochs():
+            if base is not None and e <= base:
+                continue  # already folded into the rebuilt base
+            delta_dir = self._delta_dir(e)
+            if self._committed(delta_dir):
+                continue  # a crashed catch_up already landed it
+            rows = self.spark.read.parquet(old_sink._delta_dir(e))
+            _assign(
+                rows.select("vec_id", "v", "nrm"), self.centroids
+            ).write.mode("overwrite").parquet(delta_dir)
+            self._mark(delta_dir)
+            caught.append(e)
+        return caught
+
 
 def maintain_ivf_index(
     spark: SparkSession,

@@ -248,3 +248,51 @@ def test_rebuild_refuses_in_place(spark, tmp_path):
     sink(spark.createDataFrame(vecs[:50], VEC_SCHEMA), 0)
     with _pytest.raises(ValueError, match="fresh out_dir"):
         sink.rebuild_index(out)
+
+def test_rebuild_swap_under_concurrent_ingest(spark, tmp_path):
+    """The documented swap protocol under CONCURRENT ingest: epochs
+    that commit to the OLD sink between the rebuild snapshot and the
+    swap are folded into the new store by catch_up() — reassigned under
+    the new centroids at their ORIGINAL epoch ids, so the shared
+    checkpoint's ids stay monotone, a replay of a caught-up epoch
+    no-ops, and the final index equals a fresh batch build over the
+    whole corpus."""
+    from data_engineering_project_spotify_app_spark.operators.ivf import (
+        probed_search,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.ann_stream import (
+        _normed,
+        retrain_centroids,
+    )
+
+    vecs = _vectors(spark)
+    out = str(tmp_path / "index")
+    cent = _centroids_from(spark, vecs[:450])
+    sink = StreamingIvfIndexSink(spark, out, cent)
+    sink(spark.createDataFrame(vecs[:200], VEC_SCHEMA), 0)
+    sink(spark.createDataFrame(vecs[200:400], VEC_SCHEMA), 1)
+    # snapshot: rebuild sees epochs 0-1 only
+    new_cent = retrain_centroids(sink.current_index(), k=4)
+    sink2 = sink.rebuild_index(str(tmp_path / "index2"), centroids=new_cent)
+    # ... while epochs 2 and 3 keep landing on the OLD sink
+    sink(spark.createDataFrame(vecs[400:450], VEC_SCHEMA), 2)
+    sink(spark.createDataFrame(vecs[450:], VEC_SCHEMA), 3)
+    # swap: stop old query (simulated), catch up, idempotent on retry
+    assert sink2.catch_up(sink) == [2, 3]
+    assert sink2.catch_up(sink) == []  # crash-and-retry safe
+    # monotone epoch ids: rebuilt base at 1, caught-up deltas at 2, 3
+    assert sink2._base_epoch() == 1
+    assert sink2.committed_delta_epochs() == [2, 3]
+    # a replay of a caught-up epoch no-ops against the new markers
+    before = sink2.current_index().count()
+    sink2(spark.createDataFrame(vecs[400:450], VEC_SCHEMA), 2)
+    assert sink2.current_index().count() == before
+    # the swapped store equals a fresh batch build over the WHOLE corpus
+    n_all = _normed(spark.createDataFrame(vecs, VEC_SCHEMA))
+    want = sorted(tuple(r) for r in probed_search(n_all, new_cent).collect())
+    assert want, "batch search returned nothing — test is vacuous"
+    assert sorted(tuple(r) for r in sink2.search().collect()) == want
+    # post-swap ingest continues monotone on the new sink
+    extra = [(88888, list(vecs[5][1]))]
+    sink2(spark.createDataFrame(extra, VEC_SCHEMA), 4)
+    assert sink2.current_index().count() == before + 1
