@@ -549,17 +549,21 @@ def q_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL surface end-to-end: a user migrating warehouse recursive CTEs
     runs them as-is.
 
-    Scale caveat, measured and deliberate: Spark's recursive CTE
-    currently supports UNION ALL only, so this form enumerates bounded
-    WALKS (≈3.6M rows at sf0.01 for depth ≤ {MAX_HOPS}) and dedupes at
-    the end, where the plan-unrolled frontier BFS expands each node
-    once (left_anti against the visited set). For production graphs
-    q_bfs_hops is the path; this is surface parity, not the scale
-    form.
+    Scale note: Spark's recursive CTE supports UNION ALL only (no
+    UNION-distinct reachability dedup), and naive walk enumeration is
+    combinatorial on a dense graph — it blew past a 20M-row recursion
+    limit at sf0.1 (avg out-degree ~60, so seeds · 60^{MAX_HOPS}
+    walks). The fix is DISTINCT inside the recursive step: hops is
+    constant within a step, so each step is the DEDUPED frontier
+    (≤ |V| rows) and the whole recursion is bounded by
+    seeds + MAX_HOPS·|V| regardless of density. Re-visited nodes still
+    re-expand (no visited-set anti-join — that is q_bfs_hops, the
+    plan-unrolled production form), but row counts stay graph-sized,
+    and the final min(hops) gives identical semantics.
     """
-    # walk enumeration needs headroom over the 1M-row default
-    # (runtime-settable SQL conf, same defensive pattern as
-    # tables._ensure_session_confs)
+    # per-step-distinct keeps rows ≤ seeds + MAX_HOPS·|V|; the limit is
+    # belt-and-braces headroom over the 1M default (runtime-settable
+    # SQL conf, same defensive pattern as tables._ensure_session_confs)
     spark.conf.set("spark.sql.cteRecursionRowLimit", "20000000")
     edges = landed_copurchase_edges(spark, sf_dir)
     edges.createOrReplaceTempView("bfs_edges_v")
@@ -572,7 +576,7 @@ def q_bfs_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH RECURSIVE bfs (part, hops) AS (
           SELECT p_partkey, 0 FROM bfs_seeds_v
           UNION ALL
-          SELECT e.dst, bfs.hops + 1
+          SELECT DISTINCT e.dst, bfs.hops + 1
           FROM bfs JOIN bfs_edges_v e ON e.src = bfs.part
           WHERE bfs.hops < {MAX_HOPS}
         )
