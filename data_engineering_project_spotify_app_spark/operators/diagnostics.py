@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from data_engineering_project_spotify_app_spark.functions.text import TOKENS_SQL, tokens
 from data_engineering_project_spotify_app_spark.operators.dedup import (
@@ -437,4 +438,245 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("n_chars").alias("n_chars"),
         )
+    )
+
+
+_DUP_INFLATION_ORACLE = """
+    WITH g AS (
+      SELECT md5(text) AS h,
+             count(*) AS n_copies,
+             sum(n_chars) AS chars_all,
+             arg_min(n_chars, doc_id) AS chars_kept
+      FROM documents GROUP BY 1
+    )
+    SELECT CASE WHEN n_copies = 1 THEN 'unique'
+                WHEN n_copies <= 3 THEN 'x2_x3'
+                ELSE 'x4_plus' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(sum(chars_all) AS BIGINT) AS n_chars,
+           CAST(sum(chars_all - chars_kept) AS BIGINT) AS chars_redundant
+    FROM g GROUP BY 1
+    """
+
+
+@query("q_dup_inflation", oracle=_DUP_INFLATION_ORACLE)
+def q_dup_inflation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-inflation histogram (the 'data diet' report): exact-
+    duplicate groups bucketed by copy count (unique / x2-x3 / x4+),
+    with the characters a keep-one-per-group dedup would reclaim
+    (chars_redundant = total chars minus the kept doc's — kept = min
+    doc_id, matching q_dedup_exact's policy). The one-table answer to
+    "how much of this corpus is the same bytes over and over".
+
+    Scale: one md5 hash-aggregate over the corpus (map-side combined),
+    then a 3-row bucket aggregate — no pairs, no joins. ``min_by``
+    keeps the kept doc's chars inside the same aggregate."""
+    g = (
+        table(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("h"), "doc_id", "n_chars")
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.sum("n_chars").alias("chars_all"),
+            F.min_by("n_chars", "doc_id").alias("chars_kept"),
+        )
+    )
+    bucket = (
+        F.when(F.col("n_copies") == 1, "unique")
+        .when(F.col("n_copies") <= 3, "x2_x3")
+        .otherwise("x4_plus")
+    )
+    return g.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_copies").alias("n_docs"),
+        F.sum("chars_all").alias("n_chars"),
+        F.sum(F.col("chars_all") - F.col("chars_kept")).alias(
+            "chars_redundant"
+        ),
+    )
+
+
+def _funnel_by_source_oracle() -> str:
+    from data_engineering_project_spotify_app_spark.operators.clusters import (
+        _CLUSTERS_CTES,
+    )
+
+    return f"""
+    WITH RECURSIVE {_CLUSTERS_CTES},
+    exact_keep AS (
+      SELECT md5(text) AS h, min(doc_id) AS keep_id
+      FROM documents GROUP BY 1
+    ),
+    near_keep AS (
+      SELECT cluster_id, doc_id AS keep_id FROM (
+        SELECT cc.cluster_id, d.doc_id,
+               row_number() OVER (
+                 PARTITION BY cc.cluster_id
+                 ORDER BY length(d.text) DESC, d.doc_id
+               ) AS rn
+        FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+      ) WHERE rn = 1
+    ),
+    staged AS (
+      SELECT d.source, d.doc_id, d.n_chars,
+             CASE
+               WHEN d.n_chars < {LENGTH_FLOOR_CHARS} THEN 'length'
+               WHEN d.doc_id <> ek.keep_id THEN 'exact_dup'
+               WHEN d.doc_id <> nk.keep_id THEN 'near_dup'
+               ELSE 'kept'
+             END AS stage
+      FROM documents d
+      JOIN exact_keep ek ON ek.h = md5(d.text)
+      JOIN cc ON cc.doc_id = d.doc_id
+      JOIN near_keep nk ON nk.cluster_id = cc.cluster_id
+    )
+    SELECT source, stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM staged GROUP BY 1, 2
+    """
+
+
+@query("q_funnel_by_source", oracle=_funnel_by_source_oracle())
+def q_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel segmented by source: q_curation_funnel's
+    first-drop attribution with a (source, stage) breakdown — which
+    source pays each rule. The report a team reads before re-weighting
+    a source mix (a crawl slice losing half its docs to near-dup is a
+    different problem from one failing the length floor).
+
+    Same composition and scale posture as q_curation_funnel (the stage
+    frames are shared registered operators over the landed signatures;
+    source rides the document projection for free); output is bounded
+    by sources × 4 stages."""
+    from data_engineering_project_spotify_app_spark.operators.clusters import (
+        q_dedup_clusters,
+        q_dedup_keep_best,
+    )
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        q_dedup_exact,
+    )
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars", F.md5("text").alias("h")
+    )
+    ek = q_dedup_exact(spark, sf_dir).select(
+        F.col("text_hash").alias("h"), F.col("keep_id").alias("ekeep")
+    )
+    cc = q_dedup_clusters(spark, sf_dir)
+    nk = q_dedup_keep_best(spark, sf_dir).select(
+        "cluster_id", F.col("keep_id").alias("nkeep")
+    )
+    stage = (
+        F.when(F.col("n_chars") < LENGTH_FLOOR_CHARS, F.lit("length"))
+        .when(F.col("doc_id") != F.col("ekeep"), F.lit("exact_dup"))
+        .when(F.col("doc_id") != F.col("nkeep"), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        d.join(ek, "h")
+        .join(cc, "doc_id")
+        .join(nk, "cluster_id")
+        .select("source", stage.alias("stage"), "n_chars")
+        .groupBy("source", "stage")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+    )
+
+
+def _lang_purity_oracle() -> str:
+    from data_engineering_project_spotify_app_spark.operators.clusters import (
+        _CLUSTERS_CTES,
+    )
+
+    return f"""
+    WITH RECURSIVE {_CLUSTERS_CTES},
+    per_cluster AS (
+      SELECT cc.cluster_id,
+             count(DISTINCT d.lang) AS n_langs,
+             count(*) AS sz
+      FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+      GROUP BY 1
+    )
+    SELECT CAST(n_langs AS INT) AS n_langs,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(sz) AS BIGINT) AS n_docs
+    FROM per_cluster WHERE sz > 1 GROUP BY 1
+    """
+
+
+@query("q_cluster_lang_purity", oracle=_lang_purity_oracle())
+def q_cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language purity of near-dup clusters: non-singleton MinHash-LSH
+    clusters histogrammed by how many distinct languages they span.
+    n_langs > 1 flags translation pairs, language-ID errors, or
+    boilerplate shared across language slices — exactly the clusters a
+    keep-best policy should NOT collapse blindly.
+
+    Scale: rides the registered cluster frame; one doc_id-keyed join
+    to the (doc_id, lang) projection, one cluster-keyed aggregate, and
+    a histogram bounded by the language count."""
+    from data_engineering_project_spotify_app_spark.operators.clusters import (
+        q_dedup_clusters,
+    )
+
+    cc = q_dedup_clusters(spark, sf_dir)
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    per = (
+        cc.join(langs, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count_distinct("lang").alias("n_langs"),
+            F.count("*").alias("sz"),
+        )
+        .filter(F.col("sz") > 1)
+    )
+    return per.groupBy(F.col("n_langs").cast("int").alias("n_langs")).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+
+
+_LEN_DECILES_ORACLE = """
+    WITH t AS (
+      SELECT source, n_chars,
+             ntile(10) OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id
+             ) AS decile
+      FROM documents
+    )
+    SELECT source, CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS lo,
+           CAST(max(n_chars) AS BIGINT) AS hi,
+           CAST(sum(n_chars) AS BIGINT) AS n_chars
+    FROM t GROUP BY 1, 2
+    """
+
+
+@query("q_length_deciles_by_source", oracle=_LEN_DECILES_ORACLE)
+def q_length_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length decile table: each source's docs
+    ntile(10)'d by n_chars (doc_id tie-break for determinism), with
+    per-decile count, bounds, and mass. The distribution-shape twin of
+    q_winsorize's two-point clip — a skewed top decile is the crawl
+    boilerplate / concatenation-bug signature.
+
+    Scale: the window partitions BY SOURCE (parallel across sources,
+    never a global sort); a source's docs funneling into one partition
+    is inherent to exact per-source ranking — at 100 TB use the
+    two-phase range-partition rank per source (rankutil) if single
+    sources outgrow a task."""
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    t = table(spark, sf_dir, "documents").select(
+        "source", "n_chars", "doc_id"
+    ).withColumn("decile", F.ntile(10).over(w))
+    return t.groupBy("source", F.col("decile").cast("int").alias("decile")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("lo"),
+        F.max("n_chars").alias("hi"),
+        F.sum("n_chars").alias("n_chars"),
     )
