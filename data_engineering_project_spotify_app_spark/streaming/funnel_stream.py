@@ -64,13 +64,18 @@ from data_engineering_project_spotify_app_spark.streaming.sinks import (
 
 
 def _doc_stats(batch: DataFrame) -> DataFrame:
-    return batch.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         F.length("text").alias("text_len"),
         F.col("n_chars") if "n_chars" in batch.columns
         else F.length("text").alias("n_chars"),
         F.md5("text").alias("h"),
-    )
+    ]
+    # carry source when the ingest provides it so report(by_source=True)
+    # can segment without rescanning anything
+    if "source" in batch.columns:
+        cols.append(F.col("source"))
+    return batch.select(*cols)
 
 
 class StreamingCurationFunnel:
@@ -116,10 +121,13 @@ class StreamingCurationFunnel:
         self.lsh.compact()
         self.stats.compact()
 
-    def report(self) -> DataFrame | None:
+    def report(self, by_source: bool = False) -> DataFrame | None:
         """The maintained funnel: same columns and semantics as batch
         ``q_curation_funnel`` — (stage, n_docs, n_chars), every doc
-        charged to its first-drop stage."""
+        charged to its first-drop stage. With ``by_source=True`` the
+        streamed twin of ``q_funnel_by_source`` — (source, stage, ...)
+        — which requires the ingest to have carried a ``source``
+        column (see _doc_stats)."""
         stats = self.stats.current_landing()
         ek = self.exact.current_state()
         if stats is None or ek is None:
@@ -154,8 +162,15 @@ class StreamingCurationFunnel:
             .when(F.col("doc_id") != F.col("nkeep"), F.lit("near_dup"))
             .otherwise(F.lit("kept"))
         )
+        keys = ["source", "stage"] if by_source else ["stage"]
+        picked = (["source"] if by_source else []) + ["n_chars"]
         return (
-            stats.select("doc_id", "n_chars", "h")
+            stats.select(
+                "doc_id",
+                "n_chars",
+                "h",
+                *(["source"] if by_source else []),
+            )
             .join(
                 ek.select(
                     F.col("text_hash").alias("h"),
@@ -165,8 +180,8 @@ class StreamingCurationFunnel:
             )
             .join(cc, "doc_id")
             .join(nk, "cluster_id")
-            .select(stage.alias("stage"), "n_chars")
-            .groupBy("stage")
+            .select(stage.alias("stage"), *picked)
+            .groupBy(*keys)
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum("n_chars").alias("n_chars"),

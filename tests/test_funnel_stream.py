@@ -78,3 +78,36 @@ def test_streamed_funnel_two_way_split_matches(spark, tmp_path):
     for e, batch in enumerate([docs[250:], docs[:250]]):
         funnel(spark.createDataFrame(batch, DOC3_SCHEMA), e)
     assert _got(funnel) == want
+
+
+def test_streamed_funnel_by_source_equals_batch(spark, tmp_path):
+    """report(by_source=True) must equal the registered batch
+    q_funnel_by_source when the ingest carries a source column."""
+    docs = [
+        (r.doc_id, r.text, r.n_chars, r.source)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text", "n_chars", "source")
+        .collect()
+    ]
+    want = sorted(
+        tuple(r)
+        for r in registry.QUERIES["q_funnel_by_source"](spark, SF).collect()
+    )
+    schema = "doc_id long, text string, n_chars long, source string"
+    funnel = StreamingCurationFunnel(spark, str(tmp_path / "funnel3"))
+    third = len(docs) // 3
+    for e, batch in enumerate(
+        [docs[third:2 * third], docs[:third], docs[2 * third:]]
+    ):
+        funnel(spark.createDataFrame(batch, schema), e)
+    got = sorted(
+        tuple(r) for r in funnel.report(by_source=True).collect()
+    )
+    assert got == want and want
+    # the plain report still works off the same maintained state
+    plain = sorted(tuple(r) for r in funnel.report().collect())
+    batch_plain = sorted(
+        tuple(r)
+        for r in registry.QUERIES["q_curation_funnel"](spark, SF).collect()
+    )
+    assert plain == batch_plain

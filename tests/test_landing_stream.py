@@ -305,3 +305,77 @@ def test_published_edge_landing_consumer_matches_oracle(spark, tmp_path):
             bucketed.landing_table_name("oriented_adjacency", SF),
         )
         bucketed.invalidate_landings(SF)
+
+
+def test_streamed_bigram_landing_equals_batch(spark, tmp_path):
+    """Third transform through the generic doc sink: the word-bigram
+    shingle landing (doc_id, lang, source, bg) — per-doc pure map, so
+    streamed == batch for any split."""
+    from data_engineering_project_spotify_app_spark.functions.text import (
+        tokens,
+    )
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        word_bigrams,
+    )
+    from pyspark.sql import functions as F
+
+    schema = "doc_id long, text string, lang string, source string"
+    rows = [
+        (r.doc_id, r.text, r.lang, r.source)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text", "lang", "source")
+        .orderBy("doc_id")
+        .limit(90)
+        .collect()
+    ]
+
+    def transform(b):
+        return b.select(
+            "doc_id", "lang", "source",
+            word_bigrams(tokens(F.col("text"))).alias("bg"),
+        )
+
+    out = str(tmp_path / "bigrams")
+    sink = StreamingDocLandingSink(spark, out, transform)
+    for e, batch in enumerate([rows[:30], rows[30:70], rows[70:]]):
+        sink(spark.createDataFrame(batch, schema), e)
+    got = sorted(
+        (r.doc_id, r.lang, r.source, tuple(r.bg))
+        for r in sink.current_landing().collect()
+    )
+    want = sorted(
+        (r.doc_id, r.lang, r.source, tuple(r.bg))
+        for r in transform(spark.createDataFrame(rows, schema)).collect()
+    )
+    assert got == want and got
+
+
+def test_published_simhash_landing_consumer_matches_oracle(spark, tmp_path):
+    """Publish a maintained simhash landing and run the registered
+    consumers (q_simhash, q_simhash_hamming) against their oracles."""
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    out = str(tmp_path / "simhash_pub")
+    sink = StreamingDocLandingSink(
+        spark, out,
+        lambda b: simhash_signatures_df(b.select("doc_id", "text")),
+    )
+    half = len(docs) // 2
+    for e, batch in enumerate([docs[half:], docs[:half]]):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    name = sink.publish(SF, "simhash_signatures", n_buckets=8)
+    try:
+        for qname in ("q_simhash", "q_simhash_hamming"):
+            compare(
+                spark, SF, qname, registry.QUERIES[qname],
+                registry.ORACLES[qname],
+            )
+    finally:
+        bucketed.invalidate_landings(SF)
+        bucketed.drop_landed(spark, name)
