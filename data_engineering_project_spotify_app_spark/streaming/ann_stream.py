@@ -134,11 +134,16 @@ class StreamingIvfIndexSink(DeltaChainStore):
     DELTA_PREFIX = "vecs_e"
 
     def __init__(
-        self, spark: SparkSession, out_dir: str, centroids: DataFrame
+        self,
+        spark: SparkSession,
+        out_dir: str,
+        centroids: DataFrame,
+        auto_compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.centroids = centroids
+        self.auto_compact_every = auto_compact_every
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         delta_dir = self._delta_dir(epoch_id)
@@ -163,6 +168,7 @@ class StreamingIvfIndexSink(DeltaChainStore):
             n = n.join(F.broadcast(already), "vec_id", "left_anti")
         _assign(n, self.centroids).write.mode("overwrite").parquet(delta_dir)
         self._mark(delta_dir)
+        self.maybe_compact()
 
     def current_index(self) -> DataFrame | None:
         return self.read_store()
@@ -279,12 +285,15 @@ def maintain_ivf_index(
     name: str,
     centroids: DataFrame,
     checkpoint_dir: str | None = None,
+    auto_compact_every: int | None = None,
 ):
     """Attach the IVF index maintainer to a vector stream; returns
     (query, sink) so callers use ``sink.search()`` /
     ``sink.current_index()``. checkpointLocation is always set — see
     resolve_checkpoint."""
-    sink = StreamingIvfIndexSink(spark, out_dir, centroids)
+    sink = StreamingIvfIndexSink(
+        spark, out_dir, centroids, auto_compact_every=auto_compact_every
+    )
     q = (
         stream_df.writeStream.outputMode("append")
         .queryName(name)

@@ -176,11 +176,13 @@ class StreamingLshDedupSink(DeltaChainStore):
         out_dir: str,
         bucket_cap: int | None = None,
         dedupe_guard: bool = True,
+        auto_compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.bucket_cap = bucket_cap
         self.dedupe_guard = dedupe_guard
+        self.auto_compact_every = auto_compact_every
 
     def _pairs_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"pairs_e{epoch_id}")
@@ -285,6 +287,7 @@ class StreamingLshDedupSink(DeltaChainStore):
             self._mark(pairs_dir)
         if not delta_done:
             self._mark(delta_dir)
+        self.maybe_compact()
 
 
 def maintain_lsh_store(
@@ -295,6 +298,7 @@ def maintain_lsh_store(
     bucket_cap: int | None = None,
     checkpoint_dir: str | None = None,
     dedupe_guard: bool = True,
+    auto_compact_every: int | None = None,
 ):
     """Attach the streaming dedup maintainer to a document stream;
     returns (query, sink) so callers read ``sink.pairs()`` /
@@ -307,7 +311,11 @@ def maintain_lsh_store(
     the prior run: __call__ would skip them as replays — silent data
     loss, not replay safety (pinned by the restart test)."""
     sink = StreamingLshDedupSink(
-        spark, out_dir, bucket_cap=bucket_cap, dedupe_guard=dedupe_guard
+        spark,
+        out_dir,
+        bucket_cap=bucket_cap,
+        dedupe_guard=dedupe_guard,
+        auto_compact_every=auto_compact_every,
     )
     q = (
         stream_df.writeStream.outputMode("append")

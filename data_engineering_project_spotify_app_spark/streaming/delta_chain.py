@@ -115,6 +115,26 @@ class DeltaChainStore:
             return None
         return self.spark.read.parquet(*paths)
 
+    # ---- size-triggered auto-compaction ----
+    #
+    # A long-lived stream should not depend on an operator remembering
+    # to call compact(): sinks accept ``auto_compact_every=N`` and call
+    # maybe_compact() at the end of each epoch, folding the chain
+    # whenever N committed deltas have accumulated. The trade is the
+    # usual compaction one — each fold rewrites the base (O(store)) —
+    # so N sizes the amortization: per-epoch amortized compaction cost
+    # is O(store)/N. Compaction runs on the driver inside foreachBatch,
+    # AFTER the epoch's own markers land, so a crash mid-compaction
+    # leaves a fully committed epoch plus debris the next compact
+    # sweeps.
+
+    def maybe_compact(self) -> bool:
+        n = getattr(self, "auto_compact_every", None)
+        if n and len(self.committed_delta_epochs()) >= n:
+            self.compact()
+            return True
+        return False
+
     # ---- secondary per-epoch log families (guard ids, output docs) ----
     #
     # Several sinks keep a SECOND per-epoch log family next to the store

@@ -55,10 +55,12 @@ class StreamingExactDedupSink(DeltaChainStore):
         spark: SparkSession,
         out_dir: str,
         dedupe_guard: bool = True,
+        auto_compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.dedupe_guard = dedupe_guard
+        self.auto_compact_every = auto_compact_every
 
     def _ids_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"ids_e{epoch_id}")
@@ -96,6 +98,7 @@ class StreamingExactDedupSink(DeltaChainStore):
         )
         delta.write.mode("overwrite").parquet(delta_dir)
         self._mark(delta_dir)
+        self.maybe_compact()
 
     def current_state(self) -> DataFrame | None:
         """The streamed equivalent of the batch q_dedup_exact result:
@@ -159,11 +162,17 @@ def maintain_exact_dedup(
     name: str,
     checkpoint_dir: str | None = None,
     dedupe_guard: bool = True,
+    auto_compact_every: int | None = None,
 ):
     """Attach the exact-dedup maintainer to a document stream; returns
     (query, sink) so callers read ``sink.current_state()``.
     checkpointLocation is always set — see maintain_lsh_store."""
-    sink = StreamingExactDedupSink(spark, out_dir, dedupe_guard=dedupe_guard)
+    sink = StreamingExactDedupSink(
+        spark,
+        out_dir,
+        dedupe_guard=dedupe_guard,
+        auto_compact_every=auto_compact_every,
+    )
     q = (
         stream_df.writeStream.outputMode("append")
         .queryName(name)

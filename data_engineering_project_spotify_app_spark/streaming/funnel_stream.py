@@ -92,23 +92,29 @@ class StreamingCurationFunnel:
         out_dir: str,
         bucket_cap: int | None = None,
         dedupe_guard: bool = True,
+        auto_compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.exact = StreamingExactDedupSink(
-            spark, os.path.join(out_dir, "exact"), dedupe_guard=dedupe_guard
+            spark,
+            os.path.join(out_dir, "exact"),
+            dedupe_guard=dedupe_guard,
+            auto_compact_every=auto_compact_every,
         )
         self.lsh = StreamingLshDedupSink(
             spark,
             os.path.join(out_dir, "lsh"),
             bucket_cap=bucket_cap,
             dedupe_guard=dedupe_guard,
+            auto_compact_every=auto_compact_every,
         )
         self.stats = StreamingDocLandingSink(
             spark,
             os.path.join(out_dir, "stats"),
             _doc_stats,
             dedupe_guard=dedupe_guard,
+            auto_compact_every=auto_compact_every,
         )
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:

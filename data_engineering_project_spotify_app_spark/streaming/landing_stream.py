@@ -83,11 +83,13 @@ class StreamingDocLandingSink(DeltaChainStore):
         out_dir: str,
         transform: Callable[[DataFrame], DataFrame],
         dedupe_guard: bool = True,
+        auto_compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.transform = transform
         self.dedupe_guard = dedupe_guard
+        self.auto_compact_every = auto_compact_every
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         delta_dir = self._delta_dir(epoch_id)
@@ -111,6 +113,7 @@ class StreamingDocLandingSink(DeltaChainStore):
             self._mark(ids_dir)
         self.transform(batch).write.mode("overwrite").parquet(delta_dir)
         self._mark(delta_dir)
+        self.maybe_compact()
 
     def current_landing(self) -> DataFrame | None:
         """The landing as of now: plain union of the delta chain (each
@@ -168,10 +171,12 @@ class StreamingBasketLandingSink(DeltaChainStore):
         spark: SparkSession,
         out_dir: str,
         dedupe_guard: bool = True,
+        auto_compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.dedupe_guard = dedupe_guard
+        self.auto_compact_every = auto_compact_every
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from data_engineering_project_spotify_app_spark.operators.graphs import (
@@ -218,6 +223,7 @@ class StreamingBasketLandingSink(DeltaChainStore):
         import shutil
 
         shutil.rmtree(staged, ignore_errors=True)
+        self.maybe_compact()
 
     def current_baskets(self) -> DataFrame | None:
         return self.read_store()
@@ -296,13 +302,18 @@ def maintain_doc_landing(
     transform: Callable[[DataFrame], DataFrame],
     checkpoint_dir: str | None = None,
     dedupe_guard: bool = True,
+    auto_compact_every: int | None = None,
 ):
     """Attach a per-document landing maintainer to a document stream;
     returns (query, sink). checkpointLocation is always set — durable
     monotone epoch ids are what make the marker contract exactly-once
     (see delta_chain.py)."""
     sink = StreamingDocLandingSink(
-        spark, out_dir, transform, dedupe_guard=dedupe_guard
+        spark,
+        out_dir,
+        transform,
+        dedupe_guard=dedupe_guard,
+        auto_compact_every=auto_compact_every,
     )
     q = (
         stream_df.writeStream.outputMode("append")
@@ -323,11 +334,15 @@ def maintain_basket_landing(
     name: str,
     checkpoint_dir: str | None = None,
     dedupe_guard: bool = True,
+    auto_compact_every: int | None = None,
 ):
     """Attach the basket+edge landing maintainer to a lineitem-shaped
     stream; returns (query, sink)."""
     sink = StreamingBasketLandingSink(
-        spark, out_dir, dedupe_guard=dedupe_guard
+        spark,
+        out_dir,
+        dedupe_guard=dedupe_guard,
+        auto_compact_every=auto_compact_every,
     )
     q = (
         stream_df.writeStream.outputMode("append")

@@ -57,11 +57,13 @@ class StreamingLineDedupSink(DeltaChainStore):
         out_dir: str,
         k: int = LINE_TOKENS,
         dedupe_guard: bool = True,
+        auto_compact_every: int | None = None,
     ) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.k = k
         self.dedupe_guard = dedupe_guard
+        self.auto_compact_every = auto_compact_every
 
     def _docs_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"docs_e{epoch_id}")
@@ -184,6 +186,7 @@ class StreamingLineDedupSink(DeltaChainStore):
             self._mark(delta_dir)
         if os.path.isdir(staged):
             shutil.rmtree(staged, ignore_errors=True)
+        self.maybe_compact()
 
     def compact(self) -> list[int]:
         """Fold the digest-store chain (inherited), then fold the docs
@@ -209,6 +212,7 @@ def maintain_line_dedup(
     k: int = LINE_TOKENS,
     checkpoint_dir: str | None = None,
     dedupe_guard: bool = True,
+    auto_compact_every: int | None = None,
 ):
     """Attach the streaming line-dedup maintainer to a document stream;
     returns (query, sink) so callers read ``sink.clean_docs()``.
@@ -218,7 +222,11 @@ def maintain_line_dedup(
     restarted query lands new files on already-marked epochs and
     silently drops them."""
     sink = StreamingLineDedupSink(
-        spark, out_dir, k=k, dedupe_guard=dedupe_guard
+        spark,
+        out_dir,
+        k=k,
+        dedupe_guard=dedupe_guard,
+        auto_compact_every=auto_compact_every,
     )
     q = (
         stream_df.writeStream.outputMode("append")

@@ -650,3 +650,47 @@ def test_line_dedup_docs_log_fold_preserves_clean_docs(spark, tmp_path):
     assert (
         sorted(tuple(r) for r in sink.clean_docs().collect()) == docs_before
     )
+
+def test_auto_compaction_bounds_chain_and_preserves_state(spark, tmp_path):
+    """auto_compact_every=N folds the chain from inside foreachBatch:
+    after many epochs the store never holds more than N committed
+    deltas (plus the base), guard/output logs stay folded, and the
+    state equals the batch recompute — no operator intervention."""
+    from data_engineering_project_spotify_app_spark.streaming.exact_stream import (
+        StreamingExactDedupSink,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.dedup_stream import (
+        StreamingLshDedupSink,
+    )
+
+    docs = _corpus(spark, n=120)
+    splits = [docs[i * 20:(i + 1) * 20] for i in range(6)]
+    out = str(tmp_path / "exact")
+    sink = StreamingExactDedupSink(spark, out, auto_compact_every=2)
+    for e, batch in enumerate(splits):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+        assert len(sink.committed_delta_epochs()) < 2
+    names = os.listdir(out)
+    assert [d for d in names if d.startswith("ids_e")] == []
+    assert sink._base_epoch() == 5
+    got = sorted(tuple(r) for r in sink.current_state().collect())
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i, batch in enumerate(splits):
+        _drop_docs(src, f"b{i}.json", batch)
+    assert got == _batch_exact(spark, src)
+    # LSH twin: pairs survive the rolling folds byte-identically
+    out2 = str(tmp_path / "lsh")
+    sink2 = StreamingLshDedupSink(spark, out2, auto_compact_every=3)
+    for e, batch in enumerate(splits):
+        sink2(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    got_pairs = sorted(tuple(r) for r in sink2.pairs().collect())
+    full = spark.read.schema(DOC_SCHEMA).json(src)
+    want_pairs = sorted(
+        tuple(r)
+        for r in minhash_candidate_pairs_df(
+            minhash_signatures_df(full)
+        ).collect()
+    )
+    assert got_pairs == want_pairs and got_pairs
+    assert len(sink2.committed_delta_epochs()) < 3
