@@ -379,3 +379,73 @@ def test_published_simhash_landing_consumer_matches_oracle(spark, tmp_path):
     finally:
         bucketed.invalidate_landings(SF)
         bucketed.drop_landed(spark, name)
+
+
+def test_basket_landing_real_stream_restart(spark, tmp_path):
+    """The basket+edge maintainer through a real writeStream: stop the
+    query, drop a new whole-order file, restart on the same checkpoint
+    — epoch ids resume, only the new file processes, and the final
+    baskets/edges equal the batch derivation."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.streaming.landing_stream import (
+        maintain_basket_landing,
+    )
+
+    orders, by_order = _lineitems(spark, n_orders=300)
+    half = len(orders) // 2
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def drop(name, keys):
+        tmp = os.path.join(src, f".{name}.tmp")
+        with open(tmp, "w") as fh:
+            for o in keys:
+                for ok, pk in by_order[o]:
+                    fh.write(
+                        json.dumps({"l_orderkey": ok, "l_partkey": pk}) + "\n"
+                    )
+        os.rename(tmp, os.path.join(src, name))
+
+    drop("b0.json", orders[:half])
+    out = str(tmp_path / "state")
+    stream = (
+        spark.readStream.schema(LINE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q, sink = maintain_basket_landing(
+        spark, stream, out, "basket_restart1"
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    epochs_before = set(sink.committed_delta_epochs())
+    drop("b1.json", orders[half:])
+    time.sleep(0.05)
+    stream2 = (
+        spark.readStream.schema(LINE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+    )
+    q2, sink2 = maintain_basket_landing(
+        spark, stream2, out, "basket_restart2"
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert set(sink2.committed_delta_epochs()) - epochs_before
+    all_rows = [li for o in orders for li in by_order[o]]
+    full = spark.createDataFrame(all_rows, LINE_SCHEMA)
+    want_edges = sorted(
+        tuple(r)
+        for r in basket_edges(
+            full.groupBy("l_orderkey").agg(
+                F.array_distinct(F.collect_list("l_partkey")).alias("ps")
+            )
+        ).collect()
+    )
+    got_edges = sorted(tuple(r) for r in sink2.current_edges().collect())
+    assert got_edges == want_edges and got_edges
