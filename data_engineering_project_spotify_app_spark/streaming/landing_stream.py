@@ -172,11 +172,13 @@ class StreamingBasketLandingSink(DeltaChainStore):
         out_dir: str,
         dedupe_guard: bool = True,
         auto_compact_every: int | None = None,
+        strict_whole_orders: bool = False,
     ) -> None:
         self.spark = spark
         self.out_dir = out_dir
         self.dedupe_guard = dedupe_guard
         self.auto_compact_every = auto_compact_every
+        self.strict_whole_orders = strict_whole_orders
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from data_engineering_project_spotify_app_spark.operators.graphs import (
@@ -198,6 +200,8 @@ class StreamingBasketLandingSink(DeltaChainStore):
                     "l_orderkey",
                     "leftsemi",
                 ).distinct()
+                if self.strict_whole_orders:
+                    self._check_redelivery_is_identical(batch, already)
                 batch = batch.join(
                     F.broadcast(already), "l_orderkey", "left_anti"
                 )
@@ -224,6 +228,52 @@ class StreamingBasketLandingSink(DeltaChainStore):
 
         shutil.rmtree(staged, ignore_errors=True)
         self.maybe_compact()
+
+    def _check_redelivery_is_identical(
+        self, batch: DataFrame, already: DataFrame
+    ) -> None:
+        """strict_whole_orders: the guard drops any re-seen orderkey,
+        which is correct for an identical re-delivery but SILENT DATA
+        LOSS for an order that was split across epochs (the second
+        half's parts would vanish). Distinguish the two by comparing
+        the re-seen orders' incoming part-sets against the landed
+        baskets and refuse the batch on any difference — the ingest
+        violated the whole-orders-per-epoch assumption and must be
+        repaired upstream (or the sink rebuilt batch-side). Cost: one
+        join on the (rare) re-delivered orders only."""
+        landed = self.current_baskets()
+        if landed is None:
+            return
+        incoming = (
+            batch.join(F.broadcast(already), "l_orderkey", "leftsemi")
+            .groupBy("l_orderkey")
+            .agg(
+                F.array_sort(
+                    F.array_distinct(F.collect_list("l_partkey"))
+                ).alias("ps_new")
+            )
+        )
+        diff = (
+            incoming.join(
+                landed.select(
+                    "l_orderkey", F.array_sort("ps").alias("ps_old")
+                ),
+                "l_orderkey",
+            )
+            .filter(F.col("ps_new") != F.col("ps_old"))
+            .select("l_orderkey")
+            .limit(5)
+            .collect()
+        )
+        if diff:
+            keys = [r.l_orderkey for r in diff]
+            raise ValueError(
+                "strict_whole_orders: re-delivered orders arrived with "
+                f"DIFFERENT parts than their landed baskets ({keys}...) "
+                "— an order was split across epochs, violating the "
+                "whole-orders-per-epoch ingest assumption; dropping the "
+                "re-delivery would silently lose the new parts"
+            )
 
     def current_baskets(self) -> DataFrame | None:
         return self.read_store()

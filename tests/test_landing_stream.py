@@ -449,3 +449,40 @@ def test_basket_landing_real_stream_restart(spark, tmp_path):
     )
     got_edges = sorted(tuple(r) for r in sink2.current_edges().collect())
     assert got_edges == want_edges and got_edges
+
+
+def test_strict_whole_orders_detects_split_order(spark, tmp_path):
+    """strict_whole_orders distinguishes the tolerable case (identical
+    re-delivery of a whole order — guarded, no-op) from the silent-
+    data-loss case (an order SPLIT across epochs, where dropping the
+    re-seen key would lose the second half's parts — refused)."""
+    import pytest
+
+    from data_engineering_project_spotify_app_spark.streaming.landing_stream import (
+        StreamingBasketLandingSink,
+    )
+
+    rows = [(1, 10), (1, 11), (2, 20), (2, 21)]
+    out = str(tmp_path / "strict")
+    sink = StreamingBasketLandingSink(
+        spark, out, strict_whole_orders=True
+    )
+    sink(spark.createDataFrame(rows, LINE_SCHEMA), 0)
+    # identical re-delivery of order 1 alongside a new order: fine
+    sink(
+        spark.createDataFrame(
+            [(1, 10), (1, 11), (3, 30), (3, 31)], LINE_SCHEMA
+        ),
+        1,
+    )
+    assert sink.current_baskets().count() == 3
+    # order 3 arrives AGAIN with an extra part — a split order; the
+    # permissive guard would drop it silently, strict mode refuses
+    with pytest.raises(ValueError, match="split across epochs"):
+        sink(
+            spark.createDataFrame([(3, 30), (3, 31), (3, 32)], LINE_SCHEMA),
+            2,
+        )
+    # the refused epoch left no markers: state intact, epoch retryable
+    assert sink.current_baskets().count() == 3
+    assert sink.committed_delta_epochs() == [0, 1]
