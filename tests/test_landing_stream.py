@@ -486,3 +486,89 @@ def test_strict_whole_orders_detects_split_order(spark, tmp_path):
     # the refused epoch left no markers: state intact, epoch retryable
     assert sink.current_baskets().count() == 3
     assert sink.committed_delta_epochs() == [0, 1]
+
+
+def test_landing_lifecycle_growth_staleness_republish(spark, tmp_path):
+    """The full daily-ingest lifecycle, tying the maintainer to the
+    fingerprint contract: publish a maintained landing for a corpus,
+    GROW the corpus in place (fingerprint changes → the stale seed must
+    NOT be served), ingest only the delta, re-publish, and the batch
+    consumer matches its oracle at every step."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"{SF}/{t}.parquet", f"{corpus}/{t}.parquet")
+    full = pq.read_table(f"{SF}/documents.parquet")
+    half_n = full.num_rows // 2
+    pq.write_table(full.slice(0, half_n), f"{corpus}/documents.parquet")
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{corpus}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    out = str(tmp_path / "sigs")
+    sink = StreamingDocLandingSink(spark, out, _sig_transform)
+    sink(spark.createDataFrame(docs[: half_n // 2], DOC_SCHEMA), 0)
+    sink(spark.createDataFrame(docs[half_n // 2:], DOC_SCHEMA), 1)
+    name = sink.publish(corpus, "minhash_signatures", n_buckets=8)
+    try:
+        # step 1: consumer on the half corpus reads the published table
+        # and matches its oracle
+        plan = registry.QUERIES["q_minhash_lsh"](
+            spark, corpus
+        )._jdf.queryExecution().executedPlan().toString()
+        assert name in plan
+        compare(
+            spark, corpus, "q_minhash_lsh",
+            registry.QUERIES["q_minhash_lsh"],
+            registry.ORACLES["q_minhash_lsh"],
+        )
+        # step 2: corpus grows IN PLACE — the seeded landing is now
+        # stale; the fingerprint must route the consumer to a rebuilt
+        # batch landing, not the published half-corpus table
+        pq.write_table(full, f"{corpus}/documents.parquet")
+        plan2 = registry.QUERIES["q_minhash_lsh"](
+            spark, corpus
+        )._jdf.queryExecution().executedPlan().toString()
+        assert name not in plan2
+        compare(
+            spark, corpus, "q_minhash_lsh",
+            registry.QUERIES["q_minhash_lsh"],
+            registry.ORACLES["q_minhash_lsh"],
+        )
+        # step 3: ingest ONLY the delta, re-publish, re-seed — the
+        # consumer reads the maintained table again and still matches
+        grown = [
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(f"{corpus}/documents.parquet")
+            .select("doc_id", "text")
+            .collect()
+        ]
+        delta = [d for d in grown if d[0] not in {x[0] for x in docs}]
+        assert delta
+        sink(spark.createDataFrame(delta, DOC_SCHEMA), 2)
+        name2 = sink.publish(corpus, "minhash_signatures", n_buckets=8)
+        plan3 = registry.QUERIES["q_minhash_lsh"](
+            spark, corpus
+        )._jdf.queryExecution().executedPlan().toString()
+        assert name2 in plan3
+        compare(
+            spark, corpus, "q_minhash_lsh",
+            registry.QUERIES["q_minhash_lsh"],
+            registry.ORACLES["q_minhash_lsh"],
+        )
+    finally:
+        bucketed.invalidate_landings(corpus)
+        bucketed.drop_landed(
+            spark, name,
+            bucketed.landing_table_name("minhash_signatures", corpus),
+        )
