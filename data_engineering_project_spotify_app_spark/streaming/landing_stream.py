@@ -84,12 +84,21 @@ class StreamingDocLandingSink(DeltaChainStore):
         transform: Callable[[DataFrame], DataFrame],
         dedupe_guard: bool = True,
         auto_compact_every: int | None = None,
+        publish_to: tuple[str, str, int] | None = None,
     ) -> None:
+        """``publish_to=(sf_dir, prefix, n_buckets)`` turns the sink
+        fully hands-off: every auto-compaction (requires
+        ``auto_compact_every``) is followed by a publish(), so batch
+        consumers read a maintained table that refreshes at compaction
+        cadence with no operator intervention. Publish rewrites the
+        bucketed table — O(store) — which is why it rides the
+        compaction trigger rather than every epoch."""
         self.spark = spark
         self.out_dir = out_dir
         self.transform = transform
         self.dedupe_guard = dedupe_guard
         self.auto_compact_every = auto_compact_every
+        self.publish_to = publish_to
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         delta_dir = self._delta_dir(epoch_id)
@@ -113,7 +122,9 @@ class StreamingDocLandingSink(DeltaChainStore):
             self._mark(ids_dir)
         self.transform(batch).write.mode("overwrite").parquet(delta_dir)
         self._mark(delta_dir)
-        self.maybe_compact()
+        if self.maybe_compact() and self.publish_to is not None:
+            sf_dir, prefix, n_buckets = self.publish_to
+            self.publish(sf_dir, prefix, n_buckets)
 
     def current_landing(self) -> DataFrame | None:
         """The landing as of now: plain union of the delta chain (each

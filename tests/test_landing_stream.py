@@ -572,3 +572,42 @@ def test_landing_lifecycle_growth_staleness_republish(spark, tmp_path):
             spark, name,
             bucketed.landing_table_name("minhash_signatures", corpus),
         )
+
+
+def test_auto_publish_refreshes_consumer_table(spark, tmp_path):
+    """publish_to + auto_compact_every: the maintained landing is
+    compacted AND re-published from inside foreachBatch, so the batch
+    consumer's table refreshes at compaction cadence with no operator
+    calls at all."""
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    docs = _docs(spark, n=100)
+    out = str(tmp_path / "autopub")
+    name = None
+    sink = StreamingDocLandingSink(
+        spark,
+        out,
+        _sig_transform,
+        auto_compact_every=2,
+        publish_to=(SF, "minhash_signatures", 8),
+    )
+    try:
+        sink(spark.createDataFrame(docs[:30], DOC_SCHEMA), 0)
+        sink(spark.createDataFrame(docs[30:60], DOC_SCHEMA), 1)
+        # epoch 1 triggered compact -> publish: the seeded table now
+        # holds the first 60 docs' signatures
+        name = bucketed.landing_table_name("minhash_signatures", SF) + "_streamed"
+        assert spark.catalog.tableExists(name)
+        assert spark.table(name).count() == len(
+            {d[0] for d in docs[:60]}
+        )
+        # two more epochs -> second auto-publish widens the table
+        sink(spark.createDataFrame(docs[60:80], DOC_SCHEMA), 2)
+        sink(spark.createDataFrame(docs[80:], DOC_SCHEMA), 3)
+        assert spark.table(name).count() == len({d[0] for d in docs})
+        # chain stayed bounded throughout
+        assert len(sink.committed_delta_epochs()) < 2
+    finally:
+        bucketed.invalidate_landings(SF)
+        if name:
+            bucketed.drop_landed(spark, name)
