@@ -694,3 +694,49 @@ def test_auto_compaction_bounds_chain_and_preserves_state(spark, tmp_path):
     )
     assert got_pairs == want_pairs and got_pairs
     assert len(sink2.committed_delta_epochs()) < 3
+
+def test_fold_log_reclaims_crash_debris(spark, tmp_path):
+    """A fold that crashed between committing the new ids base and
+    sweeping the old dirs leaves debris (folded per-epoch logs + the
+    superseded base); the NEXT fold must reclaim it, and the guard view
+    must be unchanged throughout."""
+    import shutil
+
+    from data_engineering_project_spotify_app_spark.streaming.exact_stream import (
+        StreamingExactDedupSink,
+    )
+
+    docs = _corpus(spark, n=60)
+    out = str(tmp_path / "state")
+    sink = StreamingExactDedupSink(spark, out)
+    for e, batch in enumerate([docs[:20], docs[20:40]]):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    sink.compact()  # folds ids to ids_base1
+    ids_before = sorted(
+        tuple(r) for r in sink.read_log("ids_e").collect()
+    )
+    # simulate the crashed NEXT fold: epoch 2 lands, then a fold wrote
+    # and committed ids_base2 but died before sweeping ids_e2/ids_base1
+    sink(spark.createDataFrame(docs[40:], DOC_SCHEMA), 2)
+    all_ids = sink.spark.read.parquet(
+        os.path.join(out, "ids_base1"), os.path.join(out, "ids_e2")
+    ).distinct()
+    all_ids.write.mode("overwrite").parquet(os.path.join(out, "ids_base2"))
+    sink._mark(os.path.join(out, "ids_base2"))
+    # debris present: ids_e2 AND ids_base1 still on disk
+    names = set(os.listdir(out))
+    assert {"ids_e2", "ids_base1", "ids_base2"} <= names
+    # the guard view reads only the newest base (no duplicates)
+    want_ids = sorted(
+        tuple(r) for r in sink.read_log("ids_e").distinct().collect()
+    )
+    assert len(want_ids) == len(ids_before) + 20
+    # next compact (folds epoch 2's store delta) sweeps the ids debris
+    sink.compact()
+    names = set(os.listdir(out))
+    assert "ids_e2" not in names and "ids_base1" not in names
+    assert "ids_base2" in names
+    assert sorted(
+        tuple(r) for r in sink.read_log("ids_e").distinct().collect()
+    ) == want_ids
+    shutil.rmtree(out, ignore_errors=True)
