@@ -680,3 +680,100 @@ def q_length_deciles_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("hi"),
         F.sum("n_chars").alias("n_chars"),
     )
+
+
+from data_engineering_project_spotify_app_spark.functions.text import (  # noqa: E402
+    BIGRAMS_SQL,
+)
+
+_BIGRAMS = BIGRAMS_SQL.format(tok=TOKENS_SQL.format(col="text"))
+
+_SHINGLE_DF_ORACLE = f"""
+    WITH t0 AS (SELECT doc_id, {_BIGRAMS} AS bg FROM documents),
+    s AS (SELECT doc_id, unnest(bg) AS sh FROM t0),
+    d AS (SELECT sh, count(*) AS df FROM s GROUP BY 1)
+    SELECT CASE WHEN df = 1 THEN 'df_1'
+                WHEN df <= 10 THEN 'df_2_10'
+                WHEN df <= 100 THEN 'df_11_100'
+                ELSE 'df_100_plus' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(df) AS BIGINT) AS n_occurrences
+    FROM d GROUP BY 1
+    """
+
+
+@query("q_shingle_df_histogram", oracle=_SHINGLE_DF_ORACLE)
+def q_shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency histogram of word-bigram shingles: how much
+    of the shingle vocabulary is unique vs boilerplate — THE diagnostic
+    for whether prefix-filter / LSH blocking will discriminate on this
+    corpus (a vocabulary dominated by df>100 shingles, like the test
+    fixture's, degrades every rare-shingle blocking scheme; see
+    q_jaccard_prefix_join's scale notes).
+
+    Scale: rides the shared word-bigram landing (the per-doc bg SET,
+    consistent with the oracle's per-doc distinct), one explode + two
+    hash aggregates, output bounded at 4 rows."""
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        _bigram_grams,
+    )
+
+    sh = _bigram_grams(spark, sf_dir).select(
+        "doc_id", F.explode("bg").alias("sh")
+    )
+    d = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    bucket = (
+        F.when(F.col("df") == 1, "df_1")
+        .when(F.col("df") <= 10, "df_2_10")
+        .when(F.col("df") <= 100, "df_11_100")
+        .otherwise("df_100_plus")
+    )
+    return d.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_shingles"),
+        F.sum("df").alias("n_occurrences"),
+    )
+
+
+_NORM_STATS_ORACLE = """
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           round(min(nrm), 4) AS min_norm,
+           round(max(nrm), 4) AS max_norm,
+           round(avg(nrm), 4) AS mean_norm,
+           round(stddev_pop(nrm), 4) AS std_norm
+    FROM n
+    """
+
+
+@query("q_embedding_norm_stats", oracle=_NORM_STATS_ORACLE)
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm summary of the embedding corpus (count / min / max /
+    mean / population std, 4dp) — the first drift check on a vector
+    table: un-normalized vectors or a norm-distribution shift between
+    snapshots breaks cosine-vs-dot assumptions downstream.
+
+    Scale: per-row norm is a 64-element JVM-side fold (F.aggregate —
+    no Python, no explode); the stats are one algebraic aggregate.
+    The per-vector fold order is fixed (array order, both engines), so
+    only the corpus-level avg/std see float reassociation — at 4dp on
+    O(1) values that noise (~1e-13) cannot flip a boundary."""
+    e = table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    n = e.select(nrm.alias("nrm"))
+    return n.agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.avg("nrm"), 4).alias("mean_norm"),
+        F.round(F.stddev_pop("nrm"), 4).alias("std_norm"),
+    )
