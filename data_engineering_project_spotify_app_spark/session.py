@@ -14,9 +14,44 @@ of that is engine configuration, set once here:
 
 from __future__ import annotations
 
+import atexit
+import glob
 import os
+import shutil
 
 from pyspark.sql import SparkSession
+
+_WAREHOUSE_TMPL = "/tmp/spark_graft_warehouse_{uid}_{pid}"
+_cleanup_registered = False
+
+
+def _default_warehouse() -> str:
+    """Per-user + per-process managed-table warehouse (a shared fixed
+    path collides across concurrent runs/users). Registered for atexit
+    removal, and stale dirs from DEAD processes are swept on first use —
+    without either, every test/bench/gate process leaks a directory
+    forever (VERDICT r9 item 6: same debris-accumulation failure mode as
+    the driver's orphaned ./spark-warehouse, one directory over)."""
+    global _cleanup_registered
+    mine = _WAREHOUSE_TMPL.format(uid=os.getuid(), pid=os.getpid())
+    if not _cleanup_registered:
+        _cleanup_registered = True
+        atexit.register(shutil.rmtree, mine, ignore_errors=True)
+        prefix = _WAREHOUSE_TMPL.format(uid=os.getuid(), pid="")
+        for path in glob.glob(prefix + "*"):
+            try:
+                pid = int(path.rsplit("_", 1)[-1])
+            except ValueError:
+                continue
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)  # alive → a concurrent run's warehouse
+            except ProcessLookupError:
+                shutil.rmtree(path, ignore_errors=True)
+            except PermissionError:
+                pass
+    return mine
 
 
 def get_spark(
@@ -60,10 +95,7 @@ def get_spark(
         # that WANT a durable shared warehouse.
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE",
-                f"/tmp/spark_graft_warehouse_{os.getuid()}_{os.getpid()}",
-            ),
+            os.environ.get("SPARK_GRAFT_WAREHOUSE") or _default_warehouse(),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -33,7 +33,46 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _managed_location(spark: SparkSession, table_name: str) -> str:
+    """The filesystem path the session catalog would assign to managed
+    table ``table_name`` (default warehouse layout: ``<warehouse>/<tbl>``
+    for the default database, ``<warehouse>/<db>.db/<tbl>`` otherwise).
+    Identifiers are lowercased the way the analyzer normalizes them."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    parsed = urlparse(wh)
+    wh_path = parsed.path if parsed.scheme else wh
+    if "." in table_name:
+        db, tbl = table_name.rsplit(".", 1)
+    else:
+        db, tbl = spark.catalog.currentDatabase(), table_name
+    db, tbl = db.lower(), tbl.lower()
+    if db == "default":
+        return os.path.join(wh_path, tbl)
+    return os.path.join(wh_path, f"{db}.db", tbl)
+
+
+def _clear_orphaned_location(spark: SparkSession, table_name: str) -> None:
+    """Idempotence against catalog/filesystem divergence: with the default
+    in-memory catalog, a table created by a PREVIOUS process exists only
+    as a warehouse directory — the fresh catalog has no entry for it, so
+    ``saveAsTable`` refuses to create the managed table over the existing
+    location (LOCATION_ALREADY_EXISTS). Such a directory is unreadable
+    debris (its fingerprint TBLPROPERTY died with the old catalog), so
+    when the catalog lacks the table but its resolved location exists on
+    disk, delete the location and let the write recreate it. A table the
+    CURRENT catalog knows is left alone — mode=overwrite handles it."""
+    if spark.catalog.tableExists(table_name):
+        return
+    loc = _managed_location(spark, table_name)
+    if loc and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def land_bucketed(
@@ -53,7 +92,14 @@ def land_bucketed(
     exactly one bucket's rows → ONE file per bucket — the invariant
     Spark's scan needs to trust ``sortBy`` order and elide the
     sort-merge join's per-side Sort (asserted in tests).
+
+    Idempotent against orphaned warehouse directories: the driver's
+    default ``./spark-warehouse`` persists across processes while the
+    in-memory catalog does not, so a previous run's table directory
+    would otherwise crash this write with LOCATION_ALREADY_EXISTS
+    (pinned cross-process in tests/test_landings.py).
     """
+    _clear_orphaned_location(df.sparkSession, table_name)
     (
         df.repartition(n_buckets, bucket_col)
         .write.format("parquet")
@@ -118,7 +164,6 @@ def drop_landed(spark: SparkSession, *table_names: str) -> None:
 #   process; it is what makes the plan a bucketed table scan at all).
 # ---------------------------------------------------------------------------
 
-import os  # noqa: E402
 from collections.abc import Callable  # noqa: E402
 
 # (prefix, sf_dir, warehouse) -> (table_name, source_fingerprint)

@@ -6,15 +6,26 @@ Runs the first N (default 50) entries of ``__spark_entry__.queries()``
 against its oracle via the same rows/schema/value comparison as
 tests/oracle_harness.py. Prints one line per query and a final summary.
 
-Usage: python scripts/driver_sim.py [N] [sf_dir]
+Usage: python scripts/driver_sim.py [N] [sf_dir] [--warehouse=DIR]
+
+``--warehouse=DIR`` pins the managed-table warehouse to DIR instead of
+the per-PID /tmp default — point it at a PRE-POPULATED warehouse (e.g.
+a copy of ./spark-warehouse left by a previous driver run) to reproduce
+the driver's fresh-catalog-over-stale-disk environment that redded 25
+r09 rows (VERDICT r9 items 1–2).
 """
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+for _arg in [a for a in sys.argv[1:] if a.startswith("--warehouse=")]:
+    os.environ["SPARK_GRAFT_WAREHOUSE"] = _arg.split("=", 1)[1]
+    sys.argv.remove(_arg)
 
 import __spark_entry__ as e  # noqa: E402
 from data_engineering_project_spotify_app_spark.session import get_spark  # noqa: E402
