@@ -1248,7 +1248,12 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 1,
         )
     )
-    per_doc = per_doc.persist()
+    # localCheckpoint, not persist(): per_doc feeds both the prefix
+    # explode and the two survivor join-backs, so the cut stops the
+    # rank-join lineage re-running — and unlike a persist, the blocks
+    # are owned by the RDD and freed with it instead of accumulating
+    # across registry/bench invocations in one session (ADVICE r9).
+    per_doc = per_doc.localCheckpoint(eager=False)
     pref = per_doc.select(
         "doc_id",
         "n",

@@ -66,10 +66,16 @@ def _clear_orphaned_location(spark: SparkSession, table_name: str) -> None:
     location (LOCATION_ALREADY_EXISTS). Such a directory is unreadable
     debris (its fingerprint TBLPROPERTY died with the old catalog), so
     when the catalog lacks the table but its resolved location exists on
-    disk, delete the location and let the write recreate it. A table the
-    CURRENT catalog knows is left alone — mode=overwrite handles it."""
+    disk, delete the location and let the write recreate it. A MANAGED
+    table the CURRENT catalog knows is left alone — mode=overwrite
+    handles it — but an EXTERNAL one (a re-adopted seed, see
+    _adopt_persisted_seed) is normalized to the no-table case first:
+    saveAsTable(Overwrite) would drop it, leave its files behind, then
+    refuse to recreate the managed table over them."""
     if spark.catalog.tableExists(table_name):
-        return
+        if spark.catalog.getTable(table_name).tableType != "EXTERNAL":
+            return
+        spark.sql(f"DROP TABLE {table_name}")
     loc = _managed_location(spark, table_name)
     if loc and os.path.isdir(loc):
         shutil.rmtree(loc, ignore_errors=True)
@@ -245,6 +251,13 @@ def landed_frame(
         spark.catalog.tableExists(name)
         and _table_fingerprint(spark, name) == fp
     ):
+        # A previous process may have published a maintained table for
+        # this landing (seed_landing's durable marker) — adopt it
+        # instead of rebuilding from scratch.
+        adopted = _adopt_persisted_seed(spark, sf_dir, prefix, fp)
+        if adopted is not None:
+            _LANDED[key] = (adopted, fp)
+            return spark.table(adopted)
         land_bucketed(build(), name, bucket_col, n_buckets, sort_cols)
         _stamp_fingerprint(spark, name, fp)
     _LANDED[key] = (name, fp)
@@ -260,6 +273,69 @@ def landing_table_name(prefix: str, sf_dir: str) -> str:
     return f"{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
 
 
+def _seed_marker_path(spark: SparkSession, prefix: str, sf_dir: str) -> str:
+    """Where the durable seed record for (prefix, sf_dir) lives: a JSON
+    marker under the warehouse itself, so it shares the warehouse's
+    lifetime and is visible to every process that mounts it."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    parsed = urlparse(wh)
+    wh_path = parsed.path if parsed.scheme else wh
+    return os.path.join(
+        wh_path, "_graft_seeds", landing_table_name(prefix, sf_dir) + ".json"
+    )
+
+
+def _drop_seed_marker(spark: SparkSession, prefix: str, sf_dir: str) -> None:
+    try:
+        os.remove(_seed_marker_path(spark, prefix, sf_dir))
+    except OSError:
+        pass
+
+
+def _adopt_persisted_seed(
+    spark: SparkSession, sf_dir: str, prefix: str, fp: str
+) -> str | None:
+    """Cross-process half of seed_landing: if a previous process
+    published and seeded a maintained table for (prefix, sf_dir) and
+    the corpus has not changed since, re-register the orphaned table
+    directory into THIS catalog (CREATE TABLE from the recorded DDL +
+    LOCATION → an external table with the original schema AND bucket
+    spec, so co-located joins still elide their Exchange — pinned in
+    tests/test_landings.py) and serve it. A marker whose fingerprint no
+    longer matches is debris: the marker and, when no catalog entry
+    claims it, the table directory are swept so neither outlives the
+    corpus that produced them. Returns the adopted table name or None
+    (no marker / stale / directory gone → caller rebuilds)."""
+    import json
+
+    path = _seed_marker_path(spark, prefix, sf_dir)
+    if not os.path.isfile(path):
+        return None
+    try:
+        with open(path) as f:
+            marker = json.load(f)
+        name, ddl = marker["table"], marker["ddl"]
+    except (OSError, ValueError, KeyError):
+        _drop_seed_marker(spark, prefix, sf_dir)
+        return None
+    if marker.get("fp") != fp:
+        _drop_seed_marker(spark, prefix, sf_dir)
+        if not spark.catalog.tableExists(name):
+            loc = _managed_location(spark, name)
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+        return None
+    if spark.catalog.tableExists(name):
+        # same-process re-adopt (e.g. after invalidate_landings)
+        return name if _table_fingerprint(spark, name) == fp else None
+    loc = _managed_location(spark, name)
+    if not os.path.isdir(loc):
+        _drop_seed_marker(spark, prefix, sf_dir)
+        return None
+    spark.sql(ddl + f" LOCATION '{loc}'")
+    return name
+
+
 def seed_landing(
     spark: SparkSession,
     sf_dir: str,
@@ -272,19 +348,49 @@ def seed_landing(
     reads it instead of rebuilding, for as long as the current corpus
     fingerprint holds. The table must have the landing's schema and
     bucketing; it is stamped with the current source fingerprint so the
-    ordinary staleness rules apply from then on."""
+    ordinary staleness rules apply from then on.
+
+    The adoption is DURABLE: the table's DDL (SHOW CREATE TABLE, which
+    carries the bucket spec) is recorded in a marker under the
+    warehouse, so a consumer in a LATER process re-registers the
+    published table instead of silently rebuilding the batch landing
+    while the streamed one rots (ADVICE r9 item 3)."""
+    import json
+    import tempfile
+
     fp = corpus_fingerprint(sf_dir)
     _stamp_fingerprint(spark, table_name, fp)
     _LANDED[(prefix, sf_dir, _warehouse(spark))] = (table_name, fp)
+    ddl = spark.sql(f"SHOW CREATE TABLE {table_name}").collect()[0][0]
+    path = _seed_marker_path(spark, prefix, sf_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"table": table_name, "fp": fp, "ddl": ddl}, f)
+    os.replace(tmp, path)  # atomic: readers never see a torn marker
 
 
 def invalidate_landings(sf_dir: str | None = None) -> None:
     """Forget this process's landing memos (all, or one corpus). With
     content fingerprints this is no longer REQUIRED after regenerating
     testdata (the fingerprint check re-lands automatically); it remains
-    for tests that want to force the slow path."""
-    if sf_dir is None:
-        _LANDED.clear()
-    else:
-        for key in [k for k in _LANDED if k[1] == sf_dir]:
-            del _LANDED[key]
+    for tests and publish flows that want to force the slow path — so
+    it also drops the memoized landings' durable seed markers (a
+    marker that survived the explicit invalidation would silently
+    re-adopt the very table the caller is superseding; maintainers
+    re-seed right after, landing_stream.py)."""
+    for key in [k for k in _LANDED if sf_dir is None or k[1] == sf_dir]:
+        prefix, sdir, wh = key
+        parsed = urlparse(wh)
+        wh_path = parsed.path if parsed.scheme else wh
+        try:
+            os.remove(
+                os.path.join(
+                    wh_path,
+                    "_graft_seeds",
+                    landing_table_name(prefix, sdir) + ".json",
+                )
+            )
+        except OSError:
+            pass
+        del _LANDED[key]

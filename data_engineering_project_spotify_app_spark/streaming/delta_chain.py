@@ -270,4 +270,17 @@ class DeltaChainStore:
             # ones are debris from a crashed base write
             if b != target:
                 shutil.rmtree(self._base_dir(b), ignore_errors=True)
+        # staging debris: sinks that materialize an epoch's derivation
+        # once for two consumers (linedup_stream, the basket sink) stage
+        # it to staged_e{N} and rmtree on success — a crash between the
+        # last marker and that rmtree strands the staged dir, and the
+        # delta/base sweep above never names it. Any staged dir at or
+        # below the folded base belongs to a fully-durable epoch that
+        # will never be replayed, so it is reclaimable here (ADVICE r9).
+        for s in self._all_ids("staged_e"):
+            if s <= target:
+                shutil.rmtree(
+                    os.path.join(self.out_dir, f"staged_e{s}"),
+                    ignore_errors=True,
+                )
         return deltas

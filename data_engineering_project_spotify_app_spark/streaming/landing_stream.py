@@ -29,7 +29,11 @@ existing store maintainers:
 the batch consumers expect and adopts it via sources.bucketed.
 seed_landing, so every landed_frame consumer (q_minhash_lsh,
 q_triangle_count, ...) reads the maintained table with zero query
-changes. The oriented adjacency is NOT maintained per-epoch: it is
+changes. The adoption is durable: seed_landing records the table's
+DDL in a warehouse-resident marker, so consumers in LATER processes
+(fresh catalog, same warehouse) re-register and read the published
+table too — publish once per compaction, consume from anywhere — for
+as long as the corpus fingerprint holds. The oriented adjacency is NOT maintained per-epoch: it is
 degree-ordered, and one new edge can flip the orientation of every
 edge at both endpoints, so per-epoch maintenance would rewrite
 O(degree) neighborhoods anyway. It re-derives from the published edge
@@ -201,6 +205,15 @@ class StreamingBasketLandingSink(DeltaChainStore):
         if self._committed(delta_dir) or (
             base is not None and base >= epoch_id
         ):
+            # replayed epoch: reclaim a staged dir stranded by a crash
+            # between the delta marker and the success-path rmtree
+            # (same crash-debris handling as linedup_stream's replay)
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.out_dir, f"staged_e{epoch_id}"),
+                ignore_errors=True,
+            )
             return
         batch = batch_df.dropDuplicates(["l_orderkey", "l_partkey"])
         if self.dedupe_guard:

@@ -269,6 +269,32 @@ def test_streamed_basket_edge_landing_equals_batch(spark, tmp_path):
     assert got_baskets2 == want_baskets
 
 
+def test_stranded_staged_dir_reclaimed(spark, tmp_path):
+    """A crash between the delta marker and the success-path rmtree
+    strands the epoch's staged_e dir; the delta/base sweep never names
+    it. Both reclamation paths must collect it: compact() for epochs at
+    or below the folded base, and the replay early-return for a
+    re-delivered epoch (ADVICE r9 item 5)."""
+    orders, by_order = _lineitems(spark)
+    rows = [li for o in orders for li in by_order[o]]
+    out = str(tmp_path / "baskets_staged")
+    sink = StreamingBasketLandingSink(spark, out)
+    batch = spark.createDataFrame(rows, LINE_SCHEMA)
+    sink(batch, 0)
+    # simulate the crash debris: epoch 0 fully durable, staged dir back
+    staged = os.path.join(out, "staged_e0")
+    os.makedirs(staged, exist_ok=True)
+    with open(os.path.join(staged, "part-0.parquet"), "w") as f:
+        f.write("debris")
+    # replay of the same epoch (restart redelivery) sweeps it
+    sink(batch, 0)
+    assert not os.path.isdir(staged)
+    # and compact() reclaims one that no replay ever touches
+    os.makedirs(staged, exist_ok=True)
+    sink.compact()
+    assert not os.path.isdir(staged)
+
+
 def test_published_edge_landing_consumer_matches_oracle(spark, tmp_path):
     """Stream the WHOLE lineitem corpus as whole-order epochs, publish
     baskets+edges, and run the registered triangle-family consumers —

@@ -190,6 +190,100 @@ def test_fresh_catalog_over_populated_warehouse(tmp_path):
     assert results[0] == results[1] and results[0]["sig_rows"] > 0
 
 
+_SEED_PUBLISH_SCRIPT = """
+import sys
+sys.path.insert(0, ".")
+from data_engineering_project_spotify_app_spark.session import get_spark
+from data_engineering_project_spotify_app_spark.sources import bucketed
+
+corpus, mode = sys.argv[1], sys.argv[2]
+spark = get_spark(app_name="seed_persist_probe")
+build = lambda: spark.read.parquet(corpus + "/data.parquet")
+if mode == "publish":
+    # maintainer flow: batch landing exists, then a maintained table is
+    # published and seeded over it (landing_stream.publish's shape)
+    bucketed.landed_frame(spark, corpus, "seed_probe", "k", 2, build)
+    name = bucketed.landing_table_name("seed_probe", corpus) + "_streamed"
+    bucketed.land_bucketed(build(), name, "k", 2)
+    bucketed.seed_landing(spark, corpus, "seed_probe", name)
+else:
+    # consumer flow in a FRESH process: must adopt the published table,
+    # not silently rebuild the batch landing
+    df = bucketed.landed_frame(spark, corpus, "seed_probe", "k", 2, build)
+    key = ("seed_probe", corpus, bucketed._warehouse(spark))
+    rows = sorted(tuple(r) for r in df.collect())
+    print("ADOPTED " + bucketed._LANDED[key][0] + " " + repr(rows))
+spark.stop()
+"""
+
+
+def test_seed_adoption_survives_process_restart(spark, tmp_path):
+    """seed_landing's adoption must outlive the publishing process: a
+    consumer in a fresh JVM (new in-memory catalog, same warehouse)
+    re-registers the published table from the durable seed marker and
+    reads IT — not a silently rebuilt batch landing (ADVICE r9 item 3:
+    adoption was process-local, degrading publish() to per-process)."""
+    import os
+    import subprocess
+    import sys
+
+    corpus = str(tmp_path / "corpus_seed")
+    _write_corpus(spark, corpus, [(1, "a"), (2, "b")])
+    wh = str(tmp_path / "seed_warehouse")
+    env = dict(os.environ, SPARK_GRAFT_WAREHOUSE=wh)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = []
+    for mode in ("publish", "consume"):
+        proc = subprocess.run(
+            [sys.executable, "-c", _SEED_PUBLISH_SCRIPT, corpus, mode],
+            capture_output=True,
+            text=True,
+            env=env,
+            cwd=repo,
+            timeout=600,
+        )
+        assert proc.returncode == 0, (
+            f"{mode} failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+        )
+        out.append(proc.stdout)
+    adopted = [l for l in out[1].splitlines() if l.startswith("ADOPTED ")]
+    assert adopted, out[1][-2000:]
+    name, rows = adopted[-1][len("ADOPTED "):].split(" ", 1)
+    assert name.endswith("_streamed")
+    assert rows == repr([(1, "a"), (2, "b")])
+
+
+def test_stale_seed_marker_is_swept_and_rebuilt(spark, tmp_path):
+    """A seed whose corpus has changed must NOT be adopted: the marker
+    (and, with no catalog entry claiming it, the published table's
+    directory) is swept and the landing rebuilt from the new corpus."""
+    import os
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    corpus = str(tmp_path / "corpus_stale")
+    _write_corpus(spark, corpus, [(1, "a")])
+
+    def build():
+        return spark.read.parquet(f"{corpus}/data.parquet")
+
+    name = bucketed.landing_table_name("stale_probe", corpus) + "_streamed"
+    bucketed.land_bucketed(build(), name, "k", 2)
+    bucketed.seed_landing(spark, corpus, "stale_probe", name)
+    marker = bucketed._seed_marker_path(spark, "stale_probe", corpus)
+    assert os.path.isfile(marker)
+    # corpus regenerated; simulate a fresh process (memo gone, marker
+    # NOT — invalidate_landings would remove it, a process death won't)
+    _write_corpus(spark, corpus, [(9, "z")])
+    spark.sql(f"DROP TABLE {name}")  # managed drop removes dir + entry
+    key = ("stale_probe", corpus, bucketed._warehouse(spark))
+    del bucketed._LANDED[key]
+    got = bucketed.landed_frame(spark, corpus, "stale_probe", "k", 2, build)
+    assert [tuple(r) for r in got.collect()] == [(9, "z")]
+    assert not bucketed._LANDED[key][0].endswith("_streamed")
+    assert not os.path.isfile(marker)  # stale marker swept
+
+
 def test_landed_signatures_equal_derived(spark, sf_dir):
     from data_engineering_project_spotify_app_spark.tables import table
 
