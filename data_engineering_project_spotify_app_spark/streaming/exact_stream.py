@@ -11,11 +11,21 @@ re-aggregating the union of per-epoch deltas equals the batch
 recompute exactly (pinned in tests/test_streaming_dedup.py).
 
 State is the usual append-only delta chain (delta_chain.py): epoch N
-appends only its own batch's (text_hash, keep_id, n_copies) triples —
-O(|delta|) rows, 16-byte digest key, uniform by construction. Readers
-re-aggregate on read (one hash agg over base+deltas); compact() folds
-the chain into a PRE-MERGED base, so the at-rest state stays
-O(distinct hashes) rather than O(Σ deltas).
+appends only its own batch's per-hash partials — O(|delta|) rows,
+16-byte digest key, uniform by construction. Readers re-aggregate on
+read (one hash agg over base+deltas); compact() folds the chain into
+a PRE-MERGED base, so the at-rest state stays O(distinct hashes)
+rather than O(Σ deltas).
+
+STORE FORMAT v2 (deliberate delta-schema break, round 10): the per-
+hash partial is ``(text_hash, keep_id, n_copies, chars_all,
+chars_kept)`` — the two character columns are what the streamed
+``q_dup_inflation`` report needs, and both stay mergeable (sum;
+min_by over the winning keep_id). v1 stores (no chars columns) are
+NOT silently read: ``read_store`` raises with a rebuild instruction,
+because back-filling chars as null would corrupt every downstream
+sum. Stores are derived state — rebuilding from the source stream is
+always possible and is the honest migration.
 
 Cross-epoch duplicate-id guard (mirror of the other sinks'): the hash
 state collapses doc_ids away, so re-delivery detection needs its own
@@ -88,28 +98,88 @@ class StreamingExactDedupSink(DeltaChainStore):
                 )
             batch.select("doc_id").write.mode("overwrite").parquet(ids_dir)
             self._mark(ids_dir)
+        # chars default to length(text) so plain (doc_id, text) streams
+        # need no extra column; a pre-computed n_chars is used verbatim
+        chars = (
+            F.col("n_chars")
+            if "n_chars" in batch.columns
+            else F.length("text")
+        )
         delta = (
-            batch.select(F.md5("text").alias("text_hash"), "doc_id")
+            batch.select(
+                F.md5("text").alias("text_hash"),
+                "doc_id",
+                chars.cast("bigint").alias("n_chars"),
+            )
             .groupBy("text_hash")
             .agg(
                 F.min("doc_id").alias("keep_id"),
                 F.count("*").alias("n_copies"),
+                F.sum("n_chars").alias("chars_all"),
+                F.min_by("n_chars", "doc_id").alias("chars_kept"),
             )
         )
         delta.write.mode("overwrite").parquet(delta_dir)
         self._mark(delta_dir)
         self.maybe_compact()
 
+    _V2_COLS = ("chars_all", "chars_kept")
+
+    def read_store(self) -> DataFrame | None:
+        store = super().read_store()
+        if store is not None and not all(
+            c in store.columns for c in self._V2_COLS
+        ):
+            raise ValueError(
+                "exact-dedup store at "
+                f"{self.out_dir} is format v1 (no chars columns); "
+                "back-filling nulls would corrupt the character sums — "
+                "delete the store and replay the stream to rebuild it "
+                "in v2 (stores are derived state; the source stream is "
+                "the durable record)"
+            )
+        return store
+
     def current_state(self) -> DataFrame | None:
         """The streamed equivalent of the batch q_dedup_exact result:
-        re-aggregate the delta chain (min/sum are mergeable, so this is
-        one hash agg regardless of how many epochs contributed)."""
+        re-aggregate the delta chain (min, sum, and chars-of-the-
+        winning-keep are mergeable, so this is one hash agg regardless
+        of how many epochs contributed)."""
         store = self.read_store()
         if store is None:
             return None
         return store.groupBy("text_hash").agg(
             F.min("keep_id").alias("keep_id"),
             F.sum("n_copies").alias("n_copies"),
+            F.sum("chars_all").alias("chars_all"),
+            # each partial's chars_kept belongs to its keep_id; the
+            # merged group keeps the chars of the GLOBAL min keep_id
+            F.min_by("chars_kept", "keep_id").alias("chars_kept"),
+        )
+
+    def dup_inflation_report(self) -> DataFrame | None:
+        """Streamed twin of ``q_dup_inflation`` (operators/
+        diagnostics.py): copy-count buckets with the characters a
+        keep-min-doc_id dedup would reclaim, derived from the
+        maintained hash state — a 3-row aggregate over O(distinct
+        hashes), never a rescan of the corpus. Equals the batch report
+        for ANY micro-batch split (all inputs are mergeable aggregates;
+        pinned in tests/test_streaming_dedup.py)."""
+        state = self.current_state()
+        if state is None:
+            return None
+        bucket = (
+            F.when(F.col("n_copies") == 1, "unique")
+            .when(F.col("n_copies") <= 3, "x2_x3")
+            .otherwise("x4_plus")
+        )
+        return state.groupBy(bucket.alias("bucket")).agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n_copies").alias("n_docs"),
+            F.sum("chars_all").alias("n_chars"),
+            F.sum(F.col("chars_all") - F.col("chars_kept")).alias(
+                "chars_redundant"
+            ),
         )
 
     def compact(self) -> list[int]:

@@ -188,12 +188,21 @@ class StreamingBasketLandingSink(DeltaChainStore):
         dedupe_guard: bool = True,
         auto_compact_every: int | None = None,
         strict_whole_orders: bool = False,
+        publish_to: str | None = None,
     ) -> None:
+        """``publish_to=sf_dir`` makes the maintainer hands-off the
+        same way the doc sink's tuple form does: every auto-compaction
+        (requires ``auto_compact_every``) is followed by publish(), so
+        the basket AND edge landings (plus the derived adjacency, via
+        publish's refresh) track the stream at compaction cadence with
+        no operator intervention. Bucket counts use publish()'s
+        defaults (the batch landings' EDGE_BUCKETS)."""
         self.spark = spark
         self.out_dir = out_dir
         self.dedupe_guard = dedupe_guard
         self.auto_compact_every = auto_compact_every
         self.strict_whole_orders = strict_whole_orders
+        self.publish_to = publish_to
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         from data_engineering_project_spotify_app_spark.operators.graphs import (
@@ -251,7 +260,8 @@ class StreamingBasketLandingSink(DeltaChainStore):
         import shutil
 
         shutil.rmtree(staged, ignore_errors=True)
-        self.maybe_compact()
+        if self.maybe_compact() and self.publish_to is not None:
+            self.publish(self.publish_to)
 
     def _check_redelivery_is_identical(
         self, batch: DataFrame, already: DataFrame
@@ -409,14 +419,18 @@ def maintain_basket_landing(
     checkpoint_dir: str | None = None,
     dedupe_guard: bool = True,
     auto_compact_every: int | None = None,
+    publish_to: str | None = None,
 ):
     """Attach the basket+edge landing maintainer to a lineitem-shaped
-    stream; returns (query, sink)."""
+    stream; returns (query, sink). ``publish_to=sf_dir`` (with
+    ``auto_compact_every``) auto-publishes both landings at compaction
+    cadence."""
     sink = StreamingBasketLandingSink(
         spark,
         out_dir,
         dedupe_guard=dedupe_guard,
         auto_compact_every=auto_compact_every,
+        publish_to=publish_to,
     )
     q = (
         stream_df.writeStream.outputMode("append")

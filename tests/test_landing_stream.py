@@ -600,6 +600,48 @@ def test_landing_lifecycle_growth_staleness_republish(spark, tmp_path):
         )
 
 
+def test_basket_auto_publish_refreshes_both_landings(spark, tmp_path):
+    """publish_to + auto_compact_every on the basket sink: compaction
+    from inside foreachBatch re-publishes BOTH the basket and edge
+    landings (and refreshes the derived adjacency) with no operator
+    calls — the doc sink's hands-off mode, extended to the two-landing
+    maintainer (VERDICT r9 stretch item)."""
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    orders, by_order = _lineitems(spark)
+    cut = len(orders) // 2
+    out = str(tmp_path / "autopub_baskets")
+    sink = StreamingBasketLandingSink(
+        spark, out, auto_compact_every=2, publish_to=SF
+    )
+    bname = bucketed.landing_table_name("part_baskets", SF) + "_streamed"
+    ename = bucketed.landing_table_name("copurchase_edges", SF) + "_streamed"
+    try:
+        rows0 = [li for o in orders[:cut] for li in by_order[o]]
+        rows1 = [li for o in orders[cut:] for li in by_order[o]]
+        sink(spark.createDataFrame(rows0, LINE_SCHEMA), 0)
+        sink(spark.createDataFrame(rows1, LINE_SCHEMA), 1)
+        # epoch 1 triggered compact -> publish: both tables exist and
+        # cover every ingested order
+        assert spark.catalog.tableExists(bname)
+        assert spark.catalog.tableExists(ename)
+        assert spark.table(bname).count() == len(orders)
+        want_edges = sorted(
+            tuple(r) for r in sink.current_edges().collect()
+        )
+        got_edges = sorted(
+            tuple(r)
+            for r in spark.table(ename).select("src", "dst").collect()
+        )
+        assert got_edges == want_edges and got_edges
+        # consumers resolve to the published tables via the seeds
+        key_b = ("part_baskets", SF, bucketed._warehouse(spark))
+        assert bucketed._LANDED[key_b][0] == bname
+    finally:
+        bucketed.invalidate_landings(SF)
+        bucketed.drop_landed(spark, bname, ename)
+
+
 def test_auto_publish_refreshes_consumer_table(spark, tmp_path):
     """publish_to + auto_compact_every: the maintained landing is
     compacted AND re-published from inside foreachBatch, so the batch

@@ -490,12 +490,24 @@ def _batch_exact(spark, src):
 
     full = spark.read.schema(DOC_SCHEMA).json(src)
     return sorted(
-        (r["text_hash"], r["keep_id"], r["n_copies"])
-        for r in full.select(F.md5("text").alias("text_hash"), "doc_id")
+        (
+            r["text_hash"],
+            r["keep_id"],
+            r["n_copies"],
+            r["chars_all"],
+            r["chars_kept"],
+        )
+        for r in full.select(
+            F.md5("text").alias("text_hash"),
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
         .groupBy("text_hash")
         .agg(
             F.min("doc_id").alias("keep_id"),
             F.count("*").alias("n_copies"),
+            F.sum("n_chars").alias("chars_all"),
+            F.min_by("n_chars", "doc_id").alias("chars_kept"),
         )
         .collect()
     )
@@ -555,6 +567,99 @@ def test_streamed_exact_dedup_equals_batch_any_split_order(spark, tmp_path):
     extra = [(8000, "a genuinely new exact stream document")]
     sink(spark.createDataFrame(extra, DOC_SCHEMA), 4)
     assert sink.current_state().count() == len(before) + 1
+
+
+def test_streamed_dup_inflation_equals_batch(spark, tmp_path):
+    """The streamed dup-inflation report (3-row aggregate over the
+    maintained hash state) must equal the batch q_dup_inflation logic
+    for any split — the store-format-v2 chars columns exist exactly for
+    this report, and every input is a mergeable aggregate."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.streaming.exact_stream import (
+        StreamingExactDedupSink,
+    )
+
+    docs = _corpus(spark, n=80)
+    dup = docs[0][1]
+    splits = [
+        docs[40:80] + [(9001, dup)],
+        docs[:40] + [(9000, dup), (9002, dup)],
+    ]
+    src = str(tmp_path / "src_di")
+    os.makedirs(src)
+    for i, batch in enumerate(splits):
+        _drop_docs(src, f"b{i}.json", batch)
+    sink = StreamingExactDedupSink(spark, str(tmp_path / "state_di"))
+    for e, batch in enumerate(splits):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    # batch twin of q_dup_inflation over the same corpus
+    g = (
+        spark.read.schema(DOC_SCHEMA)
+        .json(src)
+        .select(
+            F.md5("text").alias("h"),
+            "doc_id",
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.sum("n_chars").alias("chars_all"),
+            F.min_by("n_chars", "doc_id").alias("chars_kept"),
+        )
+    )
+    bucket = (
+        F.when(F.col("n_copies") == 1, "unique")
+        .when(F.col("n_copies") <= 3, "x2_x3")
+        .otherwise("x4_plus")
+    )
+    want = sorted(
+        tuple(r)
+        for r in g.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_groups"),
+            F.sum("n_copies").alias("n_docs"),
+            F.sum("chars_all").alias("n_chars"),
+            F.sum(F.col("chars_all") - F.col("chars_kept")).alias(
+                "chars_redundant"
+            ),
+        )
+        .collect()
+    )
+    got = sorted(
+        tuple(r) for r in sink.dup_inflation_report().collect()
+    )
+    assert got == want and got
+    # the x4_plus bucket exists (4 copies of dup) and reports savings
+    assert any(r[0] == "x4_plus" and r[4] > 0 for r in got)
+    # report survives compaction unchanged
+    sink.compact()
+    assert (
+        sorted(tuple(r) for r in sink.dup_inflation_report().collect())
+        == want
+    )
+
+
+def test_v1_exact_store_is_refused_not_misread(spark, tmp_path):
+    """A pre-v2 store (no chars columns) must fail LOUDLY on read —
+    back-filling nulls would corrupt every character sum downstream.
+    The deliberate break is documented in exact_stream.py."""
+    import pytest
+
+    from data_engineering_project_spotify_app_spark.streaming.exact_stream import (
+        StreamingExactDedupSink,
+    )
+
+    out = str(tmp_path / "state_v1")
+    sink = StreamingExactDedupSink(spark, out)
+    # hand-write a v1-format delta (the old 3-column schema) + marker
+    spark.createDataFrame(
+        [("aa", 1, 2)], "text_hash string, keep_id long, n_copies long"
+    ).write.parquet(os.path.join(out, "exact_e0"))
+    sink._mark(os.path.join(out, "exact_e0"))
+    with pytest.raises(ValueError, match="format v1"):
+        sink.current_state()
 
 
 def test_streamed_exact_dedup_via_real_stream(spark, tmp_path):
