@@ -17,7 +17,15 @@ SF_ORACLE = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", shuffle_partitions=8)
+    # invariance-sweep knobs (NOTES_r9/r10): results must not depend on
+    # the shuffle partition count or on AQE's runtime re-planning
+    nparts = int(os.environ.get("SPARK_GRAFT_TEST_SHUFFLE", "8"))
+    extra = {}
+    if os.environ.get("SPARK_GRAFT_TEST_AQE", "").lower() in ("0", "false"):
+        extra["spark.sql.adaptive.enabled"] = "false"
+    s = get_spark(
+        app_name="tests", shuffle_partitions=nparts, extra_conf=extra
+    )
     yield s
 
 
