@@ -1733,3 +1733,120 @@ def weighted_jaccard_pairs(
         .filter(sim >= WJACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(sim, 4).alias("wjaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): positional char k-gram hashes, min per sliding window of w,
+# distinct mins = the document's fingerprint set. Guarantees every shared
+# substring of length >= k + w - 1 yields at least one shared fingerprint,
+# at a (2/(w+1)) expected selection density — LOCAL overlap detection the
+# set-based shingle ladder above cannot give (it loses positions).
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 8  # char k-gram width
+WINNOW_W = 4  # winnowing window (guarantee length = k + w - 1 = 11)
+WINNOW_DF_CAP = 20  # stop-fingerprint cull (same role as the shingle df cap)
+WINNOW_MIN_SHARED = 5  # report pairs sharing at least this many fingerprints
+WINNOW_TOP = 100
+
+_WINNOW_HASH = _hex2int_sql("md5(g)", 1)
+
+# identical lambda pipeline in both engines; only the list-function
+# surface differs (transform/array_min/slice vs list_transform/list_min/
+# bracket slicing — DuckDB slices are 1-based INCLUSIVE on both ends,
+# hence j:j+w-1 against Spark's slice(hs, j, w))
+_WINNOW_FPS_SPARK = (
+    f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}),"
+    f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
+)
+_WINNOW_HS_SPARK = (
+    f"transform(transform(sequence(1, length(t) - {WINNOW_K - 1}),"
+    f" i -> substring(t, i, {WINNOW_K})), g -> {_WINNOW_HASH})"
+)
+_WINNOW_FPS_DUCK = (
+    f"list_distinct(list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),"
+    f" j -> list_min(hs[j:j + {WINNOW_W - 1}])))"
+)
+_WINNOW_HS_DUCK = (
+    f"list_transform(list_transform(generate_series(1, length(t) - {WINNOW_K - 1}),"
+    f" i -> substr(t, i, {WINNOW_K})), g -> {_WINNOW_HASH})"
+)
+
+_WINNOW_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, lower(text) AS t FROM documents
+      WHERE length(text) >= {WINNOW_K + WINNOW_W - 1}
+    ),
+    hs AS (SELECT doc_id, {_WINNOW_HS_DUCK} AS hs FROM t),
+    fp AS (
+      SELECT doc_id, unnest({_WINNOW_FPS_DUCK}) AS fp FROM hs
+    ),
+    df AS (SELECT fp, count(*) AS df FROM fp GROUP BY 1),
+    keep AS (
+      SELECT f.doc_id, f.fp FROM fp f JOIN df USING (fp)
+      WHERE df.df <= {WINNOW_DF_CAP}
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared FROM pairs
+    WHERE n_shared >= {WINNOW_MIN_SHARED}
+    ORDER BY n_shared DESC, doc_a, doc_b LIMIT {WINNOW_TOP}
+    """
+
+
+@query("q_winnowing_pairs", oracle=_WINNOW_ORACLE)
+def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) overlap detection: top-{WINNOW_TOP} document
+    pairs by shared winnowing fingerprints. Any shared substring of
+    {WINNOW_K + WINNOW_W - 1}+ chars is guaranteed to produce a shared
+    fingerprint, so this surfaces documents with long verbatim COMMON
+    PASSAGES (boilerplate, quotes, partial copies) that whole-document
+    shingle-set similarity dilutes away.
+
+    Plan shape: grams → hashes → window-mins run entirely inside array
+    HOFs in ONE projection over the document scan (no explode until the
+    per-doc fingerprint set is already selected and deduped — the
+    selection keeps ~2/(w+1) of positions, so the exploded frame is a
+    fraction of the raw gram count). Pair generation is the bucket-join
+    on the fingerprint key with the standard stop-fingerprint df cap
+    ({WINNOW_DF_CAP}) bounding any bucket's C(df,2) contribution —
+    identical skew posture to the shingle ladder's df_cap
+    (q_dedup_ngram_jaccard_capped). Hashes are md5-derived through the
+    shared _hex2int_sql idiom, so both engines select the SAME
+    fingerprints."""
+    docs = table_parallel(spark, sf_dir, "documents")
+    t = docs.filter(
+        F.length("text") >= WINNOW_K + WINNOW_W - 1
+    ).select("doc_id", F.lower(F.col("text")).alias("t"))
+    fp = (
+        t.select("doc_id", F.expr(_WINNOW_HS_SPARK).alias("hs"))
+        .select("doc_id", F.explode(F.expr(_WINNOW_FPS_SPARK)).alias("fp"))
+    )
+    # fp feeds the df cull AND the pair join — stage it once
+    fp = fp.localCheckpoint(eager=False)
+    df = fp.groupBy("fp").agg(F.count("*").alias("df"))
+    keep = fp.join(
+        df.filter(F.col("df") <= WINNOW_DF_CAP).select("fp"), "fp"
+    )
+    a = keep.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = keep.select(
+        F.col("fp").alias("fp_b"), F.col("doc_id").alias("doc_b")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("fp") == F.col("fp_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return pairs.orderBy(
+        F.col("n_shared").desc(), "doc_a", "doc_b"
+    ).limit(WINNOW_TOP)

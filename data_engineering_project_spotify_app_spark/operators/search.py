@@ -600,3 +600,223 @@ def q_cooccurrence_pmi_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "term_a", "term_b")
         .limit(PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of a sparse and a dense arm
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # standard fusion constant (Cormack/Clarke/Buettcher)
+RRF_QUERY_DOC = 0  # the more-like-this query document / vector
+RRF_ARM_N = 50  # per-arm candidate depth
+RRF_TOP_K = 10
+
+_RRF_ORACLE = f"""
+    WITH ex AS (SELECT doc_id, unnest({_TOK}) AS term FROM documents),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+      FROM ex GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term
+    ),
+    q AS (
+      SELECT df.term, df.df FROM df
+      WHERE df.term IN (
+        SELECT term FROM tf WHERE doc_id = {RRF_QUERY_DOC}
+      )
+      ORDER BY df.df, df.term LIMIT {BM25_QUERY_TERMS}
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len({_TOK}) AS DOUBLE) AS dl FROM documents
+    ),
+    st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             avg(CAST(len({_TOK}) AS DOUBLE)) AS avgdl
+      FROM documents
+    ),
+    sparse AS (
+      SELECT tf.doc_id, round(sum(
+               ln((st.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                 * tf.tf * ({BM25_K1} + 1.0)
+                 / (tf.tf + {BM25_K1}
+                      * (1.0 - {BM25_B} + {BM25_B} * dl.dl / st.avgdl))
+             ), 4) AS score
+      FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+      WHERE tf.doc_id <> {RRF_QUERY_DOC}
+      GROUP BY tf.doc_id
+    ),
+    sr AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY score DESC, doc_id) AS r
+      FROM sparse QUALIFY r <= {RRF_ARM_N}
+    ),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n2 AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ),
+    dense AS (
+      SELECT c.vec_id AS doc_id,
+             round(list_dot_product(qv.v, c.v) / (qv.nrm * c.nrm), 4)
+               AS sim
+      FROM n2 c, (SELECT v, nrm FROM n2
+                  WHERE vec_id = {RRF_QUERY_DOC}) qv
+      WHERE c.vec_id <> {RRF_QUERY_DOC}
+    ),
+    dr AS (
+      SELECT doc_id, row_number() OVER (
+               ORDER BY sim DESC, doc_id) AS r
+      FROM dense QUALIFY r <= {RRF_ARM_N}
+    ),
+    fused AS (
+      SELECT coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+             CAST(coalesce(sr.r, -1) AS BIGINT) AS sparse_rank,
+             CAST(coalesce(dr.r, -1) AS BIGINT) AS dense_rank,
+             round(coalesce(1.0 / ({RRF_K} + sr.r), 0.0)
+                   + coalesce(1.0 / ({RRF_K} + dr.r), 0.0), 6) + 0.0
+               AS rrf_score
+      FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
+    )
+    SELECT doc_id, sparse_rank, dense_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP_K}
+    """
+
+
+@query("q_rrf_fusion", oracle=_RRF_ORACLE)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid more-like-this retrieval with reciprocal-rank fusion:
+    the sparse arm is BM25 for the query document's {BM25_QUERY_TERMS}
+    rarest terms, the dense arm is embedding cosine to the query
+    document's vector (documents and embeddings are id-aligned), and
+    the fused score is RRF = sum over arms of 1/({RRF_K}+rank) over
+    each arm's top-{RRF_ARM_N} — the standard hybrid-search ladder
+    (lexical recall + semantic recall, rank-space fusion so the two
+    score scales never need calibrating).
+
+    Plan shape at 100 TB: each arm is its own broadcast-driven scan
+    (BM25: query terms + corpus stats broadcast onto the tf frame;
+    dense: ONE query vector broadcast onto the embedding scan), each
+    ends in a TakeOrderedAndProject of {RRF_ARM_N} rows, and the
+    fusion is a full outer join of two {RRF_ARM_N}-row frames — the
+    corpus is never shuffled, and the arms run independently. Ranks
+    order the ROUNDED arm scores with a doc_id tie-break
+    (deterministic cross-engine); missing membership in an arm is the
+    conventional rank -1, contributing 0 to the fusion sum.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    docs = table_parallel(spark, sf_dir, "documents")
+    ex = _doc_terms(docs)
+    tf = (
+        ex.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qterms = (
+        df.join(
+            tf.filter(F.col("doc_id") == RRF_QUERY_DOC).select("term"),
+            "term",
+            "leftsemi",
+        )
+        .orderBy(F.col("df").asc(), F.col("term").asc())
+        .limit(BM25_QUERY_TERMS)
+    )
+    dl = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("double").alias("dl")
+    )
+    st = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        F.avg(F.size(tokens(F.col("text"))).cast("double")).alias("avgdl"),
+    )
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    wexpr = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    sparse = (
+        tf.filter(F.col("doc_id") != RRF_QUERY_DOC)
+        .join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(st))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(wexpr), 4).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    # arm top-N via orderBy+limit (TakeOrderedAndProject — a per-
+    # partition heap + driver merge), THEN row_number over the N-row
+    # result: a global-order row_number on the corpus-sized frame would
+    # funnel the whole arm through Exchange SinglePartition (on this
+    # Spark build only rank()/dense_rank() get WindowGroupLimit)
+    sw = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    sr = (
+        sparse.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(RRF_ARM_N)
+        .withColumn("r", F.row_number().over(sw))
+        .select("doc_id", F.col("r").alias("sr"))
+    )
+
+    from data_engineering_project_spotify_app_spark.operators.similarity import (
+        _as_double,
+        dot,
+    )
+
+    e = table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    n2 = e.select(
+        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    qv = n2.filter(F.col("vec_id") == RRF_QUERY_DOC).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    dense = (
+        n2.filter(F.col("vec_id") != RRF_QUERY_DOC)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                dot(F.col("qv"), F.col("v"))
+                / (F.col("qnrm") * F.col("nrm")),
+                4,
+            ).alias("sim"),
+        )
+    )
+    dw = Window.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+    dr = (
+        dense.orderBy(F.col("sim").desc(), F.col("doc_id").asc())
+        .limit(RRF_ARM_N)
+        .withColumn("r", F.row_number().over(dw))
+        .select("doc_id", F.col("r").alias("dr"))
+    )
+    fused = sr.join(dr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("sr"), F.lit(-1)).cast("bigint").alias(
+            "sparse_rank"
+        ),
+        F.coalesce(F.col("dr"), F.lit(-1)).cast("bigint").alias(
+            "dense_rank"
+        ),
+        (
+            F.round(
+                F.coalesce(1.0 / (RRF_K + F.col("sr")), F.lit(0.0))
+                + F.coalesce(1.0 / (RRF_K + F.col("dr")), F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    ).limit(RRF_TOP_K)

@@ -1015,3 +1015,136 @@ def q_ann_euclidean_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation quality
+# ---------------------------------------------------------------------------
+
+MRL_PREFIXES = [8, 16, 32]  # prefix dims audited against the full DIM=64
+
+_MRL_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (SELECT unnest([{', '.join(str(p) for p in MRL_PREFIXES)}, {DIM}]) AS pd),
+    n AS (
+      SELECT d.pd, e.vec_id, e.v[1:d.pd] AS pv,
+             sqrt(list_dot_product(e.v[1:d.pd], e.v[1:d.pd])) AS nrm
+      FROM e CROSS JOIN dims d
+    ),
+    ranked AS (
+      SELECT q.pd, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.pd, q.vec_id
+               ORDER BY round(list_dot_product(q.pv, c.pv)
+                              / (q.nrm * c.nrm), 4) DESC, c.vec_id
+             ) AS rnk
+      FROM n q JOIN n c ON c.pd = q.pd AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    kept AS (
+      SELECT pd, query_id, neighbor_id FROM ranked WHERE rnk <= {TOPK}
+    ),
+    full_k AS (
+      SELECT query_id, neighbor_id FROM kept WHERE pd = {DIM}
+    )
+    SELECT CAST(k.pd AS BIGINT) AS prefix_dim,
+           CAST(count(*) AS BIGINT) AS n_hits,
+           round(count(*) * 1.0 / {N_QUERIES * TOPK}, 4) + 0.0
+             AS overlap_at_k
+    FROM kept k
+    JOIN full_k f
+      ON f.query_id = k.query_id AND f.neighbor_id = k.neighbor_id
+    WHERE k.pd <> {DIM}
+    GROUP BY 1
+    """
+
+
+@query("q_matryoshka_overlap", oracle=_MRL_ORACLE)
+def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation audit: for each prefix length p in
+    MRL_PREFIXES, the overlap@k between exact cosine top-k under the
+    FULL embedding and under its first-p-dims truncation — the number
+    that tells you whether serving can run ANN on a 8/16/32-dim prefix
+    (MRL-trained models promise it; this measures it on YOUR vectors).
+
+    Plan: ONE broadcast of the query rows over ONE corpus scan; all
+    |prefixes|+1 dot products are fused into the scan projection (array
+    slices of the same row — ~2x the flops of the full dot, vs 4x the
+    rows if the prefix axis were exploded before the join), and only
+    the (pair, prefix, sim) triple leaves the stage. Top-k per
+    (query, prefix) ranks the ROUNDED sim with a neighbor tie-break
+    (deterministic cross-engine, q_cosine_topk convention). At 100 TB
+    the corpus side stays a single pruned column scan; the result is
+    |prefixes| rows.
+    """
+    dims = [*MRL_PREFIXES, DIM]
+    e = table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+
+    def pref_norm(col: str, p: int) -> Column:
+        s = F.slice(F.col(col), 1, p)
+        return F.sqrt(dot(s, s))
+
+    n = e.select(
+        "vec_id", "v", *[pref_norm("v", p).alias(f"nrm_{p}") for p in dims]
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        *[F.col(f"nrm_{p}").alias(f"qnrm_{p}") for p in dims],
+    )
+    sims = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).cast("bigint").alias("prefix_dim"),
+                    (
+                        F.round(
+                            dot(
+                                F.slice(F.col("qv"), 1, p),
+                                F.slice(F.col("v"), 1, p),
+                            )
+                            / (F.col(f"qnrm_{p}") * F.col(f"nrm_{p}")),
+                            4,
+                        )
+                        + F.lit(0.0)
+                    ).alias("sim"),
+                )
+                for p in dims
+            ]
+        )
+    ).alias("ps")
+    pairs = (
+        F.broadcast(q)
+        .join(n, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), sims
+        )
+        .select("query_id", "neighbor_id", "ps.prefix_dim", "ps.sim")
+    )
+    w = Window.partitionBy("prefix_dim", "query_id").orderBy(
+        F.col("sim").desc(), "neighbor_id"
+    )
+    kept = (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK)
+        .select("prefix_dim", "query_id", "neighbor_id")
+    )
+    full_k = kept.filter(F.col("prefix_dim") == DIM).select(
+        "query_id", "neighbor_id"
+    )
+    return (
+        kept.filter(F.col("prefix_dim") != DIM)
+        .join(full_k, ["query_id", "neighbor_id"])
+        .groupBy("prefix_dim")
+        .agg(
+            F.count("*").alias("n_hits"),
+            (
+                F.round(F.count("*") / F.lit(N_QUERIES * TOPK), 4)
+                + F.lit(0.0)
+            ).alias("overlap_at_k"),
+        )
+    )
