@@ -777,3 +777,62 @@ def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nrm"), 4).alias("mean_norm"),
         F.round(F.stddev_pop("nrm"), 4).alias("std_norm"),
     )
+
+
+_SOFT_DEDUP_ORACLE = """
+    WITH g AS (
+      SELECT md5(text) AS h, count(*) AS n_copies
+      FROM documents GROUP BY 1
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+           round(sum(1.0 / g.n_copies), 4) + 0.0 AS eff_docs,
+           round(sum(d.n_chars * 1.0 / g.n_copies), 4) + 0.0 AS eff_chars,
+           round(1.0 - sum(d.n_chars * 1.0 / g.n_copies)
+                       / sum(d.n_chars), 4) + 0.0 AS dedup_discount
+    FROM documents d JOIN g ON g.h = md5(d.text)
+    GROUP BY d.source
+    """
+
+
+@query("q_soft_dedup_weights", oracle=_SOFT_DEDUP_ORACLE)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup accounting (the SlimPajama-style alternative to hard
+    removal): every document in an exact-duplicate group of size n gets
+    weight 1/n, so the GROUP contributes exactly one document's worth
+    of probability mass without anyone choosing which copy to keep.
+    Reported per source: raw vs effective (weighted) document and
+    character counts, and the dedup discount — how much of a source's
+    apparent volume is duplication. Downstream samplers multiply their
+    per-doc rates by this weight instead of running a keep/drop pass.
+
+    Plan: one md5 hash-aggregate for group sizes (map-side combined),
+    one co-partitioned equi-join back on the digest key, one
+    |sources|-row aggregate. No pairs, no arrays. Weighted sums are
+    rounded to 4 with the -0.0 fold (cross-engine float convention)."""
+    d = table(spark, sf_dir, "documents").select(
+        "source", "n_chars", F.md5("text").alias("h")
+    )
+    g = d.groupBy("h").agg(F.count("*").alias("n_copies"))
+    w = 1.0 / F.col("n_copies")
+    return (
+        d.join(g, "h")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            (F.round(F.sum(w), 4) + F.lit(0.0)).alias("eff_docs"),
+            (F.round(F.sum(F.col("n_chars") * w), 4) + F.lit(0.0)).alias(
+                "eff_chars"
+            ),
+            (
+                F.round(
+                    1.0
+                    - F.sum(F.col("n_chars") * w) / F.sum("n_chars"),
+                    4,
+                )
+                + F.lit(0.0)
+            ).alias("dedup_discount"),
+        )
+    )
