@@ -198,6 +198,12 @@ HEADLINE = [
     "q_cluster_size_histogram",
     "q_padding_waste",
     "q_curation_funnel",
+    # round-10 additions: hybrid retrieval + truncation audit +
+    # positional fingerprinting + soft-dedup accounting
+    "q_rrf_fusion",
+    "q_matryoshka_overlap",
+    "q_winnowing_pairs",
+    "q_soft_dedup_weights",
 ]
 
 

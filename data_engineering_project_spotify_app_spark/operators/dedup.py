@@ -1165,6 +1165,42 @@ def q_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 JP_T_NUM, JP_T_DEN = 3, 5
 
 
+def _jp_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_jaccard_prefix_join's per-doc frame: sorted global-rarity rank
+    array (rarest first) + integer prefix length. Factored out (and
+    plan-pinned in tests/test_plans.py) because the query consumes it
+    through a localCheckpoint boundary that hides this subplan: the
+    global ranking must stay the TWO-PHASE range rank (rankutil), never
+    a single-partition window over the corpus-scale shingle vocabulary.
+    """
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        two_phase_global_rank,
+    )
+
+    sets = (
+        _bigram_grams(spark, sf_dir)
+        .select("doc_id", "bg")
+        .filter(F.size("bg") > 0)
+    )
+    sh = sets.select("doc_id", F.explode("bg").alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    ranked = two_phase_global_rank(
+        dfreq, [F.col("df").asc(), F.col("sh").asc()], 32
+    ).select("sh", F.col("rn").cast("bigint").alias("srank"))
+    return (
+        sh.join(ranked, "sh")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("srank")).alias("ranks"))
+        .withColumn("n", F.size("ranks"))
+        .withColumn(
+            "p",
+            F.col("n")
+            - F.floor((JP_T_NUM * F.col("n") + (JP_T_DEN - 1)) / JP_T_DEN)
+            + 1,
+        )
+    )
+
+
 @query(
     "q_jaccard_prefix_join",
     oracle=f"""
@@ -1221,39 +1257,14 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_minhash_lsh / capped) remain the production path for corpora
     this repetitive.
     """
-    from data_engineering_project_spotify_app_spark.operators.rankutil import (
-        two_phase_global_rank,
-    )
-
-    sets = (
-        _bigram_grams(spark, sf_dir)
-        .select("doc_id", "bg")
-        .filter(F.size("bg") > 0)
-    )
-    sh = sets.select("doc_id", F.explode("bg").alias("sh"))
-    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
-    ranked = two_phase_global_rank(
-        dfreq, [F.col("df").asc(), F.col("sh").asc()], 32
-    ).select("sh", F.col("rn").cast("bigint").alias("srank"))
-    # per-doc sorted rank array (rarest first) + integer prefix length
-    per_doc = (
-        sh.join(ranked, "sh")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("srank")).alias("ranks"))
-        .withColumn("n", F.size("ranks"))
-        .withColumn(
-            "p",
-            F.col("n")
-            - F.floor((JP_T_NUM * F.col("n") + (JP_T_DEN - 1)) / JP_T_DEN)
-            + 1,
-        )
-    )
     # localCheckpoint, not persist(): per_doc feeds both the prefix
     # explode and the two survivor join-backs, so the cut stops the
     # rank-join lineage re-running — and unlike a persist, the blocks
     # are owned by the RDD and freed with it instead of accumulating
     # across registry/bench invocations in one session (ADVICE r9).
-    per_doc = per_doc.localCheckpoint(eager=False)
+    # The checkpoint boundary hides the upstream plan, so the two-phase
+    # rank shape is pinned on _jp_per_doc directly (tests/test_plans.py).
+    per_doc = _jp_per_doc(spark, sf_dir).localCheckpoint(eager=False)
     pref = per_doc.select(
         "doc_id",
         "n",

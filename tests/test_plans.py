@@ -554,10 +554,22 @@ def test_jaccard_prefix_join_rank_is_two_phase(spark, sf_dir):
     """The global shingle-rarity ranking must be the two-phase range
     rank: every windowspec is either pid-partitioned (local row_number)
     or over the per-range count frame — no single-partition window over
-    the shingle vocabulary."""
+    the shingle vocabulary. Pinned on the factored per-doc builder: the
+    registered query consumes it through a localCheckpoint boundary
+    (ADVICE r9 cache fix) that hides this subplan from its own explain."""
+    import contextlib
+    import io
     import re
 
-    plan = plan_of(spark, sf_dir, "q_jaccard_prefix_join")
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        _jp_per_doc,
+    )
+
+    spark.catalog.clearCache()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _jp_per_doc(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
     wins = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert wins, plan
     for w in wins:
@@ -631,3 +643,33 @@ def test_degree_agg_rides_bucketed_edge_landing(spark, sf_dir):
     assert "Bucketed: true" in plan, plan
     tree = plan.split("\n(1)")[0]
     assert tree.count("Exchange") == 1, plan
+
+
+def test_rrf_arm_topn_is_take_ordered(spark, sf_dir):
+    """Each fusion arm must reduce to its top-N via
+    TakeOrderedAndProject (per-partition heap + driver merge) BEFORE
+    any global-order row numbering — a row_number over the corpus-sized
+    arm would funnel it through one task (only rank()/dense_rank() get
+    WindowGroupLimit on this build). Two arms + the fused top-k."""
+    plan = plan_of(spark, sf_dir, "q_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject") >= 3, plan
+
+
+def test_matryoshka_is_one_broadcast_scan(spark, sf_dir):
+    """The prefix-dim audit must broadcast the 5 query rows over ONE
+    corpus scan (non-equi join → broadcast nested loop); the corpus
+    must never cross a single-partition exchange, and the per-
+    (prefix, query) ranking must stay hash-partitioned."""
+    plan = plan_of(spark, sf_dir, "q_matryoshka_overlap")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_winnowing_no_global_funnel(spark, sf_dir):
+    """Winnowing's pair report ends in a TakeOrderedAndProject top-100;
+    nothing corpus-sized may pass through a single-partition exchange
+    (the fingerprint self-join and both aggregates shuffle on their
+    keys only)."""
+    plan = plan_of(spark, sf_dir, "q_winnowing_pairs")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
