@@ -1830,7 +1830,12 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_dedup_ngram_jaccard_capped). Hashes are md5-derived through the
     shared _hex2int_sql idiom, so both engines select the SAME
     fingerprints."""
-    docs = table_parallel(spark, sf_dir, "documents")
+    return winnowing_pairs_df(table_parallel(spark, sf_dir, "documents"))
+
+
+def winnowing_pairs_df(docs: DataFrame) -> DataFrame:
+    """q_winnowing_pairs over any (doc_id, text) frame — the frame-
+    parametrized form scripts/scale_probe.py grows M×."""
     t = docs.filter(
         F.length("text") >= WINNOW_K + WINNOW_W - 1
     ).select("doc_id", F.lower(F.col("text")).alias("t"))

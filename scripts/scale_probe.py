@@ -31,6 +31,7 @@ from data_engineering_project_spotify_app_spark.operators.dedup import (  # noqa
     ngram_jaccard_pairs,
     simhash_hamming_pairs_df,
     weighted_jaccard_pairs,
+    winnowing_pairs_df,
 )
 from data_engineering_project_spotify_app_spark.operators.linedup import (  # noqa: E402
     LCS_GRAM,
@@ -259,6 +260,17 @@ def main() -> None:
             "remove_overlaps_short (4)",
             lambda d=docs1: remove_overlaps_df(d, LCS_GRAM).count(),
             lambda d=docsM: remove_overlaps_df(d, LCS_GRAM).count(),
+        ),
+        (
+            # winnowing's heavy stage is the fingerprint self-join;
+            # M disjoint text copies multiply every fingerprint's df,
+            # so the stop-fingerprint cap culls MORE at Mx — the join
+            # stays bounded by cap^2 per fingerprint no matter the
+            # growth (sub-linear here is the cap doing its job, the
+            # HOF gram/min pipeline upstream is per-doc linear)
+            "winnowing pairs (capped)",
+            lambda d=docs1: winnowing_pairs_df(d).count(),
+            lambda d=docsM: winnowing_pairs_df(d).count(),
         ),
     ]
     only = sys.argv[3] if len(sys.argv) > 3 else None
