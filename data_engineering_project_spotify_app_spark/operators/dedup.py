@@ -1833,18 +1833,25 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_pairs_df(table_parallel(spark, sf_dir, "documents"))
 
 
-def winnowing_pairs_df(docs: DataFrame) -> DataFrame:
-    """q_winnowing_pairs over any (doc_id, text) frame — the frame-
-    parametrized form scripts/scale_probe.py grows M×."""
+def winnow_fingerprints_df(docs: DataFrame) -> DataFrame:
+    """Per-doc winnowing fingerprints (doc_id, fp) over any
+    (doc_id, text) frame — the shared head of the batch pair report and
+    the streaming maintainer (streaming/winnow_stream.py). Fingerprints
+    are per-doc pure functions of the text, so per-epoch fingerprint
+    deltas merge by plain union."""
     t = docs.filter(
         F.length("text") >= WINNOW_K + WINNOW_W - 1
     ).select("doc_id", F.lower(F.col("text")).alias("t"))
-    fp = (
-        t.select("doc_id", F.expr(_WINNOW_HS_SPARK).alias("hs"))
-        .select("doc_id", F.explode(F.expr(_WINNOW_FPS_SPARK)).alias("fp"))
+    return t.select("doc_id", F.expr(_WINNOW_HS_SPARK).alias("hs")).select(
+        "doc_id", F.explode(F.expr(_WINNOW_FPS_SPARK)).alias("fp")
     )
+
+
+def winnowing_pairs_df(docs: DataFrame) -> DataFrame:
+    """q_winnowing_pairs over any (doc_id, text) frame — the frame-
+    parametrized form scripts/scale_probe.py grows M×."""
     # fp feeds the df cull AND the pair join — stage it once
-    fp = fp.localCheckpoint(eager=False)
+    fp = winnow_fingerprints_df(docs).localCheckpoint(eager=False)
     df = fp.groupBy("fp").agg(F.count("*").alias("df"))
     keep = fp.join(
         df.filter(F.col("df") <= WINNOW_DF_CAP).select("fp"), "fp"

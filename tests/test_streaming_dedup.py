@@ -662,6 +662,87 @@ def test_v1_exact_store_is_refused_not_misread(spark, tmp_path):
         sink.current_state()
 
 
+def _batch_winnow_pairs(spark, docs_df):
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        winnow_fingerprints_df,
+    )
+
+    fp = winnow_fingerprints_df(docs_df)
+    a = fp.select("fp", F.col("doc_id").alias("doc_a"))
+    b = fp.select(
+        F.col("fp").alias("fp_b"), F.col("doc_id").alias("doc_b")
+    )
+    return sorted(
+        tuple(r)
+        for r in a.join(
+            b,
+            (F.col("fp") == F.col("fp_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .collect()
+    )
+
+
+def test_streamed_winnow_pairs_equal_batch_any_split(spark, tmp_path):
+    """Winnowing fingerprints are per-doc pure functions, so the union
+    of the per-epoch pair logs must equal the batch shared-pair set for
+    ANY micro-batch split — every pair lands once, in its later
+    member's epoch, with its FULL n_shared (the store holds all earlier
+    fingerprints). Replays and re-deliveries are no-ops; compaction
+    folds the store and the pair logs without changing either."""
+    from data_engineering_project_spotify_app_spark.streaming.winnow_stream import (
+        StreamingWinnowSink,
+    )
+
+    docs = _corpus(spark, n=60)
+    dup = docs[0][1]
+    splits = [
+        docs[40:60] + [(9100, dup)],
+        docs[:20],
+        docs[20:40] + [(9101, dup)],
+    ]
+    out = str(tmp_path / "winnow_state")
+    sink = StreamingWinnowSink(spark, out)
+    for e, batch in enumerate(splits):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    full = spark.createDataFrame(
+        [d for s in splits for d in s], DOC_SCHEMA
+    )
+    want = _batch_winnow_pairs(spark, full)
+    got = sorted(tuple(r) for r in sink.pairs().collect())
+    assert got == want and got
+    # the exact-duplicate trio shares its whole fingerprint set
+    fps0 = {
+        r["fp"]
+        for r in sink.current_fingerprints()
+        .filter("doc_id = 9100")
+        .collect()
+    }
+    assert (docs[0][0], 9100) in {(a, b) for a, b, _ in got}
+    assert fps0
+    # replay + cross-epoch re-delivery: no-ops
+    sink(spark.createDataFrame(splits[1], DOC_SCHEMA), 1)
+    sink(spark.createDataFrame(splits[0][:5], DOC_SCHEMA), 3)
+    assert sorted(tuple(r) for r in sink.pairs().collect()) == want
+    # compact folds store + pair logs, state unchanged
+    assert sink.compact() == [0, 1, 2, 3]
+    names = os.listdir(out)
+    assert [d for d in names if d.startswith("wfp_e")] == []  # folded
+    assert [d for d in names if d.startswith("base_v")] != []
+    assert [d for d in names if d.startswith("pairs_e")] == []  # folded
+    assert len([d for d in names if d.startswith("pairs_base")]) == 1
+    assert sorted(tuple(r) for r in sink.pairs().collect()) == want
+    # post-compaction ingest still pairs against the folded store
+    extra = [(9200, dup)]
+    sink(spark.createDataFrame(extra, DOC_SCHEMA), 4)
+    got2 = {(a, b) for a, b, _ in sink.pairs().collect()}
+    assert (9100, 9200) in got2 and (docs[0][0], 9200) in got2
+
+
 def test_streamed_exact_dedup_via_real_stream(spark, tmp_path):
     from data_engineering_project_spotify_app_spark.streaming.exact_stream import (
         maintain_exact_dedup,
