@@ -11,7 +11,9 @@ the bands. A full-store-rewrite design (the bug this probe guards
 against) would show epoch cost growing ~linearly with epoch index,
 i.e. last/first ratio ≈ N.
 
-Usage: python scripts/stream_probe.py [n_epochs] [sf_dir]
+Usage: python scripts/stream_probe.py [n_epochs] [sf_dir] [sink]
+``sink`` selects the maintainer: ``lsh`` (default) or ``winnow``
+(StreamingWinnowSink — same delta-only law, fingerprint store).
 """
 
 from __future__ import annotations
@@ -30,6 +32,9 @@ from data_engineering_project_spotify_app_spark.session import (  # noqa: E402
 from data_engineering_project_spotify_app_spark.streaming.dedup_stream import (  # noqa: E402
     StreamingLshDedupSink,
 )
+from data_engineering_project_spotify_app_spark.streaming.winnow_stream import (  # noqa: E402
+    StreamingWinnowSink,
+)
 from data_engineering_project_spotify_app_spark.tables import (  # noqa: E402
     table_parallel,
 )
@@ -40,16 +45,24 @@ def main() -> None:
     # the windows to be disjoint and each a real 2-sample average
     n_epochs = max(5, int(sys.argv[1]) if len(sys.argv) > 1 else 8)
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    which = sys.argv[3] if len(sys.argv) > 3 else "lsh"
     spark = get_spark(app_name="stream_probe")
     docs = table_parallel(spark, sf_dir, "documents").select(
         "doc_id", "text"
     )
+
+    def make(d):
+        if which == "winnow":
+            # cap matches the batch report's stop-fingerprint cull
+            return StreamingWinnowSink(spark, d, df_cap=64)
+        return StreamingLshDedupSink(spark, d, bucket_cap=64)
+
     # one warm epoch on a throwaway store amortizes JVM/codegen cost
     with tempfile.TemporaryDirectory() as d:
-        StreamingLshDedupSink(spark, d)(docs, 0)
+        make(d)(docs, 0)
     off = 10_000_000
     with tempfile.TemporaryDirectory() as d:
-        sink = StreamingLshDedupSink(spark, d, bucket_cap=64)
+        sink = make(d)
         times = []
         for e in range(n_epochs):
             batch = docs.withColumn(
@@ -58,7 +71,12 @@ def main() -> None:
             t0 = time.perf_counter()
             sink(batch, e)
             times.append(round(time.perf_counter() - t0, 2))
-        total_bands = sink.current_bands().count()
+        store_df = (
+            sink.current_fingerprints()
+            if which == "winnow"
+            else sink.current_bands()
+        )
+        total_bands = store_df.count()
         n_pairs = sink.pairs().count()
     print(f"epochs: {times}")
     head = sum(times[1:3]) / 2
