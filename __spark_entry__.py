@@ -27,18 +27,26 @@ registry.load_all_modules()
 SF0001_DIR = "/root/testdata/sf0.001"
 
 
-def _checked_in_prior_rounds() -> set[str]:
-    """Query names that already have a CORRECTNESS_r{N}.json row.
+def _last_green_round() -> dict[str, int]:
+    """Map query name -> the LAST round it passed the driver gate.
 
-    The driver samples a prefix of ``queries()`` each round (r01 covered
-    the first 50 of 112), so iteration order decides which operators get
-    a driver-verified correctness row. Ordering never-checked queries
-    first rotates the whole registry through the checked window across
-    rounds instead of re-verifying the same prefix forever.
+    The driver samples a prefix of ``queries()`` each round, so iteration
+    order decides which operators get a fresh driver-verified correctness
+    row. With every name cumulatively green, a boolean "seen" sort would
+    freeze the sample on the first-50 registration-order prefix forever
+    (VERDICT r10 #1). Sorting ascending by the most recent green round
+    instead makes the window advance each round, so the whole registry
+    re-cycles through the official gate (against the driver's real debris
+    warehouse) every ~6 rounds. Never-green names sort first (round 0).
     """
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            continue
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -49,11 +57,11 @@ def _checked_in_prior_rounds() -> set[str]:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            # Count only rows that actually PASSED as "checked": either a
-            # full oracle pass (all three checks true, no error) or the
-            # driver's deliberate rows-only mode (err == "no_oracle" with
-            # rows produced). A failed/errored row stays "unseen" so the
-            # rotation re-verifies it next round instead of burying it.
+            # Count only rows that actually PASSED: either a full oracle
+            # pass (all three checks true, no error) or the driver's
+            # deliberate rows-only mode (err == "no_oracle" with rows
+            # produced). A failed/errored row does not advance the name's
+            # last-green round, so it re-enters the sample next round.
             passed = (
                 row.get("err") is None
                 and row.get("rows_match") is True
@@ -65,8 +73,8 @@ def _checked_in_prior_rounds() -> set[str]:
                 and row.get("spark_rows") is not None
             )
             if passed or rows_only:
-                seen.add(name)
-    return seen
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -81,15 +89,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
-    Never-driver-checked queries are ordered first (see
-    _checked_in_prior_rounds) so the driver's per-round sample rotates
-    across the full registry; within each group, registration order.
+    Least-recently-green queries are ordered first (see _last_green_round)
+    so the driver's per-round sample is a moving window over the full
+    registry; ties (same last-green round) break by registration order.
     """
-    seen = _checked_in_prior_rounds()
+    last = _last_green_round()
     reg_pos = {n: i for i, n in enumerate(registry.QUERIES)}
 
     def key(n: str) -> tuple:
-        return (n in seen, reg_pos[n])
+        return (last.get(n, 0), reg_pos[n])
 
     return {n: registry.QUERIES[n] for n in sorted(registry.QUERIES, key=key)}
 

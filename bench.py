@@ -332,11 +332,45 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Regression screen vs the PREVIOUS committed per-query map (read
+    # before this run overwrites it). Both gates must fire: ratio > 1.3
+    # AND absolute delta > 0.3 s — sub-second queries bounce ±30% on
+    # this box, so a pure ratio screen names 19 ms deltas no human
+    # should chase (VERDICT r10 item 4: q_simhash 0.059 → 0.078 fired
+    # the old screen on noise).
+    REG_RATIO, REG_MIN_DELTA = 1.3, 0.3
+    regressions: dict[str, dict[str, float]] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    prev_path = os.path.join(here, "BENCH_QUERIES.json")
+    try:
+        with open(prev_path) as fh:
+            prev_doc = json.load(fh)
+        # Only screen against a map recorded at the SAME scale factor —
+        # comparing an sf0.001 smoke run to the committed sf0.1 map
+        # would name every query.
+        if prev_doc.get("sf") == sf_val:
+            prev_map = dict(prev_doc.get("queries") or {})
+            prev_map.update(prev_doc.get("rotation") or {})
+        else:
+            prev_map = {}
+    except (OSError, ValueError):
+        prev_map = {}
+    for name, now in {**timings, **rotation_timings}.items():
+        before = prev_map.get(name)
+        if (
+            before
+            and now > before * REG_RATIO
+            and now - before > REG_MIN_DELTA
+        ):
+            regressions[name] = {
+                "prev": before,
+                "now": now,
+                "ratio": round(now / before, 2),
+            }
     # Full per-query map goes to a FILE, not stdout: at 135+ headline
     # queries the one-line JSON outgrew the driver's stdout tail capture
     # (BENCH_r06 recorded "parsed": null). The driver only needs the
     # headline total; humans and BASELINE.md read the file.
-    here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as fh:
         json.dump(
             {
@@ -357,6 +391,10 @@ def main() -> None:
                 "rotation_idx": rotate_idx,
                 "rotation_sec": round(sum(rotation_timings.values()), 3),
                 "rotation": rotation_timings,
+                # screen vs the previous committed map: ratio > 1.3 AND
+                # delta > 0.3 s (noise floor) — empty means no movement
+                # a human should investigate
+                "regressions": regressions,
             },
             fh,
             indent=1,
@@ -383,6 +421,7 @@ def main() -> None:
                 "landings_sec": round(sum(landings.values()), 3),
                 "rotation_n": len(rotation_timings),
                 "rotation_sec": round(sum(rotation_timings.values()), 3),
+                "regressions": regressions,
                 "sf": sf_val,
             },
             separators=(",", ":"),

@@ -85,15 +85,16 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Four consumers (pairs, frequencies, total, and the two frequency
     # aliases) read the basket aggregate; column pruning specializes the
     # aggregate per branch, which defeats Exchange reuse, so without a
-    # persist Spark re-runs the scan→broadcast-join→distinct→collect_set
-    # lineage per consumer (measured: 16 parquet scans → 4; wall 2.1 s →
-    # 1.9 s at sf0.1 — the in-plan pair explosion dominates, the persist
-    # buys the scans back). Same materialization obligation as the RFM
-    # aggregate (see NOTES); bench.py clearCache()s between queries, and
-    # a long-lived driver must unpersist() after consuming.
+    # shared materialization Spark re-runs the scan→broadcast-join→
+    # distinct→collect_set lineage per consumer (measured: 16 parquet
+    # scans → 4; wall 2.1 s → 1.9 s at sf0.1 — the in-plan pair
+    # explosion dominates, sharing buys the scans back). Lazy
+    # localCheckpoint, not persist: CacheManager pins persist()-ed
+    # plans past GC (ADVICE r10 leak class); checkpoint blocks are
+    # GC-reclaimed with the DataFrame.
     baskets = ob.groupBy("l_orderkey").agg(
         F.collect_set("brand").alias("bs")
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     # Directed pairs inside codegen: for each a in basket, every b != a.
     pair = F.explode(

@@ -67,20 +67,19 @@ def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond that. The smoothed idf ln((N+1)/(df+1)) keeps everything
     finite.
     """
-    from pyspark.storagelevel import StorageLevel
-
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     # tf has two consumers (df aggregate + idf scoring join): lazy
-    # persist shares the tokenize+explode+aggregate instead of
+    # localCheckpoint shares the tokenize+explode+aggregate instead of
     # replaying it per consumer (0.86 → 0.71 s min-of-3 at sf0.1 —
-    # same diamond discipline as q_bm25_search). CacheManager pins
-    # persist()-ed plans past GC: long-lived callers must unpersist()
-    # or clearCache() after consuming the result (bench.py does).
+    # same diamond discipline as q_bm25_search). localCheckpoint, not
+    # persist: CacheManager pins persist()-ed plans past GC, leaking
+    # cached partitions in long-lived sessions (ADVICE r10); checkpoint
+    # blocks are GC-reclaimed with the DataFrame.
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = d.count()  # scalar; driver-side by design (one number)

@@ -36,7 +36,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from data_engineering_project_spotify_app_spark.operators.registry import query
 from data_engineering_project_spotify_app_spark.tables import table
@@ -370,18 +369,17 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
     Plan discipline, each choice A/B-measured at sf0.1 (1.2 M edges,
     1.9 M triangles):
 
-    - ``pairs`` is persist()-ed (MEMORY_AND_DISK): it feeds the degree
+    - ``pairs`` is lazily localCheckpoint-ed: it feeds the degree
       pass and the orientation join — without caching the upstream
-      derivation recomputes per consumer. A LAZY persist, not
-      localCheckpoint: checkpointing pays a separate eager
-      materialization pass per cached frame, and this operator has no
-      iteration needing lineage truncation (unlike clusters.py's CC
-      loop) — swapping both checkpoints for persists measured
-      3.63 → 1.71 s min-of-3 at sf0.1, identical results. NOTE: the
-      SQL CacheManager holds strong references to persist()-ed plans,
-      so GC does NOT free these blocks — long-lived callers must
-      unpersist() (or ``spark.catalog.clearCache()``) after consuming
-      the result; bench.py clears between queries.
+      derivation recomputes per consumer. LAZY (eager=False): eager
+      checkpointing pays a separate materialization pass per cached
+      frame — swapping both EAGER checkpoints for lazy sharing
+      measured 3.63 → 1.71 s min-of-3 at sf0.1, identical results
+      (r11 re-measure: lazy localCheckpoint == lazy persist within
+      noise, 1.7 s). localCheckpoint, not persist: the SQL
+      CacheManager holds strong references to persist()-ed plans, so
+      GC does NOT free those blocks in long-lived sessions (ADVICE
+      r10 leak class); checkpoint blocks die with the DataFrame.
     - Degrees come from one ``count_distinct`` aggregation over both
       directions; the |V|-sized result joins onto the pair list for the
       (deg, id) orientation WITHOUT a broadcast hint — the degree table
@@ -400,8 +398,8 @@ def _triangle_counts_from_pairs(pairs: DataFrame) -> DataFrame:
       whole intersection stage per branch — measured 1.56 s → 0.9 s
       for the counting stage alone.
     """
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    oadj = _oriented_adjacency(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = pairs.localCheckpoint(eager=False)
+    oadj = _oriented_adjacency(pairs).localCheckpoint(eager=False)
     return _triangle_counts_from_oadj(oadj)
 
 

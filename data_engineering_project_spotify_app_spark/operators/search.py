@@ -163,20 +163,19 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic cross-engine, and executed as TakeOrderedAndProject
     rather than a global sort. tf has TWO consumers (the df aggregate
     that derives the query, and the scoring join) — a lazy
-    MEMORY_AND_DISK persist shares it instead of recomputing the
+    localCheckpoint shares it instead of recomputing the
     tokenize+explode+aggregate per consumer (1.32 → 1.08 s same-window
-    min-of-3 at sf0.1). NOTE: the SQL CacheManager pins persist()-ed
-    plans — GC does not free them; long-lived callers must unpersist()
-    (or ``spark.catalog.clearCache()``) after consuming the result.
+    min-of-3 at sf0.1). localCheckpoint (not persist) so the blocks are
+    GC-reclaimable once the result is consumed — the SQL CacheManager
+    pins persist()-ed plans forever, which leaks cached partitions
+    across repeated registry/bench invocations (ADVICE r10).
     """
-    from pyspark.storagelevel import StorageLevel
-
     docs = table_parallel(spark, sf_dir, "documents")
     ex = _doc_terms(docs)
     tf = (
         ex.groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     q = df.orderBy(F.col("df").asc(), F.col("term").asc()).limit(
@@ -704,15 +703,19 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     order the ROUNDED arm scores with a doc_id tie-break
     (deterministic cross-engine); missing membership in an arm is the
     conventional rank -1, contributing 0 to the fusion sum.
-    """
-    from pyspark.storagelevel import StorageLevel
 
+    tf feeds three consumers (df aggregate, query-term semi-join,
+    scoring join) — lazy localCheckpoint shares one materialization
+    without pinning CacheManager blocks across registry invocations
+    (ADVICE r10: the earlier persist() here leaked cached partitions
+    in long-lived sessions).
+    """
     docs = table_parallel(spark, sf_dir, "documents")
     ex = _doc_terms(docs)
     tf = (
         ex.groupBy("doc_id", "term")
         .agg(F.count("*").cast("double").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
     qterms = (
