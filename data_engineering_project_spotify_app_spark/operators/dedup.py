@@ -1761,7 +1761,12 @@ WINNOW_DF_CAP = 20  # stop-fingerprint cull (same role as the shingle df cap)
 WINNOW_MIN_SHARED = 5  # report pairs sharing at least this many fingerprints
 WINNOW_TOP = 100
 
-_WINNOW_HASH = _hex2int_sql("md5(g)", 1)
+# hex→int runs on a NAMED digest variable (one extra transform level)
+# so md5 is computed once per gram; inlining md5(g) into _hex2int_sql
+# would re-hash each gram 8× — once per hex-digit term — in BOTH
+# engines' hot HOF pipeline (ADVICE r10 item 4; the minhash path hashes
+# once into a column for the same reason).
+_WINNOW_HASH = _hex2int_sql("d", 1)
 
 # identical lambda pipeline in both engines; only the list-function
 # surface differs (transform/array_min/slice vs list_transform/list_min/
@@ -1772,16 +1777,16 @@ _WINNOW_FPS_SPARK = (
     f" j -> array_min(slice(hs, j, {WINNOW_W}))))"
 )
 _WINNOW_HS_SPARK = (
-    f"transform(transform(sequence(1, length(t) - {WINNOW_K - 1}),"
-    f" i -> substring(t, i, {WINNOW_K})), g -> {_WINNOW_HASH})"
+    f"transform(transform(transform(sequence(1, length(t) - {WINNOW_K - 1}),"
+    f" i -> substring(t, i, {WINNOW_K})), g -> md5(g)), d -> {_WINNOW_HASH})"
 )
 _WINNOW_FPS_DUCK = (
     f"list_distinct(list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),"
     f" j -> list_min(hs[j:j + {WINNOW_W - 1}])))"
 )
 _WINNOW_HS_DUCK = (
-    f"list_transform(list_transform(generate_series(1, length(t) - {WINNOW_K - 1}),"
-    f" i -> substr(t, i, {WINNOW_K})), g -> {_WINNOW_HASH})"
+    f"list_transform(list_transform(list_transform(generate_series(1, length(t) - {WINNOW_K - 1}),"
+    f" i -> substr(t, i, {WINNOW_K})), g -> md5(g)), d -> {_WINNOW_HASH})"
 )
 
 _WINNOW_ORACLE = f"""

@@ -58,6 +58,67 @@ def _managed_location(spark: SparkSession, table_name: str) -> str:
     return os.path.join(wh_path, f"{db}.db", tbl)
 
 
+def _warehouse_path(spark: SparkSession) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    parsed = urlparse(wh)
+    return parsed.path if parsed.scheme else wh
+
+
+# Pid-stamped liveness sentinels: every process that WRITES to (or
+# adopts a table in) a warehouse records its pid under
+# <warehouse>/_graft_live/. The orphan sweep below only deletes
+# unclaimed directories when no OTHER live process has claimed the
+# warehouse — without this, under a shared durable warehouse a second
+# concurrent process would treat the first's live table directory as
+# debris and rmtree it mid-run (ADVICE r10: the old behavior was a loud
+# LOCATION_ALREADY_EXISTS; a silent cross-process delete is worse).
+_CLAIMS_DIR = "_graft_live"
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
+def _claim_warehouse(spark: SparkSession) -> None:
+    """Record this process as a live user of the warehouse and sweep
+    sentinels of dead pids (same pattern as session.py's dead-pid
+    /tmp-warehouse sweep)."""
+    d = os.path.join(_warehouse_path(spark), _CLAIMS_DIR)
+    try:
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, str(os.getpid())), "w"):
+            pass
+        names = os.listdir(d)
+    except OSError:
+        return
+    for f in names:
+        if f.isdigit() and int(f) != os.getpid() and not _pid_alive(int(f)):
+            try:
+                os.remove(os.path.join(d, f))
+            except OSError:
+                pass
+
+
+def _live_foreign_claimants(spark: SparkSession) -> list[int]:
+    """Pids of OTHER live processes that have claimed this warehouse."""
+    d = os.path.join(_warehouse_path(spark), _CLAIMS_DIR)
+    try:
+        names = os.listdir(d)
+    except OSError:
+        return []
+    return [
+        int(f)
+        for f in names
+        if f.isdigit() and int(f) != os.getpid() and _pid_alive(int(f))
+    ]
+
+
 def _clear_orphaned_location(spark: SparkSession, table_name: str) -> None:
     """Idempotence against catalog/filesystem divergence: with the default
     in-memory catalog, a table created by a PREVIOUS process exists only
@@ -71,13 +132,32 @@ def _clear_orphaned_location(spark: SparkSession, table_name: str) -> None:
     handles it — but an EXTERNAL one (a re-adopted seed, see
     _adopt_persisted_seed) is normalized to the no-table case first:
     saveAsTable(Overwrite) would drop it, leave its files behind, then
-    refuse to recreate the managed table over them."""
+    refuse to recreate the managed table over them.
+
+    Deleting is gated on warehouse ownership: when ANOTHER live process
+    has claimed this warehouse (pid sentinel under _graft_live/), the
+    unclaimed directory may be that process's live table — refuse
+    LOUDLY instead of silently destroying cross-process data. Shared
+    durable warehouses are single-writer by contract (module header);
+    the sentinel turns a contract violation into an error instead of
+    data loss."""
     if spark.catalog.tableExists(table_name):
         if spark.catalog.getTable(table_name).tableType != "EXTERNAL":
             return
         spark.sql(f"DROP TABLE {table_name}")
     loc = _managed_location(spark, table_name)
     if loc and os.path.isdir(loc):
+        others = _live_foreign_claimants(spark)
+        if others:
+            raise RuntimeError(
+                f"Refusing to clear orphaned table location {loc!r}: "
+                f"live process(es) {others} have claimed this warehouse "
+                f"(<warehouse>/{_CLAIMS_DIR}/<pid>), so the directory may "
+                "be a table they own. Shared warehouses are "
+                "single-writer; wait for the other process, use a "
+                "separate warehouse, or remove its sentinel if it is a "
+                "reused pid."
+            )
         shutil.rmtree(loc, ignore_errors=True)
 
 
@@ -105,6 +185,7 @@ def land_bucketed(
     would otherwise crash this write with LOCATION_ALREADY_EXISTS
     (pinned cross-process in tests/test_landings.py).
     """
+    _claim_warehouse(df.sparkSession)
     _clear_orphaned_location(df.sparkSession, table_name)
     (
         df.repartition(n_buckets, bucket_col)
@@ -320,7 +401,13 @@ def _adopt_persisted_seed(
         return None
     if marker.get("fp") != fp:
         _drop_seed_marker(spark, prefix, sf_dir)
-        if not spark.catalog.tableExists(name):
+        # Sweep the stale table dir only when no OTHER live process has
+        # claimed this warehouse (it may be mid-rebuild on the same
+        # landing); leaving it is safe — the caller's rebuild hits the
+        # ownership-gated orphan sweep, which refuses loudly.
+        if not spark.catalog.tableExists(name) and not (
+            _live_foreign_claimants(spark)
+        ):
             loc = _managed_location(spark, name)
             if os.path.isdir(loc):
                 shutil.rmtree(loc, ignore_errors=True)
@@ -333,6 +420,9 @@ def _adopt_persisted_seed(
         _drop_seed_marker(spark, prefix, sf_dir)
         return None
     spark.sql(ddl + f" LOCATION '{loc}'")
+    # The adopted external table reads this warehouse long-term: claim
+    # it so a later process's orphan sweep cannot delete it mid-read.
+    _claim_warehouse(spark)
     return name
 
 
@@ -371,14 +461,22 @@ def seed_landing(
 
 
 def invalidate_landings(sf_dir: str | None = None) -> None:
-    """Forget this process's landing memos (all, or one corpus). With
+    """Forget landing memos (all, or one corpus) AND drop the durable
+    seed markers, so "force the slow path" holds cross-process. With
     content fingerprints this is no longer REQUIRED after regenerating
     testdata (the fingerprint check re-lands automatically); it remains
-    for tests and publish flows that want to force the slow path — so
-    it also drops the memoized landings' durable seed markers (a
+    for tests and publish flows that want to force the slow path — a
     marker that survived the explicit invalidation would silently
-    re-adopt the very table the caller is superseding; maintainers
-    re-seed right after, landing_stream.py)."""
+    re-adopt the very table the caller is superseding (maintainers
+    re-seed right after, landing_stream.py).
+
+    Markers written by OTHER processes are not in this process's memo,
+    so in addition to the memoized keys the active session's warehouse
+    ``_graft_seeds`` directory is globbed for the corpus's markers
+    (ADVICE r10: the memo-only form was a no-op in a fresh process,
+    leaving the superseded landing silently re-adoptable)."""
+    import hashlib
+
     for key in [k for k in _LANDED if sf_dir is None or k[1] == sf_dir]:
         prefix, sdir, wh = key
         parsed = urlparse(wh)
@@ -394,3 +492,19 @@ def invalidate_landings(sf_dir: str | None = None) -> None:
         except OSError:
             pass
         del _LANDED[key]
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return
+    seeds = os.path.join(_warehouse_path(spark), "_graft_seeds")
+    pattern = (
+        "*.json"
+        if sf_dir is None
+        else f"*_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.json"
+    )
+    import glob as _glob
+
+    for path in _glob.glob(os.path.join(seeds, pattern)):
+        try:
+            os.remove(path)
+        except OSError:
+            pass

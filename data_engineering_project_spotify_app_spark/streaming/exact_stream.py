@@ -83,6 +83,7 @@ class StreamingExactDedupSink(DeltaChainStore):
             base is not None and base >= epoch_id
         ):
             return  # replayed epoch: delta durable (or folded)
+        self._check_chain_v2()
         batch = batch_df.dropDuplicates(["doc_id"])
         if self.dedupe_guard:
             # folded ids base + per-epoch logs strictly before this epoch
@@ -124,8 +125,39 @@ class StreamingExactDedupSink(DeltaChainStore):
         self.maybe_compact()
 
     _V2_COLS = ("chars_all", "chars_kept")
+    _chain_checked = False
+
+    def _check_chain_v2(self) -> None:
+        """Refuse a v1 (or mixed) chain at WRITE time, per committed
+        dir: the read-time guard alone is schema-inference-order
+        dependent — appending v2 deltas to an existing v1 chain can let
+        a v2 file win inference, surface v1 rows as null chars, pass
+        the read-time column check, and silently corrupt the character
+        sums (ADVICE r10 item 2). One parquet footer read per committed
+        dir, once per sink lifetime (epochs this sink writes afterwards
+        are v2 by construction)."""
+        if self._chain_checked:
+            return
+        dirs = [self._delta_dir(e) for e in self.committed_delta_epochs()]
+        b = self._base_epoch()
+        if b is not None:
+            dirs.append(self._base_dir(b))
+        for d in dirs:
+            cols = self.spark.read.parquet(d).columns
+            if not all(c in cols for c in self._V2_COLS):
+                raise ValueError(
+                    f"exact-dedup chain dir {d} is format v1 (no chars "
+                    "columns); refusing to append v2 deltas to it — "
+                    "delete the store and replay the stream to rebuild "
+                    "it in v2 (stores are derived state; the source "
+                    "stream is the durable record)"
+                )
+        self._chain_checked = True
 
     def read_store(self) -> DataFrame | None:
+        # per-dir check first: catches MIXED chains that per-column
+        # inspection of the merged frame would miss (see _check_chain_v2)
+        self._check_chain_v2()
         store = super().read_store()
         if store is not None and not all(
             c in store.columns for c in self._V2_COLS

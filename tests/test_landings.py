@@ -138,6 +138,91 @@ def test_land_bucketed_clears_orphaned_location(spark):
     bucketed.drop_landed(spark, name)
 
 
+def test_orphan_sweep_refuses_under_live_foreign_claim(spark):
+    """With ANOTHER live process claiming the warehouse (pid sentinel
+    under _graft_live/), an unclaimed table directory may be that
+    process's live table — the sweep must refuse LOUDLY, not silently
+    rmtree cross-process data (ADVICE r10 item 1). Removing the claim
+    restores the normal debris sweep."""
+    import os
+
+    import pytest
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    name = "claimed_orphan_probe_tbl"
+    assert not spark.catalog.tableExists(name)
+    loc = bucketed._managed_location(spark, name)
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    claims = os.path.join(bucketed._warehouse_path(spark), "_graft_live")
+    os.makedirs(claims, exist_ok=True)
+    sentinel = os.path.join(claims, "1")  # pid 1: always alive, never us
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    try:
+        with open(sentinel, "w"):
+            pass
+        with pytest.raises(RuntimeError, match="claimed this warehouse"):
+            bucketed.land_bucketed(df, name, "k", 2)
+        assert os.path.isdir(loc)  # nothing was deleted
+    finally:
+        os.remove(sentinel)
+    bucketed.land_bucketed(df, name, "k", 2)
+    assert [tuple(r) for r in spark.table(name).collect()] == [(1, "a")]
+    bucketed.drop_landed(spark, name)
+
+
+def test_orphan_sweep_proceeds_past_dead_claimant(spark):
+    """A sentinel left by a DEAD process (the driver-restart case) must
+    not block the sweep — it is reaped and the landing proceeds."""
+    import os
+    import subprocess
+    import sys
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    # a real pid that is certainly dead by the time we use it
+    proc = subprocess.run([sys.executable, "-c", "import os;print(os.getpid())"],
+                          capture_output=True, text=True)
+    dead_pid = proc.stdout.strip()
+    name = "dead_claim_orphan_probe_tbl"
+    loc = bucketed._managed_location(spark, name)
+    os.makedirs(loc, exist_ok=True)
+    claims = os.path.join(bucketed._warehouse_path(spark), "_graft_live")
+    os.makedirs(claims, exist_ok=True)
+    sentinel = os.path.join(claims, dead_pid)
+    with open(sentinel, "w"):
+        pass
+    df = spark.createDataFrame([(2, "b")], "k long, v string")
+    bucketed.land_bucketed(df, name, "k", 2)
+    assert [tuple(r) for r in spark.table(name).collect()] == [(2, "b")]
+    assert not os.path.exists(sentinel)  # dead claim reaped
+    bucketed.drop_landed(spark, name)
+
+
+def test_invalidate_landings_drops_foreign_markers(spark, tmp_path):
+    """invalidate_landings(sf_dir) must remove durable seed markers it
+    never memoized (written by ANOTHER process): the memo-only form was
+    a cross-process no-op, leaving a superseded landing silently
+    re-adoptable (ADVICE r10 item 5)."""
+    import json
+    import os
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    corpus = str(tmp_path / "foreign_corpus")
+    _write_corpus(spark, corpus, [(1, "a")])
+    marker = bucketed._seed_marker_path(spark, "foreign_probe", corpus)
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump({"table": "t", "fp": "x", "ddl": "CREATE ..."}, f)
+    key = ("foreign_probe", corpus, bucketed._warehouse(spark))
+    assert key not in bucketed._LANDED  # truly foreign: not memoized
+    bucketed.invalidate_landings(corpus)
+    assert not os.path.isfile(marker)
+
+
 _CROSS_PROC_SCRIPT = """
 import json, sys
 sys.path.insert(0, ".")

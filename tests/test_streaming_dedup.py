@@ -662,6 +662,36 @@ def test_v1_exact_store_is_refused_not_misread(spark, tmp_path):
         sink.current_state()
 
 
+def test_v1_exact_chain_is_refused_at_write_time(spark, tmp_path):
+    """Appending a v2 delta to an existing v1 chain must fail BEFORE the
+    first mixed file lands (ADVICE r10: read-time detection is schema-
+    inference-order dependent — a v2 file can win inference, surface v1
+    rows as null chars, pass the column check, and silently corrupt the
+    sums). The write-time guard makes the mixed chain unconstructable."""
+    import pytest
+
+    from data_engineering_project_spotify_app_spark.streaming.exact_stream import (
+        StreamingExactDedupSink,
+    )
+
+    out = str(tmp_path / "state_v1_chain")
+    sink = StreamingExactDedupSink(spark, out)
+    spark.createDataFrame(
+        [("aa", 1, 2)], "text_hash string, keep_id long, n_copies long"
+    ).write.parquet(os.path.join(out, "exact_e0"))
+    sink._mark(os.path.join(out, "exact_e0"))
+    batch = spark.createDataFrame(
+        [(10, "hello"), (11, "hello")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="format v1"):
+        sink(batch, 1)
+    # nothing mixed was written: the v1 delta is the chain's only epoch
+    assert sink.committed_delta_epochs() == [0]
+    assert not os.path.isdir(os.path.join(out, "exact_e1"))
+    # ids guard log also untouched (the guard write comes after the check)
+    assert not os.path.isdir(os.path.join(out, "ids_e1"))
+
+
 def _batch_winnow_pairs(spark, docs_df):
     from pyspark.sql import functions as F
 
