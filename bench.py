@@ -228,6 +228,7 @@ def _landing_builders():
         ("minhash_signatures", dedup._minhash_signatures),
         ("word_bigrams", dedup._bigram_grams),
         ("simhash_signatures", dedup._simhash_signatures),
+        ("winnow_fingerprints", dedup._winnow_fingerprints),
     ]
 
 

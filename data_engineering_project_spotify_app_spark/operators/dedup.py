@@ -1834,8 +1834,36 @@ def q_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical skew posture to the shingle ladder's df_cap
     (q_dedup_ngram_jaccard_capped). Hashes are md5-derived through the
     shared _hex2int_sql idiom, so both engines select the SAME
-    fingerprints."""
-    return winnowing_pairs_df(table_parallel(spark, sf_dir, "documents"))
+    fingerprints.
+
+    Reads the fp-bucketed fingerprint landing (_winnow_fingerprints):
+    the HOF fingerprint pipeline is paid once per corpus, and the
+    df-cull aggregate + the pair self-join both key on fp, so the
+    bucketed scan feeds them without an Exchange."""
+    return winnowing_pairs_from_fps(_winnow_fingerprints(spark, sf_dir))
+
+
+def _winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc winnowing fingerprints (doc_id, fp) as a shared bucketed
+    landing — bucketed by fp because every consumer stage keys on it
+    (df cull, pair join); the streaming maintainer
+    (streaming/winnow_stream.py) publishes the same shape and seeds it
+    over this prefix. Same derive-once contract as
+    _minhash_signatures."""
+    from data_engineering_project_spotify_app_spark.sources.bucketed import (
+        landed_frame,
+    )
+
+    return landed_frame(
+        spark,
+        sf_dir,
+        "winnow_fingerprints",
+        "fp",
+        SIG_BUCKETS,
+        lambda: winnow_fingerprints_df(
+            table_parallel(spark, sf_dir, "documents")
+        ),
+    )
 
 
 def winnow_fingerprints_df(docs: DataFrame) -> DataFrame:
@@ -1855,8 +1883,17 @@ def winnow_fingerprints_df(docs: DataFrame) -> DataFrame:
 def winnowing_pairs_df(docs: DataFrame) -> DataFrame:
     """q_winnowing_pairs over any (doc_id, text) frame — the frame-
     parametrized form scripts/scale_probe.py grows M×."""
-    # fp feeds the df cull AND the pair join — stage it once
+    # fp feeds the df cull AND the pair join — stage it once (the
+    # registered query reads the at-rest landing instead, where the
+    # table scan is the shared materialization)
     fp = winnow_fingerprints_df(docs).localCheckpoint(eager=False)
+    return winnowing_pairs_from_fps(fp)
+
+
+def winnowing_pairs_from_fps(fp: DataFrame) -> DataFrame:
+    """The pair report over any (doc_id, fp) fingerprint frame — shared
+    by the docs-parametrized form above and the landed/published
+    fingerprint table consumers."""
     df = fp.groupBy("fp").agg(F.count("*").alias("df"))
     keep = fp.join(
         df.filter(F.col("df") <= WINNOW_DF_CAP).select("fp"), "fp"

@@ -134,12 +134,19 @@ class StreamingWinnowSink(DeltaChainStore):
         df_cap: int | None = None,
         dedupe_guard: bool = True,
         auto_compact_every: int | None = None,
+        publish_to: str | None = None,
     ) -> None:
+        """``publish_to=sf_dir`` makes the maintainer hands-off the way
+        the doc/basket sinks are: every auto-compaction (requires
+        ``auto_compact_every``) is followed by publish(), so the batch
+        fingerprint landing (q_winnowing_pairs' input) tracks the
+        stream at compaction cadence with no operator intervention."""
         self.spark = spark
         self.out_dir = out_dir
         self.df_cap = df_cap
         self.dedupe_guard = dedupe_guard
         self.auto_compact_every = auto_compact_every
+        self.publish_to = publish_to
 
     def _pairs_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"pairs_e{epoch_id}")
@@ -159,6 +166,33 @@ class StreamingWinnowSink(DeltaChainStore):
         if target is not None:
             self.fold_log("pairs_e", target)
         return folded
+
+    def publish(self, sf_dir: str, n_buckets: int | None = None) -> str:
+        """Land the maintained fingerprint store as the fp-bucketed
+        managed table batch consumers expect and adopt it as THE
+        ``winnow_fingerprints`` landing for sf_dir — q_winnowing_pairs
+        (and any winnowing_pairs_from_fps caller) then reads the
+        streamed state with zero query changes, exactly the
+        publish-once-consume-anywhere contract of the signature/edge
+        maintainers (landing_stream.py). Returns the table name."""
+        from data_engineering_project_spotify_app_spark.operators.dedup import (
+            SIG_BUCKETS,
+        )
+        from data_engineering_project_spotify_app_spark.sources.bucketed import (
+            land_bucketed,
+            landing_table_name,
+            seed_landing,
+        )
+
+        fps = self.current_fingerprints()
+        if fps is None:
+            raise ValueError("nothing ingested yet — nothing to publish")
+        name = (
+            landing_table_name("winnow_fingerprints", sf_dir) + "_streamed"
+        )
+        land_bucketed(fps, name, "fp", n_buckets or SIG_BUCKETS)
+        seed_landing(self.spark, sf_dir, "winnow_fingerprints", name)
+        return name
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
         pairs_dir = self._pairs_dir(epoch_id)
@@ -218,7 +252,8 @@ class StreamingWinnowSink(DeltaChainStore):
             self._mark(pairs_dir)
         if not delta_done:
             self._mark(delta_dir)
-        self.maybe_compact()
+        if self.maybe_compact() and self.publish_to is not None:
+            self.publish(self.publish_to)
 
 
 def maintain_winnow_store(
@@ -230,6 +265,7 @@ def maintain_winnow_store(
     checkpoint_dir: str | None = None,
     dedupe_guard: bool = True,
     auto_compact_every: int | None = None,
+    publish_to: str | None = None,
 ):
     """Attach the winnowing maintainer to a document stream; returns
     (query, sink) so callers read ``sink.pairs()`` /
@@ -242,6 +278,7 @@ def maintain_winnow_store(
         df_cap=df_cap,
         dedupe_guard=dedupe_guard,
         auto_compact_every=auto_compact_every,
+        publish_to=publish_to,
     )
     q = (
         stream_df.writeStream.outputMode("append")

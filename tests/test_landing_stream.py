@@ -407,6 +407,57 @@ def test_published_simhash_landing_consumer_matches_oracle(spark, tmp_path):
         bucketed.drop_landed(spark, name)
 
 
+def test_published_winnow_landing_consumer_matches_oracle(spark, tmp_path):
+    """Publish parity for the winnowing maintainer (VERDICT r10 item 6):
+    stream the corpus through StreamingWinnowSink, publish() the
+    fingerprint store as the fp-bucketed landing, and (a) the registered
+    q_winnowing_pairs consumer reads the published table AND still
+    hash-matches its DuckDB oracle, (b) the fp-keyed aggregate over the
+    published table runs with NO Exchange (the bucketing contract)."""
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+    from data_engineering_project_spotify_app_spark.streaming.winnow_stream import (
+        StreamingWinnowSink,
+    )
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    out = str(tmp_path / "winnow_pub")
+    sink = StreamingWinnowSink(spark, out)
+    third = len(docs) // 3
+    for e, batch in enumerate(
+        [docs[:third], docs[third:2 * third], docs[2 * third:]]
+    ):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    name = sink.publish(SF, n_buckets=8)
+    try:
+        assert spark.catalog.tableExists(name)
+        q = registry.QUERIES["q_winnowing_pairs"](spark, SF)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert name in plan  # the consumer reads the published table
+        compare(
+            spark, SF, "q_winnowing_pairs",
+            registry.QUERIES["q_winnowing_pairs"],
+            registry.ORACLES["q_winnowing_pairs"],
+        )
+        # fp-keyed aggregate over the published table: exchange-free
+        agg_plan = (
+            spark.table(name)
+            .groupBy("fp")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        bucketed.invalidate_landings(SF)
+        bucketed.drop_landed(spark, name)
+
+
 def test_basket_landing_real_stream_restart(spark, tmp_path):
     """The basket+edge maintainer through a real writeStream: stop the
     query, drop a new whole-order file, restart on the same checkpoint
