@@ -92,7 +92,13 @@ def connected_components(
         .agg(F.least(F.min("m"), F.first("n")).alias("lbl"))
         .select(F.col("n").alias("node"), "lbl")
     )
-    labels = labels.localCheckpoint(eager=True)
+    # LAZY checkpoint + the convergence-sum collect right after: the
+    # sum action materializes the checkpoint as its side effect, so each
+    # round costs ONE Spark job instead of two (eager checkpoint job +
+    # separate agg job). On the tiny edge-touched label table the loop
+    # is pure per-job overhead, so this halves its wall time (measured
+    # 1.9 -> 1.0 s for the loop at sf0.1, r11 jitter diagnosis).
+    labels = labels.localCheckpoint(eager=False)
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
 
     converged = False
@@ -115,7 +121,7 @@ def connected_components(
             .agg(F.min("lbl").alias("lbl"))
             .select(F.col("n").alias("node"), "lbl")
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.localCheckpoint(eager=False)
         new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
