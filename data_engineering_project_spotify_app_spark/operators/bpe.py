@@ -84,13 +84,18 @@ def bpe_train(words: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
 
     Returns [(left, right, weighted_freq), ...] in learned order.
     """
+    # LAZY checkpoints throughout the merge loop: each round's top-pair
+    # collect materializes the current vocab checkpoint as its side
+    # effect, so a round costs ONE Spark job instead of two (the eager
+    # form paid a separate materialization pass per round — same
+    # diagnosis as the CC convergence loop, clusters.py r11).
     vocab = words.select(
         "n",
         F.concat(
             F.expr("filter(split(word, ''), x -> x <> '')"),
             F.array(F.lit(EOW)),
         ).alias("syms"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         sz = F.size("syms")
@@ -113,7 +118,7 @@ def bpe_train(words: DataFrame, n_merges: int) -> list[tuple[str, str, int]]:
         merges.append((row["l"], row["r"], int(row["freq"])))
         vocab = vocab.select(
             "n", _merge_pair(F.col("syms"), row["l"], row["r"]).alias("syms")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 
