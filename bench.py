@@ -204,6 +204,10 @@ HEADLINE = [
     "q_matryoshka_overlap",
     "q_winnowing_pairs",
     "q_soft_dedup_weights",
+    # round-11 additions: word-gram winnowing granularity + per-source
+    # embedding-cluster balance
+    "q_winnowing_pairs_word",
+    "q_cluster_source_balance",
 ]
 
 

@@ -1148,3 +1148,80 @@ def q_matryoshka_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_at_k"),
         )
     )
+
+
+_SRC_BALANCE_ORACLE = f"""{_SIG_CTES},
+    src AS (
+      SELECT sig.bucket, d.source
+      FROM sig JOIN documents d ON d.doc_id = sig.vec_id
+    ),
+    per AS (
+      SELECT bucket, source, CAST(count(*) AS BIGINT) AS n_docs
+      FROM src GROUP BY 1, 2
+    ),
+    bt AS (SELECT bucket, sum(n_docs) AS bn FROM per GROUP BY 1),
+    st AS (SELECT source, sum(n_docs) AS sn FROM per GROUP BY 1),
+    tt AS (SELECT sum(n_docs) AS tn FROM per)
+    SELECT per.bucket, per.source, per.n_docs,
+           round(per.n_docs / bt.bn, 4) AS share,
+           round((per.n_docs / bt.bn) / (st.sn / tt.tn), 4) AS lift
+    FROM per
+    JOIN bt USING (bucket)
+    JOIN st USING (source)
+    CROSS JOIN tt
+    """
+
+
+@query("q_cluster_source_balance", oracle=_SRC_BALANCE_ORACLE)
+def q_cluster_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source balance of embedding-space clusters: for each semantic
+    cluster, each source's share of the cluster and its lift over the
+    source's global share — lift ≫ 1 marks semantic regions one source
+    dominates (the training-mix skew a sampling policy should correct),
+    lift ≈ 1 everywhere means the mix is semantically uniform. VERDICT
+    r10 item 8's per-source embedding-cluster balance report.
+
+    Clustering is the deterministic SRP bucket standing in for k-means —
+    the same documented substitution q_semantic_dedup makes (it keeps
+    the report oracle-exact where a k-means assignment would force a
+    rows-only carve-out; the IVF/k-means rung remains the ANN index
+    path). Documents and embeddings are id-aligned (doc_id = vec_id),
+    the fixture contract the RRF/matryoshka family already uses.
+
+    Scale: signatures via the zero-shuffle Arrow GEMM; ONE (bucket,
+    source)-keyed aggregate over the joined scan; the three marginals
+    (per-bucket, per-source, total) are derived from that aggregate's
+    output — bucket count is bounded by 2^{N_PLANES} and source count
+    by the catalog, so the joins back are marginal-sized, never
+    corpus-sized. The source marginal and the 1-row total are broadcast;
+    the bucket marginal joins un-hinted (AQE broadcasts while it fits).
+    """
+    e = table_parallel(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double().alias("v")
+    )
+    b = _srp_signatures(e, [None]).select("vec_id", "bucket")
+    src = table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    per = (
+        b.join(src, "vec_id")
+        .groupBy("bucket", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=False)  # feeds all three marginals + output
+    )
+    bt = per.groupBy("bucket").agg(F.sum("n_docs").alias("bn"))
+    st = per.groupBy("source").agg(F.sum("n_docs").alias("sn"))
+    tt = per.agg(F.sum("n_docs").alias("tn"))
+    share = F.col("n_docs") / F.col("bn")
+    return (
+        per.join(bt, "bucket")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bucket",
+            "source",
+            "n_docs",
+            F.round(share, 4).alias("share"),
+            F.round(share / (F.col("sn") / F.col("tn")), 4).alias("lift"),
+        )
+    )

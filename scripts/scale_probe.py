@@ -32,6 +32,7 @@ from data_engineering_project_spotify_app_spark.operators.dedup import (  # noqa
     simhash_hamming_pairs_df,
     weighted_jaccard_pairs,
     winnowing_pairs_df,
+    winnowing_word_pairs_df,
 )
 from data_engineering_project_spotify_app_spark.operators.linedup import (  # noqa: E402
     LCS_GRAM,
@@ -271,6 +272,12 @@ def main() -> None:
             "winnowing pairs (capped)",
             lambda d=docs1: winnowing_pairs_df(d).count(),
             lambda d=docsM: winnowing_pairs_df(d).count(),
+        ),
+        (
+            # word-gram granularity: same cap law as the char form
+            "winnowing word pairs",
+            lambda d=docs1: winnowing_word_pairs_df(d).count(),
+            lambda d=docsM: winnowing_word_pairs_df(d).count(),
         ),
     ]
     only = sys.argv[3] if len(sys.argv) > 3 else None
