@@ -673,3 +673,24 @@ def test_winnowing_no_global_funnel(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_winnowing_pairs")
     assert "TakeOrderedAndProject" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_winnowing_word_no_global_funnel(spark, sf_dir):
+    """The word-gram winnowing granularity inherits the char form's
+    plan contract: TakeOrderedAndProject top-k, nothing corpus-sized
+    through a single-partition exchange."""
+    plan = plan_of(spark, sf_dir, "q_winnowing_pairs_word")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_cluster_source_balance_marginal_joins(spark, sf_dir):
+    """q_cluster_source_balance: the only corpus-sized stage is the
+    (bucket, source) aggregate; the source and total marginals join
+    back as broadcasts, and no corpus-sized frame crosses a
+    single-partition exchange (the 1-row total aggregate is the only
+    SinglePartition, and it is marginal-sized by construction)."""
+    plan = plan_of(spark, sf_dir, "q_cluster_source_balance")
+    assert "BroadcastExchange" in plan, plan
+    # exactly the one-row total may be single-partition
+    assert plan.count("Exchange SinglePartition") <= 1, plan
