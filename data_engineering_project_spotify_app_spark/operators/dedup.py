@@ -1995,17 +1995,24 @@ def q_winnowing_pairs_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_word_pairs_df(table_parallel(spark, sf_dir, "documents"))
 
 
-def winnowing_word_pairs_df(docs: DataFrame) -> DataFrame:
-    """q_winnowing_pairs_word over any (doc_id, text) frame — the
-    frame-parametrized form scripts/scale_probe.py grows M×."""
+def winnow_word_fingerprints_df(docs: DataFrame) -> DataFrame:
+    """Per-doc WORD-gram winnowing fingerprints (doc_id, fp) over any
+    (doc_id, text) frame — the word twin of winnow_fingerprints_df;
+    per-doc pure function of the text, so it rides the same streaming
+    maintainer (StreamingWinnowSink's fingerprints_fn)."""
     t = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("tk")
     ).filter(F.size("tk") >= WINNOW_WORD_K + WINNOW_WORD_W - 1)
-    fp = (
-        t.select("doc_id", F.expr(_WINNOW_WORD_HS_SPARK).alias("hs"))
-        .select("doc_id", F.explode(F.expr(_WINNOW_FPS_SPARK)).alias("fp"))
-        .localCheckpoint(eager=False)  # feeds the df cull AND the join
-    )
+    return t.select(
+        "doc_id", F.expr(_WINNOW_WORD_HS_SPARK).alias("hs")
+    ).select("doc_id", F.explode(F.expr(_WINNOW_FPS_SPARK)).alias("fp"))
+
+
+def winnowing_word_pairs_df(docs: DataFrame) -> DataFrame:
+    """q_winnowing_pairs_word over any (doc_id, text) frame — the
+    frame-parametrized form scripts/scale_probe.py grows M×."""
+    # fp feeds the df cull AND the pair join — stage it once
+    fp = winnow_word_fingerprints_df(docs).localCheckpoint(eager=False)
     return winnowing_pairs_from_fps(
         fp,
         df_cap=WINNOW_WORD_DF_CAP,

@@ -135,18 +135,27 @@ class StreamingWinnowSink(DeltaChainStore):
         dedupe_guard: bool = True,
         auto_compact_every: int | None = None,
         publish_to: str | None = None,
+        fingerprints_fn=None,
     ) -> None:
         """``publish_to=sf_dir`` makes the maintainer hands-off the way
         the doc/basket sinks are: every auto-compaction (requires
         ``auto_compact_every``) is followed by publish(), so the batch
         fingerprint landing (q_winnowing_pairs' input) tracks the
-        stream at compaction cadence with no operator intervention."""
+        stream at compaction cadence with no operator intervention.
+
+        ``fingerprints_fn`` maps a (doc_id, text) batch to its
+        (doc_id, fp) fingerprints — default the char-8-gram winnowing;
+        pass dedup.winnowing WORD-gram head (or any per-doc pure map
+        onto a bigint fp) to maintain that granularity under the same
+        delta-only contract; the split-invariance law only needs
+        fingerprints to be per-doc pure functions of the text."""
         self.spark = spark
         self.out_dir = out_dir
         self.df_cap = df_cap
         self.dedupe_guard = dedupe_guard
         self.auto_compact_every = auto_compact_every
         self.publish_to = publish_to
+        self.fingerprints_fn = fingerprints_fn or winnow_fingerprints_df
 
     def _pairs_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"pairs_e{epoch_id}")
@@ -236,7 +245,7 @@ class StreamingWinnowSink(DeltaChainStore):
                 docs = docs.join(
                     F.broadcast(already), "doc_id", "left_anti"
                 )
-            fp_new = winnow_fingerprints_df(docs)
+            fp_new = self.fingerprints_fn(docs)
             fp_new.write.mode("overwrite").parquet(delta_dir)
             fp_new = self.spark.read.parquet(delta_dir)
         if not pairs_done:

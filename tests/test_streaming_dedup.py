@@ -692,14 +692,14 @@ def test_v1_exact_chain_is_refused_at_write_time(spark, tmp_path):
     assert not os.path.isdir(os.path.join(out, "ids_e1"))
 
 
-def _batch_winnow_pairs(spark, docs_df):
+def _batch_winnow_pairs(spark, docs_df, fingerprints_fn=None):
     from pyspark.sql import functions as F
 
     from data_engineering_project_spotify_app_spark.operators.dedup import (
         winnow_fingerprints_df,
     )
 
-    fp = winnow_fingerprints_df(docs_df)
+    fp = (fingerprints_fn or winnow_fingerprints_df)(docs_df)
     a = fp.select("fp", F.col("doc_id").alias("doc_a"))
     b = fp.select(
         F.col("fp").alias("fp_b"), F.col("doc_id").alias("doc_b")
@@ -956,3 +956,39 @@ def test_fold_log_reclaims_crash_debris(spark, tmp_path):
         tuple(r) for r in sink.read_log("ids_e").distinct().collect()
     ) == want_ids
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streamed_word_winnow_pairs_equal_batch(spark, tmp_path):
+    """The winnowing maintainer is granularity-generic: the WORD-gram
+    fingerprint head rides the same sink via fingerprints_fn, and the
+    union of per-epoch pair logs equals the batch word-gram pair set
+    for an arbitrary split (per-doc pure map => split-invariant)."""
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        winnow_word_fingerprints_df,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.winnow_stream import (
+        StreamingWinnowSink,
+    )
+
+    docs = _corpus(spark, n=60)
+    dup = docs[0][1]
+    splits = [docs[30:60], docs[:30] + [(9300, dup)]]
+    out = str(tmp_path / "winnow_word_state")
+    sink = StreamingWinnowSink(
+        spark, out, fingerprints_fn=winnow_word_fingerprints_df
+    )
+    for e, batch in enumerate(splits):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    full = spark.createDataFrame(
+        [d for s in splits for d in s], DOC_SCHEMA
+    )
+    want = _batch_winnow_pairs(
+        spark, full, fingerprints_fn=winnow_word_fingerprints_df
+    )
+    got = sorted(tuple(r) for r in sink.pairs().collect())
+    assert got == want and got
+    # the injected exact duplicate pairs with its source doc
+    assert (docs[0][0], 9300) in {(a, b) for a, b, _ in got}
+    # replay: no-op
+    sink(spark.createDataFrame(splits[0], DOC_SCHEMA), 0)
+    assert sorted(tuple(r) for r in sink.pairs().collect()) == want
