@@ -12,8 +12,9 @@ against) would show epoch cost growing ~linearly with epoch index,
 i.e. last/first ratio ≈ N.
 
 Usage: python scripts/stream_probe.py [n_epochs] [sf_dir] [sink]
-``sink`` selects the maintainer: ``lsh`` (default) or ``winnow``
-(StreamingWinnowSink — same delta-only law, fingerprint store).
+``sink`` selects the maintainer: ``lsh`` (default), ``winnow``
+(StreamingWinnowSink — same delta-only law, fingerprint store), or
+``winnow_word`` (the word-gram granularity via fingerprints_fn).
 """
 
 from __future__ import annotations
@@ -55,6 +56,17 @@ def main() -> None:
         if which == "winnow":
             # cap matches the batch report's stop-fingerprint cull
             return StreamingWinnowSink(spark, d, df_cap=64)
+        if which == "winnow_word":
+            from data_engineering_project_spotify_app_spark.operators.dedup import (
+                winnow_word_fingerprints_df,
+            )
+
+            return StreamingWinnowSink(
+                spark,
+                d,
+                df_cap=64,
+                fingerprints_fn=winnow_word_fingerprints_df,
+            )
         return StreamingLshDedupSink(spark, d, bucket_cap=64)
 
     # one warm epoch on a throwaway store amortizes JVM/codegen cost
@@ -73,7 +85,7 @@ def main() -> None:
             times.append(round(time.perf_counter() - t0, 2))
         store_df = (
             sink.current_fingerprints()
-            if which == "winnow"
+            if which.startswith("winnow")
             else sink.current_bands()
         )
         total_bands = store_df.count()
