@@ -205,9 +205,10 @@ HEADLINE = [
     "q_winnowing_pairs",
     "q_soft_dedup_weights",
     # round-11 additions: word-gram winnowing granularity + per-source
-    # embedding-cluster balance
+    # embedding-cluster balance + cross-granularity agreement
     "q_winnowing_pairs_word",
     "q_cluster_source_balance",
+    "q_winnow_granularity_agreement",
 ]
 
 

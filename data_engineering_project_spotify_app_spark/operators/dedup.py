@@ -1894,11 +1894,14 @@ def winnowing_pairs_from_fps(
     fp: DataFrame,
     df_cap: int = WINNOW_DF_CAP,
     min_shared: int = WINNOW_MIN_SHARED,
-    top: int = WINNOW_TOP,
+    top: int | None = WINNOW_TOP,
 ) -> DataFrame:
     """The pair report over any (doc_id, fp) fingerprint frame — shared
     by the docs-parametrized form above, the landed/published
-    fingerprint table consumers, and the word-gram granularity below."""
+    fingerprint table consumers, and the word-gram granularity below.
+    ``top=None`` skips the ordered limit and returns the FULL pair set
+    at the (df_cap, min_shared) operating point — what the agreement
+    report compares (a top-k head would make set overlap arbitrary)."""
     df = fp.groupBy("fp").agg(F.count("*").alias("df"))
     keep = fp.join(
         df.filter(F.col("df") <= df_cap).select("fp"), "fp"
@@ -1917,6 +1920,8 @@ def winnowing_pairs_from_fps(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+    if top is None:
+        return pairs
     return pairs.orderBy(
         F.col("n_shared").desc(), "doc_a", "doc_b"
     ).limit(top)
@@ -2018,4 +2023,112 @@ def winnowing_word_pairs_df(docs: DataFrame) -> DataFrame:
         df_cap=WINNOW_WORD_DF_CAP,
         min_shared=WINNOW_WORD_MIN_SHARED,
         top=WINNOW_WORD_TOP,
+    )
+
+
+def _winnow_pairs_cte(suffix: str, hs_expr: str, src_expr: str,
+                      min_len_expr: str, df_cap: int, min_shared: int) -> str:
+    """One granularity's full DuckDB pair pipeline as a named CTE chain
+    (suffix-disambiguated so two granularities compose in one WITH)."""
+    return f"""
+    t{suffix} AS (
+      SELECT doc_id, {src_expr} FROM documents
+      WHERE {min_len_expr}
+    ),
+    hs{suffix} AS (SELECT doc_id, {hs_expr} AS hs FROM t{suffix}),
+    fpx{suffix} AS (
+      SELECT doc_id, unnest({_WINNOW_FPS_DUCK}) AS fp FROM hs{suffix}
+    ),
+    dfx{suffix} AS (SELECT fp, count(*) AS df FROM fpx{suffix} GROUP BY 1),
+    keep{suffix} AS (
+      SELECT f.doc_id, f.fp FROM fpx{suffix} f JOIN dfx{suffix} USING (fp)
+      WHERE dfx{suffix}.df <= {df_cap}
+    ),
+    p{suffix} AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keep{suffix} a
+      JOIN keep{suffix} b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING count(*) >= {min_shared}
+    )"""
+
+
+_GRANULARITY_AGREE_ORACLE = f"""
+    WITH {_winnow_pairs_cte(
+        "c",
+        _WINNOW_HS_DUCK,
+        "lower(text) AS t",
+        f"length(text) >= {WINNOW_K + WINNOW_W - 1}",
+        WINNOW_DF_CAP,
+        WINNOW_MIN_SHARED,
+    )},
+    {_winnow_pairs_cte(
+        "w",
+        _WINNOW_WORD_HS_DUCK,
+        f"{_TOK_LOWER} AS tk",
+        f"len({_TOK_LOWER}) >= {WINNOW_WORD_K + WINNOW_WORD_W - 1}",
+        WINNOW_WORD_DF_CAP,
+        WINNOW_WORD_MIN_SHARED,
+    )},
+    lab AS (
+      SELECT coalesce(pc.doc_a, pw.doc_a) AS doc_a,
+             (pc.doc_a IS NOT NULL) AS in_char,
+             (pw.doc_a IS NOT NULL) AS in_word
+      FROM pc FULL OUTER JOIN pw
+        ON pc.doc_a = pw.doc_a AND pc.doc_b = pw.doc_b
+    )
+    SELECT
+      CAST(sum(CASE WHEN in_char THEN 1 ELSE 0 END) AS BIGINT) AS n_char,
+      CAST(sum(CASE WHEN in_word THEN 1 ELSE 0 END) AS BIGINT) AS n_word,
+      CAST(sum(CASE WHEN in_char AND in_word THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_both,
+      round(sum(CASE WHEN in_char AND in_word THEN 1 ELSE 0 END)
+            / count(*), 4) AS agreement
+    FROM lab
+    """
+
+
+@query("q_winnow_granularity_agreement", oracle=_GRANULARITY_AGREE_ORACLE)
+def q_winnow_granularity_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Char-vs-word winnowing QA: Venn counts of the char-8-gram pair
+    set against the word-4-gram pair set (each at its own df-cap /
+    min-shared operating point, NO top-k head) plus their Jaccard
+    agreement — the diff the word granularity's docstring promises.
+    Char-only pairs are byte-level template overlap that tokenization
+    splits apart; word-only pairs are phrase reuse whose bytes differ
+    (spacing/punctuation variants). High agreement = overlap detection
+    robust to granularity; low = pick per use-case before a destructive
+    dedup run. Same full-outer-join + 1-row-aggregate shape as
+    q_dedup_method_agreement.
+
+    Scale: composes the two registered pair pipelines unchanged (char
+    arm reads the fp-bucketed landing; both arms df-capped), then a
+    pair-keyed full outer join and one global aggregate — the only
+    single-partition stage is the final 4-column row."""
+    ch = winnowing_pairs_from_fps(
+        _winnow_fingerprints(spark, sf_dir), top=None
+    ).select("doc_a", "doc_b", F.lit(True).alias("in_char"))
+    docs = table_parallel(spark, sf_dir, "documents")
+    wd = winnowing_pairs_from_fps(
+        winnow_word_fingerprints_df(docs).localCheckpoint(eager=False),
+        df_cap=WINNOW_WORD_DF_CAP,
+        min_shared=WINNOW_WORD_MIN_SHARED,
+        top=None,
+    ).select("doc_a", "doc_b", F.lit(True).alias("in_word"))
+    lab = ch.join(wd, ["doc_a", "doc_b"], "full")
+    n_char = F.sum(F.when(F.col("in_char"), 1).otherwise(0))
+    n_word = F.sum(F.when(F.col("in_word"), 1).otherwise(0))
+    n_both = F.sum(
+        F.when(F.col("in_char") & F.col("in_word"), 1).otherwise(0)
+    )
+    n_all = F.count("*")
+    return lab.agg(
+        n_char.cast("bigint").alias("n_char"),
+        n_word.cast("bigint").alias("n_word"),
+        n_both.cast("bigint").alias("n_both"),
+        F.round(
+            F.when(n_all == 0, F.lit(0.0)).otherwise(n_both / n_all), 4
+        ).alias("agreement"),
     )
