@@ -427,7 +427,17 @@ def main() -> None:
                 "landings_sec": round(sum(landings.values()), 3),
                 "rotation_n": len(rotation_timings),
                 "rotation_sec": round(sum(rotation_timings.values()), 3),
-                "regressions": regressions,
+                # stdout keeps only the count + worst 5 by delta — a
+                # global box-speed shift can name 30+ queries and blow
+                # the driver's tail capture (the BENCH_r06 failure
+                # mode); the full map is in BENCH_QUERIES.json
+                "n_regressions": len(regressions),
+                "regressions_top5": dict(
+                    sorted(
+                        regressions.items(),
+                        key=lambda kv: kv[1]["prev"] - kv[1]["now"],
+                    )[:5]
+                ),
                 "sf": sf_val,
             },
             separators=(",", ":"),
