@@ -211,6 +211,22 @@ HEADLINE = [
     "q_winnow_granularity_agreement",
 ]
 
+# Box-speed canary (VERDICT r11 item 1): five stable, scan-dominated,
+# never-touched queries whose summed per-query min is a pure probe of
+# how fast THIS box is running right now. Every emission records
+# canary_sec; the regression screen divides each query's ratio by
+# box_factor = canary_now / canary_prev, so a global box-speed shift
+# (r10→r11: 1.52× on identical plans) no longer names untouched queries
+# and no longer needs a hand diagnosis. On a quiet box box_factor ≈ 1
+# and the screen behaves exactly as before.
+CANARY = [
+    "q_tpch_q1",
+    "q_tpch_q6",
+    "q_token_count",
+    "q_dedup_exact",
+    "q_project",
+]
+
 
 # The six shared derive-once landings (sources/bucketed.py). Their build
 # cost is paid once per corpus and would otherwise land only in a first
@@ -234,6 +250,7 @@ def _landing_builders():
         ("word_bigrams", dedup._bigram_grams),
         ("simhash_signatures", dedup._simhash_signatures),
         ("winnow_fingerprints", dedup._winnow_fingerprints),
+        ("winnow_word_fingerprints", dedup._winnow_word_fingerprints),
     ]
 
 
@@ -278,9 +295,17 @@ def main() -> None:
     # compilation + the Python/Arrow worker pool, all costs that are
     # amortized to zero on a long-lived 100 TB cluster but would dominate
     # sub-second queries here (measured: 2-6x noise on cold first runs).
+    # Canary queries not already in this round's timed set still need a
+    # timing (they anchor box_factor) — run them alongside, in a third
+    # sink that never pollutes the headline total.
+    canary_extra_names = [
+        c for c in CANARY if c not in HEADLINE and c not in rotation
+    ]
+    timed_names = HEADLINE + rotation + canary_extra_names
+
     warm_dir = "/root/testdata/sf0.001"
     registry.QUERIES["q_count"](spark, sf_dir).collect()
-    for name in HEADLINE + rotation:
+    for name in timed_names:
         try:
             registry.QUERIES[name](spark, warm_dir).count()
         except Exception:
@@ -306,11 +331,17 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     rotation_timings: dict[str, float] = {}
+    canary_extra: dict[str, float] = {}
     import gc
 
     for _ in range(n_runs):
-        for name in HEADLINE + rotation:
-            sink = timings if name in set(HEADLINE) else rotation_timings
+        for name in timed_names:
+            if name in set(HEADLINE):
+                sink = timings
+            elif name in rotation:
+                sink = rotation_timings
+            else:
+                sink = canary_extra
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             # count() forces full execution of every operator in the plan
@@ -357,21 +388,37 @@ def main() -> None:
         if prev_doc.get("sf") == sf_val:
             prev_map = dict(prev_doc.get("queries") or {})
             prev_map.update(prev_doc.get("rotation") or {})
+            prev_canary = prev_doc.get("canary_sec")
         else:
-            prev_map = {}
+            prev_map, prev_canary = {}, None
     except (OSError, ValueError):
-        prev_map = {}
+        prev_map, prev_canary = {}, None
+    # Box-factor normalization: this run's canary sum over the previous
+    # committed run's. A factor of 1.5 means the whole box is running
+    # 1.5× slow — every query's ratio is divided by it before the gate,
+    # so only PLAN movement (a query moving against its box) is named.
+    all_timed = {**timings, **rotation_timings, **canary_extra}
+    canary = {c: all_timed[c] for c in CANARY if c in all_timed}
+    canary_sec = round(sum(canary.values()), 3)
+    box_factor = (
+        round(canary_sec / prev_canary, 3)
+        if prev_canary and canary_sec and len(canary) == len(CANARY)
+        else 1.0
+    )
     for name, now in {**timings, **rotation_timings}.items():
         before = prev_map.get(name)
+        if not before:
+            continue
+        adj_now = now / box_factor
         if (
-            before
-            and now > before * REG_RATIO
-            and now - before > REG_MIN_DELTA
+            adj_now > before * REG_RATIO
+            and adj_now - before > REG_MIN_DELTA
         ):
             regressions[name] = {
                 "prev": before,
                 "now": now,
                 "ratio": round(now / before, 2),
+                "adj_ratio": round(adj_now / before, 2),
             }
     # Full per-query map goes to a FILE, not stdout: at 135+ headline
     # queries the one-line JSON outgrew the driver's stdout tail capture
@@ -397,9 +444,15 @@ def main() -> None:
                 "rotation_idx": rotate_idx,
                 "rotation_sec": round(sum(rotation_timings.values()), 3),
                 "rotation": rotation_timings,
-                # screen vs the previous committed map: ratio > 1.3 AND
-                # delta > 0.3 s (noise floor) — empty means no movement
-                # a human should investigate
+                # box-speed canary: per-query mins of the five anchors,
+                # their sum, and this run's speed relative to the
+                # previous committed run (1.0 = quiet box)
+                "canary": canary,
+                "canary_sec": canary_sec,
+                "box_factor": box_factor,
+                # screen vs the previous committed map, box-factor
+                # normalized: adj ratio > 1.3 AND adj delta > 0.3 s —
+                # empty means no PLAN movement a human should chase
                 "regressions": regressions,
             },
             fh,
@@ -427,6 +480,8 @@ def main() -> None:
                 "landings_sec": round(sum(landings.values()), 3),
                 "rotation_n": len(rotation_timings),
                 "rotation_sec": round(sum(rotation_timings.values()), 3),
+                "canary_sec": canary_sec,
+                "box_factor": box_factor,
                 # stdout keeps only the count + worst 5 by delta — a
                 # global box-speed shift can name 30+ queries and blow
                 # the driver's tail capture (the BENCH_r06 failure

@@ -1996,8 +1996,43 @@ def q_winnowing_pairs_word(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tk is a materialized column so the tokenizer runs once per doc, the
     ProjectCollapsing discipline of functions/text.py); explode only the
     selected ~2/(w+1) fingerprint minima; df-capped pair join; ordered
-    limit as TakeOrderedAndProject."""
-    return winnowing_word_pairs_df(table_parallel(spark, sf_dir, "documents"))
+    limit as TakeOrderedAndProject.
+
+    Reads the fp-bucketed word-fingerprint landing
+    (_winnow_word_fingerprints, VERDICT r11 item 8): like the char
+    form, the HOF fingerprint pipeline is paid once per corpus and the
+    df-cull + pair self-join both key on fp off the bucketed scan."""
+    return winnowing_pairs_from_fps(
+        _winnow_word_fingerprints(spark, sf_dir),
+        df_cap=WINNOW_WORD_DF_CAP,
+        min_shared=WINNOW_WORD_MIN_SHARED,
+        top=WINNOW_WORD_TOP,
+    )
+
+
+def _winnow_word_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-doc WORD-gram winnowing fingerprints (doc_id, fp) as a
+    shared fp-bucketed landing — the word twin of _winnow_fingerprints
+    (same derive-once contract, same bucket key: every consumer stage
+    keys on fp). The streaming maintainer publishes the same shape
+    under landing_prefix='winnow_word_fingerprints' and seeds it over
+    this prefix."""
+    from data_engineering_project_spotify_app_spark.sources.bucketed import (
+        landed_frame,
+    )
+
+    return landed_frame(
+        spark,
+        sf_dir,
+        "winnow_word_fingerprints",
+        "fp",
+        SIG_BUCKETS,
+        lambda: winnow_word_fingerprints_df(
+            table_parallel(spark, sf_dir, "documents")
+        ),
+    )
 
 
 def winnow_word_fingerprints_df(docs: DataFrame) -> DataFrame:
@@ -2082,8 +2117,9 @@ _GRANULARITY_AGREE_ORACLE = f"""
       CAST(sum(CASE WHEN in_word THEN 1 ELSE 0 END) AS BIGINT) AS n_word,
       CAST(sum(CASE WHEN in_char AND in_word THEN 1 ELSE 0 END) AS BIGINT)
         AS n_both,
-      round(sum(CASE WHEN in_char AND in_word THEN 1 ELSE 0 END)
-            / count(*), 4) AS agreement
+      round(CASE WHEN count(*) = 0 THEN 0.0
+                 ELSE sum(CASE WHEN in_char AND in_word THEN 1 ELSE 0 END)
+                      * 1.0 / count(*) END, 4) AS agreement
     FROM lab
     """
 
@@ -2103,16 +2139,15 @@ def q_winnow_granularity_agreement(
     dedup run. Same full-outer-join + 1-row-aggregate shape as
     q_dedup_method_agreement.
 
-    Scale: composes the two registered pair pipelines unchanged (char
-    arm reads the fp-bucketed landing; both arms df-capped), then a
+    Scale: composes the two registered pair pipelines unchanged (BOTH
+    arms read their fp-bucketed landings; both df-capped), then a
     pair-keyed full outer join and one global aggregate — the only
     single-partition stage is the final 4-column row."""
     ch = winnowing_pairs_from_fps(
         _winnow_fingerprints(spark, sf_dir), top=None
     ).select("doc_a", "doc_b", F.lit(True).alias("in_char"))
-    docs = table_parallel(spark, sf_dir, "documents")
     wd = winnowing_pairs_from_fps(
-        winnow_word_fingerprints_df(docs).localCheckpoint(eager=False),
+        _winnow_word_fingerprints(spark, sf_dir),
         df_cap=WINNOW_WORD_DF_CAP,
         min_shared=WINNOW_WORD_MIN_SHARED,
         top=None,

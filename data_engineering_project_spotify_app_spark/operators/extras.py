@@ -854,18 +854,23 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hv"),
     )
 
-    def kmin(tag: str) -> DataFrame:
-        w = Window.orderBy("hv")
-        return (
-            hv_all.filter(F.col("event_type") == tag)
-            .select("hv")
-            .withColumn("dr", F.dense_rank().over(w))
-            .filter(F.col("dr") <= k)
-            .select("hv")
-            .distinct()
-        )
-
-    ka, kb = kmin("click"), kmin("purchase")
+    # ONE tag-partitioned window computes both sketches' k-mins in a
+    # single pass (VERDICT r11 item 6 — previously two filtered
+    # unpartitioned windows over the same frame); dense_rank ≤ k with a
+    # partitionBy is map-side group-limited (WindowGroupLimit), and the
+    # ≤ 2k-row result is a lazy localCheckpoint so its four consumers
+    # (two 1-row aggregates + the intersection join's two sides) don't
+    # re-run the window.
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kmins = (
+        hv_all.withColumn("dr", F.dense_rank().over(w))
+        .filter(F.col("dr") <= k)
+        .select("event_type", "hv")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ka = kmins.filter(F.col("event_type") == "click").select("hv")
+    kb = kmins.filter(F.col("event_type") == "purchase").select("hv")
     sa = ka.agg(F.max("hv").alias("kth_a"), F.count("*").alias("m_a"))
     sb = kb.agg(F.max("hv").alias("kth_b"), F.count("*").alias("m_b"))
     full = F.lit(4294967296)

@@ -1199,7 +1199,26 @@ def q_cluster_source_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double().alias("v")
     )
-    b = _srp_signatures(e, [None]).select("vec_id", "bucket")
+    return source_balance_from_buckets(spark, sf_dir, srp_buckets_df(e))
+
+
+def srp_buckets_df(e: DataFrame) -> DataFrame:
+    """Per-vector SRP cluster assignment (vec_id, bucket) over any
+    (vec_id, v: array<double>) frame — a per-row pure map (one Arrow
+    GEMM, zero shuffle), so it rides the generic doc-landing maintainer
+    (streaming/landing_stream.py) as a streamed cluster-assignment
+    landing the same way minhash/simhash signatures do."""
+    return _srp_signatures(e, [None]).select("vec_id", "bucket")
+
+
+def source_balance_from_buckets(
+    spark: SparkSession, sf_dir: str, b: DataFrame
+) -> DataFrame:
+    """The q_cluster_source_balance report over ANY (vec_id, bucket)
+    cluster-assignment frame — shared by the registered batch query
+    (in-plan SRP buckets) and the streaming twin (a maintained bucket
+    landing). Plan shape per the query docstring: one corpus-sized
+    aggregate, marginal-sized joins back, st/tt broadcast."""
     src = table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("vec_id"), "source"
     )

@@ -72,7 +72,22 @@ def _warehouse_path(spark: SparkSession) -> str:
 # concurrent process would treat the first's live table directory as
 # debris and rmtree it mid-run (ADVICE r10: the old behavior was a loud
 # LOCATION_ALREADY_EXISTS; a silent cross-process delete is worse).
+#
+# Two hardenings against STALE sentinels permanently wedging a shared
+# durable warehouse (ADVICE r11, medium):
+# - this process removes its own sentinels at exit (session.py's atexit
+#   only rmtree's the per-pid /tmp warehouse, never a durable shared
+#   one — a clean exit used to leave the claim behind);
+# - the sentinel body records the claimant's kernel start time
+#   (/proc/<pid>/stat field 22), so a later process whose pid happens
+#   to equal a long-dead claimant's is distinguishable from the
+#   original: pid alive + start-time mismatch = reused pid = the claim
+#   is dead and reapable instead of blocking every landing forever.
 _CLAIMS_DIR = "_graft_live"
+
+# claim files THIS process wrote (one per warehouse it touched)
+_MY_CLAIM_FILES: set[str] = set()
+_claims_atexit_registered = False
 
 
 def _pid_alive(pid: int) -> bool:
@@ -85,20 +100,81 @@ def _pid_alive(pid: int) -> bool:
         return True  # exists, owned by someone else
 
 
+def _proc_start_token(pid: int) -> str | None:
+    """Kernel start time of ``pid`` (clock ticks since boot — field 22
+    of /proc/<pid>/stat), the token that tells a REUSED pid apart from
+    the process that actually wrote a claim. None when /proc is not
+    readable (non-Linux): callers fall back to pid-liveness only."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            stat = f.read().decode("ascii", "replace")
+        # comm (field 2) is an arbitrary command name in parens and may
+        # itself contain spaces/parens — split after the LAST ')' so it
+        # can never shift the numeric fields.
+        fields = stat.rsplit(")", 1)[1].split()
+        return fields[19]  # fields[0] is field 3 (state) → 22 - 3 = 19
+    except (OSError, IndexError):
+        return None
+
+
+def _claimant_alive(claim_path: str, pid: int) -> bool:
+    """True iff the process that WROTE this claim is still running: the
+    pid must be alive AND, when both the sentinel and /proc carry a
+    start-time token, the tokens must match. An unreadable/legacy
+    (empty) sentinel degrades to pid-liveness — conservative: never
+    treat a possibly-live claimant as dead."""
+    if not _pid_alive(pid):
+        return False
+    try:
+        with open(claim_path) as f:
+            stamp = f.read().strip()
+    except OSError:
+        return True
+    if not stamp:
+        return True  # pre-stamp sentinel format
+    now = _proc_start_token(pid)
+    return now is None or now == stamp
+
+
+def _release_own_claims() -> None:
+    """atexit: a cleanly-exiting process leaves no sentinel behind, so
+    a shared durable warehouse is never wedged by a claim whose pid the
+    kernel later reuses."""
+    for path in list(_MY_CLAIM_FILES):
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+        _MY_CLAIM_FILES.discard(path)
+
+
 def _claim_warehouse(spark: SparkSession) -> None:
-    """Record this process as a live user of the warehouse and sweep
-    sentinels of dead pids (same pattern as session.py's dead-pid
-    /tmp-warehouse sweep)."""
+    """Record this process as a live user of the warehouse (sentinel
+    body = our kernel start time), register the atexit release, and
+    sweep sentinels whose claimant is dead or whose pid was reused
+    (same pattern as session.py's dead-pid /tmp-warehouse sweep)."""
+    global _claims_atexit_registered
     d = os.path.join(_warehouse_path(spark), _CLAIMS_DIR)
+    mine = os.path.join(d, str(os.getpid()))
     try:
         os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, str(os.getpid())), "w"):
-            pass
+        with open(mine, "w") as f:
+            f.write(_proc_start_token(os.getpid()) or "")
+        _MY_CLAIM_FILES.add(mine)
+        if not _claims_atexit_registered:
+            _claims_atexit_registered = True
+            import atexit
+
+            atexit.register(_release_own_claims)
         names = os.listdir(d)
     except OSError:
         return
     for f in names:
-        if f.isdigit() and int(f) != os.getpid() and not _pid_alive(int(f)):
+        if (
+            f.isdigit()
+            and int(f) != os.getpid()
+            and not _claimant_alive(os.path.join(d, f), int(f))
+        ):
             try:
                 os.remove(os.path.join(d, f))
             except OSError:
@@ -106,7 +182,8 @@ def _claim_warehouse(spark: SparkSession) -> None:
 
 
 def _live_foreign_claimants(spark: SparkSession) -> list[int]:
-    """Pids of OTHER live processes that have claimed this warehouse."""
+    """Pids of OTHER live processes that have claimed this warehouse
+    (start-time-verified: a reused pid does not count as a claimant)."""
     d = os.path.join(_warehouse_path(spark), _CLAIMS_DIR)
     try:
         names = os.listdir(d)
@@ -115,7 +192,9 @@ def _live_foreign_claimants(spark: SparkSession) -> list[int]:
     return [
         int(f)
         for f in names
-        if f.isdigit() and int(f) != os.getpid() and _pid_alive(int(f))
+        if f.isdigit()
+        and int(f) != os.getpid()
+        and _claimant_alive(os.path.join(d, f), int(f))
     ]
 
 
@@ -460,7 +539,9 @@ def seed_landing(
     os.replace(tmp, path)  # atomic: readers never see a torn marker
 
 
-def invalidate_landings(sf_dir: str | None = None) -> None:
+def invalidate_landings(
+    sf_dir: str | None = None, warehouse: str | None = None
+) -> None:
     """Forget landing memos (all, or one corpus) AND drop the durable
     seed markers, so "force the slow path" holds cross-process. With
     content fingerprints this is no longer REQUIRED after regenerating
@@ -471,40 +552,41 @@ def invalidate_landings(sf_dir: str | None = None) -> None:
     re-seed right after, landing_stream.py).
 
     Markers written by OTHER processes are not in this process's memo,
-    so in addition to the memoized keys the active session's warehouse
-    ``_graft_seeds`` directory is globbed for the corpus's markers
-    (ADVICE r10: the memo-only form was a no-op in a fresh process,
-    leaving the superseded landing silently re-adoptable)."""
+    so the ``_graft_seeds`` directory of every warehouse this call can
+    name is globbed for the corpus's markers: the warehouses recorded
+    in the memoized keys being invalidated, the active session's
+    warehouse if any, and an explicit ``warehouse=`` argument (ADVICE
+    r11: the previous form relied solely on getActiveSession(), so a
+    sessionless caller silently skipped the glob and swept only the
+    active session's warehouse, never the memoized ones)."""
+    import glob as _glob
     import hashlib
 
-    for key in [k for k in _LANDED if sf_dir is None or k[1] == sf_dir]:
-        prefix, sdir, wh = key
+    wh_paths: set[str] = set()
+
+    def _as_path(wh: str) -> str:
         parsed = urlparse(wh)
-        wh_path = parsed.path if parsed.scheme else wh
-        try:
-            os.remove(
-                os.path.join(
-                    wh_path,
-                    "_graft_seeds",
-                    landing_table_name(prefix, sdir) + ".json",
-                )
-            )
-        except OSError:
-            pass
+        return parsed.path if parsed.scheme else wh
+
+    for key in [k for k in _LANDED if sf_dir is None or k[1] == sf_dir]:
+        wh_paths.add(_as_path(key[2]))
         del _LANDED[key]
+    if warehouse is not None:
+        wh_paths.add(_as_path(warehouse))
     spark = SparkSession.getActiveSession()
-    if spark is None:
-        return
-    seeds = os.path.join(_warehouse_path(spark), "_graft_seeds")
+    if spark is not None:
+        wh_paths.add(_warehouse_path(spark))
     pattern = (
         "*.json"
         if sf_dir is None
         else f"*_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.json"
     )
-    import glob as _glob
-
-    for path in _glob.glob(os.path.join(seeds, pattern)):
-        try:
-            os.remove(path)
-        except OSError:
-            pass
+    for wh_path in wh_paths:
+        if not wh_path:
+            continue
+        seeds = os.path.join(wh_path, "_graft_seeds")
+        for path in _glob.glob(os.path.join(seeds, pattern)):
+            try:
+                os.remove(path)
+            except OSError:
+                pass

@@ -51,6 +51,12 @@ from data_engineering_project_spotify_app_spark.streaming.sinks import (
 )
 
 
+class PartialStoreError(ValueError):
+    """publish() refused to seed: the maintained store has only
+    ingested a prefix of the corpus it would be stamped fresh for
+    (see StreamingWinnowSink.publish's completeness guard)."""
+
+
 def delta_shared_pairs(
     fp_new: DataFrame,
     fp_store: DataFrame | None,
@@ -136,6 +142,7 @@ class StreamingWinnowSink(DeltaChainStore):
         auto_compact_every: int | None = None,
         publish_to: str | None = None,
         fingerprints_fn=None,
+        landing_prefix: str = "winnow_fingerprints",
     ) -> None:
         """``publish_to=sf_dir`` makes the maintainer hands-off the way
         the doc/basket sinks are: every auto-compaction (requires
@@ -148,7 +155,14 @@ class StreamingWinnowSink(DeltaChainStore):
         pass dedup.winnowing WORD-gram head (or any per-doc pure map
         onto a bigint fp) to maintain that granularity under the same
         delta-only contract; the split-invariance law only needs
-        fingerprints to be per-doc pure functions of the text."""
+        fingerprints to be per-doc pure functions of the text.
+
+        ``landing_prefix`` is the landed_frame prefix publish() seeds —
+        keep it consistent with fingerprints_fn: the char default seeds
+        ``winnow_fingerprints`` (q_winnowing_pairs' input); a word-gram
+        sink must pass ``winnow_word_fingerprints`` so it supersedes
+        the WORD landing (q_winnowing_pairs_word) and never poisons the
+        char one with word fingerprints."""
         self.spark = spark
         self.out_dir = out_dir
         self.df_cap = df_cap
@@ -156,6 +170,7 @@ class StreamingWinnowSink(DeltaChainStore):
         self.auto_compact_every = auto_compact_every
         self.publish_to = publish_to
         self.fingerprints_fn = fingerprints_fn or winnow_fingerprints_df
+        self.landing_prefix = landing_prefix
 
     def _pairs_dir(self, epoch_id: int) -> str:
         return os.path.join(self.out_dir, f"pairs_e{epoch_id}")
@@ -176,14 +191,32 @@ class StreamingWinnowSink(DeltaChainStore):
             self.fold_log("pairs_e", target)
         return folded
 
-    def publish(self, sf_dir: str, n_buckets: int | None = None) -> str:
+    def publish(
+        self,
+        sf_dir: str,
+        n_buckets: int | None = None,
+        allow_partial: bool = False,
+    ) -> str:
         """Land the maintained fingerprint store as the fp-bucketed
         managed table batch consumers expect and adopt it as THE
         ``winnow_fingerprints`` landing for sf_dir — q_winnowing_pairs
         (and any winnowing_pairs_from_fps caller) then reads the
         streamed state with zero query changes, exactly the
         publish-once-consume-anywhere contract of the signature/edge
-        maintainers (landing_stream.py). Returns the table name."""
+        maintainers (landing_stream.py). Returns the table name.
+
+        COMPLETENESS GUARD (ADVICE r11): seeding stamps the landing
+        with the CURRENT full-corpus fingerprint, so a store that has
+        only ingested a prefix of the corpus would otherwise be served
+        to batch consumers as fingerprint-fresh while their DuckDB
+        oracles compute over the whole documents table. Before seeding,
+        the store's distinct doc_id count is compared to the number of
+        corpus docs that produce ≥1 fingerprint under this sink's
+        ``fingerprints_fn`` (one batch pass over the corpus, paid only
+        at publish time); a shortfall raises PartialStoreError unless
+        ``allow_partial=True`` — an explicit opt-in whose consumers are
+        documented to diverge from full-corpus oracles until ingestion
+        completes."""
         from data_engineering_project_spotify_app_spark.operators.dedup import (
             SIG_BUCKETS,
         )
@@ -196,11 +229,30 @@ class StreamingWinnowSink(DeltaChainStore):
         fps = self.current_fingerprints()
         if fps is None:
             raise ValueError("nothing ingested yet — nothing to publish")
+        if not allow_partial:
+            corpus = self.spark.read.parquet(
+                os.path.join(sf_dir, "documents.parquet")
+            ).select("doc_id", "text")
+            expected = (
+                self.fingerprints_fn(corpus)
+                .select("doc_id")
+                .distinct()
+                .count()
+            )
+            got = fps.select("doc_id").distinct().count()
+            if got < expected:
+                raise PartialStoreError(
+                    f"store covers {got}/{expected} fingerprinted docs of "
+                    f"{sf_dir} — seeding now would serve a prefix as a "
+                    "fingerprint-fresh landing while batch oracles see "
+                    "the full corpus. Finish ingestion, or pass "
+                    "allow_partial=True to publish the prefix anyway."
+                )
         name = (
-            landing_table_name("winnow_fingerprints", sf_dir) + "_streamed"
+            landing_table_name(self.landing_prefix, sf_dir) + "_streamed"
         )
         land_bucketed(fps, name, "fp", n_buckets or SIG_BUCKETS)
-        seed_landing(self.spark, sf_dir, "winnow_fingerprints", name)
+        seed_landing(self.spark, sf_dir, self.landing_prefix, name)
         return name
 
     def __call__(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -262,7 +314,16 @@ class StreamingWinnowSink(DeltaChainStore):
         if not delta_done:
             self._mark(delta_dir)
         if self.maybe_compact() and self.publish_to is not None:
-            self.publish(self.publish_to)
+            # Auto-publish rides the completeness guard: a mid-stream
+            # compaction whose store is still a prefix of the corpus
+            # SKIPS seeding (the landing keeps its previous state; the
+            # next compaction — or an explicit publish() once ingestion
+            # completes — lands it), instead of silently serving
+            # partial fingerprints to oracle-checked batch consumers.
+            try:
+                self.publish(self.publish_to)
+            except PartialStoreError:
+                pass
 
 
 def maintain_winnow_store(

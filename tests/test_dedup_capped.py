@@ -192,3 +192,53 @@ def test_containment_catches_excerpt_jaccard_misses(spark, tmp_path):
     assert set(res) == {(0, 1)}
     assert res[(0, 1)]["containment"] == 1.0
     assert res[(0, 1)]["jaccard"] < 0.15
+
+
+def test_granularity_agreement_empty_corpus_matches_oracle(spark, tmp_path):
+    """Degenerate-corpus parity for the agreement convention (ADVICE
+    r11 item 4): on an EMPTY documents table both engines must report
+    agreement = 0.0 (not NULL) and NULL Venn counts — the oracle now
+    carries the same count(*)=0 guard as the Spark plan."""
+    import duckdb
+
+    from data_engineering_project_spotify_app_spark.operators import (
+        dedup,
+        registry,
+    )
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    corpus = str(tmp_path / "empty_corpus")
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    ).coalesce(1).write.parquet(f"{corpus}/documents.parquet")
+    try:
+        row = dedup.q_winnow_granularity_agreement(spark, corpus).collect()
+        assert len(row) == 1
+        s = row[0].asDict()
+        assert s["agreement"] == 0.0
+        assert s["n_char"] is None and s["n_word"] is None
+
+        con = duckdb.connect()
+        try:
+            con.sql(
+                "CREATE VIEW documents AS SELECT * FROM "
+                f"parquet_scan('{corpus}/documents.parquet/*.parquet')"
+            )
+            d_cols = None
+            res = con.sql(
+                registry.ORACLES["q_winnow_granularity_agreement"]
+            )
+            d_cols = list(res.columns)
+            d = dict(zip(d_cols, res.fetchall()[0]))
+        finally:
+            con.close()
+        assert d["agreement"] == 0.0
+        assert d["n_char"] is None and d["n_word"] is None
+    finally:
+        bucketed.invalidate_landings(corpus)
+        bucketed.drop_landed(
+            spark,
+            bucketed.landing_table_name("winnow_fingerprints", corpus),
+            bucketed.landing_table_name("winnow_word_fingerprints", corpus),
+        )

@@ -730,3 +730,111 @@ def test_auto_publish_refreshes_consumer_table(spark, tmp_path):
         bucketed.invalidate_landings(SF)
         if name:
             bucketed.drop_landed(spark, name)
+
+
+def test_partial_winnow_store_refuses_publish(spark, tmp_path):
+    """publish() must not seed a store that has only ingested a prefix
+    of the corpus (ADVICE r11 item 3): the landing would be stamped
+    fingerprint-fresh while q_winnowing_pairs' DuckDB oracle computes
+    over the WHOLE documents table. Completing ingestion unblocks it;
+    allow_partial=True is the documented explicit override."""
+    import pytest
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+    from data_engineering_project_spotify_app_spark.streaming.winnow_stream import (
+        PartialStoreError,
+        StreamingWinnowSink,
+    )
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    out = str(tmp_path / "winnow_partial")
+    sink = StreamingWinnowSink(spark, out)
+    bucketed.invalidate_landings(SF)  # no marker leakage from others
+    half = len(docs) // 2
+    sink(spark.createDataFrame(docs[:half], DOC_SCHEMA), 0)
+    with pytest.raises(PartialStoreError, match="fingerprinted docs"):
+        sink.publish(SF, n_buckets=8)
+    # nothing was seeded: no durable marker, batch landing untouched
+    marker = bucketed._seed_marker_path(spark, "winnow_fingerprints", SF)
+    assert not os.path.isfile(marker)
+    sink(spark.createDataFrame(docs[half:], DOC_SCHEMA), 1)
+    name = sink.publish(SF, n_buckets=8)  # complete now: allowed
+    try:
+        assert spark.catalog.tableExists(name)
+        assert os.path.isfile(marker)
+    finally:
+        bucketed.invalidate_landings(SF)
+        bucketed.drop_landed(spark, name)
+
+
+def test_published_word_winnow_landing_consumer_matches_oracle(
+    spark, tmp_path
+):
+    """Word-granularity publish parity (VERDICT r11 item 8): a
+    word-gram StreamingWinnowSink (fingerprints_fn +
+    landing_prefix='winnow_word_fingerprints') publishes its store, and
+    (a) q_winnowing_pairs_word reads the published table and still
+    hash-matches its DuckDB oracle, (b) the char landing is untouched
+    (no cross-granularity poisoning), (c) an fp-keyed aggregate over
+    the published table is Exchange-free."""
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        winnow_word_fingerprints_df,
+    )
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+    from data_engineering_project_spotify_app_spark.streaming.winnow_stream import (
+        StreamingWinnowSink,
+    )
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    out = str(tmp_path / "winnow_word_pub")
+    bucketed.invalidate_landings(SF)
+    sink = StreamingWinnowSink(
+        spark,
+        out,
+        fingerprints_fn=winnow_word_fingerprints_df,
+        landing_prefix="winnow_word_fingerprints",
+    )
+    third = len(docs) // 3
+    for e, batch in enumerate(
+        [docs[:third], docs[third:2 * third], docs[2 * third:]]
+    ):
+        sink(spark.createDataFrame(batch, DOC_SCHEMA), e)
+    name = sink.publish(SF, n_buckets=8)
+    try:
+        assert name.startswith("winnow_word_fingerprints")
+        assert spark.catalog.tableExists(name)
+        q = registry.QUERIES["q_winnowing_pairs_word"](spark, SF)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert name in plan  # the consumer reads the published table
+        # the CHAR landing was not superseded by word fingerprints
+        char_marker = bucketed._seed_marker_path(
+            spark, "winnow_fingerprints", SF
+        )
+        assert not os.path.isfile(char_marker)
+        compare(
+            spark, SF, "q_winnowing_pairs_word",
+            registry.QUERIES["q_winnowing_pairs_word"],
+            registry.ORACLES["q_winnowing_pairs_word"],
+        )
+        agg_plan = (
+            spark.table(name)
+            .groupBy("fp")
+            .count()
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in agg_plan, agg_plan
+    finally:
+        bucketed.invalidate_landings(SF)
+        bucketed.drop_landed(spark, name)

@@ -382,3 +382,169 @@ def test_landed_signatures_equal_derived(spark, sf_dir):
         ).collect()
     )
     assert landed == derived and landed
+
+
+def test_reused_pid_claim_is_not_a_live_claimant(spark):
+    """A sentinel whose pid is alive but whose recorded start time does
+    not match that pid's CURRENT start time is a reused pid: the
+    original claimant is gone, so the claim must neither block the
+    orphan sweep nor survive the reap (ADVICE r11 item 1 — previously
+    a stale sentinel + pid reuse wedged the warehouse forever)."""
+    import os
+
+    import pytest
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    if bucketed._proc_start_token(1) is None:
+        pytest.skip("/proc/1/stat not readable — no start-time tokens")
+    claims = os.path.join(bucketed._warehouse_path(spark), "_graft_live")
+    os.makedirs(claims, exist_ok=True)
+    sentinel = os.path.join(claims, "1")  # pid 1: alive, never us
+    with open(sentinel, "w") as f:
+        f.write("1")  # clock-tick 1 is no real process's start time
+    try:
+        assert bucketed._live_foreign_claimants(spark) == []
+        bucketed._claim_warehouse(spark)  # reaps reused-pid sentinels
+        assert not os.path.exists(sentinel)
+    finally:
+        if os.path.exists(sentinel):
+            os.remove(sentinel)
+
+
+def test_claim_sentinel_stamps_start_time_and_releases(spark):
+    """The sentinel body records our kernel start time (what makes pid
+    reuse detectable) and _release_own_claims — the registered atexit
+    hook — removes it, so a clean exit leaves no claim behind."""
+    import os
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    bucketed._claim_warehouse(spark)
+    mine = os.path.join(
+        bucketed._warehouse_path(spark), "_graft_live", str(os.getpid())
+    )
+    assert os.path.isfile(mine)
+    want = bucketed._proc_start_token(os.getpid())
+    if want is not None:
+        with open(mine) as f:
+            assert f.read().strip() == want
+    assert mine in bucketed._MY_CLAIM_FILES
+    bucketed._release_own_claims()
+    assert not os.path.exists(mine)
+    assert mine not in bucketed._MY_CLAIM_FILES
+
+
+_CLAIM_EXIT_SCRIPT = """
+import os, sys
+sys.path.insert(0, ".")
+from data_engineering_project_spotify_app_spark.sources import bucketed
+
+class _Conf:
+    def get(self, k, d=None):
+        return sys.argv[1]
+
+class _Spark:
+    conf = _Conf()
+
+bucketed._claim_warehouse(_Spark())
+p = os.path.join(sys.argv[1], bucketed._CLAIMS_DIR, str(os.getpid()))
+assert os.path.isfile(p)
+print("PID", os.getpid())
+"""
+
+
+def test_clean_process_exit_leaves_no_sentinel(tmp_path):
+    """Cross-process form of the atexit contract: a process that claims
+    a DURABLE shared warehouse and exits cleanly removes its own
+    sentinel (session.py's atexit only rmtree's the /tmp per-pid
+    warehouse — ADVICE r11: durable warehouses used to keep the claim
+    forever)."""
+    import os
+    import subprocess
+    import sys
+
+    wh = str(tmp_path / "shared_wh")
+    os.makedirs(wh, exist_ok=True)
+    proc = subprocess.run(
+        [sys.executable, "-c", _CLAIM_EXIT_SCRIPT, wh],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr
+    pid = proc.stdout.split()[-1]
+    assert not os.path.exists(os.path.join(wh, "_graft_live", pid))
+
+
+def test_invalidate_landings_sweeps_memoized_warehouse(spark, tmp_path):
+    """The marker glob must cover the warehouses recorded in the keys
+    being invalidated, not only the active session's warehouse (ADVICE
+    r11 item 2): a marker under a DIFFERENT (memoized) warehouse is
+    still swept."""
+    import json
+    import os
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    corpus = str(tmp_path / "memo_corpus")
+    _write_corpus(spark, corpus, [(1, "a")])
+    other_wh = str(tmp_path / "other_wh")
+    marker = os.path.join(
+        other_wh,
+        "_graft_seeds",
+        bucketed.landing_table_name("memo_probe", corpus) + ".json",
+    )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump({"table": "t", "fp": "x", "ddl": "CREATE ..."}, f)
+    bucketed._LANDED[("memo_probe", corpus, other_wh)] = ("t", "x")
+    bucketed.invalidate_landings(corpus)
+    assert not os.path.isfile(marker)
+    assert ("memo_probe", corpus, other_wh) not in bucketed._LANDED
+
+
+def test_invalidate_landings_explicit_warehouse(spark, tmp_path):
+    """warehouse= names a warehouse that is neither memoized nor the
+    active session's — e.g. a sessionless maintenance script sweeping a
+    durable shared warehouse — and its markers are still dropped."""
+    import json
+    import os
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    corpus = str(tmp_path / "explicit_corpus")
+    _write_corpus(spark, corpus, [(1, "a")])
+    other_wh = str(tmp_path / "explicit_wh")
+    marker = os.path.join(
+        other_wh,
+        "_graft_seeds",
+        bucketed.landing_table_name("explicit_probe", corpus) + ".json",
+    )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump({"table": "t", "fp": "x", "ddl": "CREATE ..."}, f)
+    assert ("explicit_probe", corpus, other_wh) not in bucketed._LANDED
+    bucketed.invalidate_landings(corpus, warehouse=other_wh)
+    assert not os.path.isfile(marker)
+
+
+def test_landed_word_fingerprints_equal_derived(spark, sf_dir):
+    """The word-gram winnowing fingerprint landing serves exactly the
+    rows the frame-parametrized derivation computes (the derive-once
+    contract, word twin of the char landing)."""
+    from data_engineering_project_spotify_app_spark.tables import (
+        table_parallel,
+    )
+
+    landed = sorted(
+        tuple(r)
+        for r in dedup._winnow_word_fingerprints(spark, sf_dir).collect()
+    )
+    derived = sorted(
+        tuple(r)
+        for r in dedup.winnow_word_fingerprints_df(
+            table_parallel(spark, sf_dir, "documents")
+        ).collect()
+    )
+    assert landed == derived and landed
