@@ -296,3 +296,67 @@ def test_rebuild_swap_under_concurrent_ingest(spark, tmp_path):
     extra = [(88888, list(vecs[5][1]))]
     sink2(spark.createDataFrame(extra, VEC_SCHEMA), 4)
     assert sink2.current_index().count() == before + 1
+
+
+def test_streamed_srp_bucket_landing_source_balance_equals_batch(
+    spark, tmp_path
+):
+    """Streaming twin of q_cluster_source_balance (VERDICT r11 item 8):
+    the SRP cluster assignment is a per-vector pure map, so it rides
+    the generic doc-landing maintainer; the balance report computed
+    over the maintained (vec_id, bucket) landing equals the batch
+    query exactly — across an arbitrary split, duplicate re-delivery,
+    and replay."""
+    from data_engineering_project_spotify_app_spark.operators.similarity import (
+        source_balance_from_buckets,
+        srp_buckets_df,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.landing_stream import (
+        StreamingDocLandingSink,
+    )
+
+    vecs = [(vid, v) for vid, v in _vectors(spark)]
+    schema = "doc_id long, v array<double>"
+
+    def _srp_transform(batch):
+        return (
+            srp_buckets_df(
+                batch.select(F.col("doc_id").alias("vec_id"), "v")
+            )
+            .select(F.col("vec_id").alias("doc_id"), "bucket")
+        )
+
+    out = str(tmp_path / "srp_buckets")
+    sink = StreamingDocLandingSink(spark, out, _srp_transform)
+    third = len(vecs) // 3
+    splits = [
+        vecs[2 * third:],
+        vecs[:third] + vecs[2 * third:2 * third + 5],  # dup re-delivery
+        vecs[third:2 * third],
+    ]
+    for e, batch in enumerate(splits):
+        sink(spark.createDataFrame(batch, schema), e)
+    landing = sink.current_landing().select(
+        F.col("doc_id").alias("vec_id"), "bucket"
+    )
+    got = sorted(
+        tuple(r)
+        for r in source_balance_from_buckets(spark, SF, landing).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in registry.QUERIES["q_cluster_source_balance"](
+            spark, SF
+        ).collect()
+    )
+    assert got == want and got
+    # replay: no-op
+    sink(spark.createDataFrame(splits[0], schema), 0)
+    landing2 = sink.current_landing().select(
+        F.col("doc_id").alias("vec_id"), "bucket"
+    )
+    got2 = sorted(
+        tuple(r)
+        for r in source_balance_from_buckets(spark, SF, landing2).collect()
+    )
+    assert got2 == want
