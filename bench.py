@@ -405,21 +405,50 @@ def main() -> None:
         if prev_canary and canary_sec and len(canary) == len(CANARY)
         else 1.0
     )
-    for name, now in {**timings, **rotation_timings}.items():
+    def _gate(name: str, now: float) -> dict[str, float] | None:
         before = prev_map.get(name)
         if not before:
-            continue
+            return None
         adj_now = now / box_factor
         if (
             adj_now > before * REG_RATIO
             and adj_now - before > REG_MIN_DELTA
         ):
-            regressions[name] = {
+            return {
                 "prev": before,
                 "now": now,
                 "ratio": round(now / before, 2),
                 "adj_ratio": round(adj_now / before, 2),
             }
+        return None
+
+    flagged = {
+        name: hit
+        for name, now in {**timings, **rotation_timings}.items()
+        if (hit := _gate(name, now))
+    }
+    # Churn filter: min-of-2 over a 200-query loop still lets per-run
+    # outliers through (round 12: 8 names fired the screen, every one
+    # probed at/below its committed value in isolation). Before naming
+    # a query, give ONLY the flagged names one more timed run — a real
+    # plan regression survives a third sample; loop churn doesn't. Cost
+    # is one extra execution per flagged query, not a full third pass.
+    for name, hit in flagged.items():
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        gc.collect()
+        spark.catalog.clearCache()
+        sink = timings if name in timings else rotation_timings
+        if dt < sink[name]:
+            sink[name] = dt  # the committed map keeps the true min
+        retimed = _gate(name, sink[name])
+        if retimed is not None:
+            retimed["retimed"] = dt
+            regressions[name] = retimed
+    # the churn filter may have lowered headline mins — recompute
+    total = round(sum(timings.values()), 3)
     # Full per-query map goes to a FILE, not stdout: at 135+ headline
     # queries the one-line JSON outgrew the driver's stdout tail capture
     # (BENCH_r06 recorded "parsed": null). The driver only needs the
