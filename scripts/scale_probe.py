@@ -46,6 +46,9 @@ from data_engineering_project_spotify_app_spark.operators.graphs import (  # noq
     _triangle_counts_from_oadj,
     triangle_counts,
 )
+from data_engineering_project_spotify_app_spark.operators.similarity import (  # noqa: E402
+    srp_buckets_df,
+)
 from data_engineering_project_spotify_app_spark.sources.bucketed import (  # noqa: E402
     drop_landed,
     land_bucketed,
@@ -87,6 +90,47 @@ def blow_up_edges(li, m: int):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def blow_up_embeddings(em, m: int):
+    """m disjoint shard copies of (vec_id, v) with offset ids — the
+    embedding twin of blow_up_docs."""
+    off = 10_000_000
+    out = em
+    for i in range(1, m):
+        out = out.unionByName(
+            em.withColumn("vec_id", F.col("vec_id") + off * i)
+        )
+    return out
+
+
+def _balance_shape(buckets, src):
+    """q_cluster_source_balance's aggregate tail over arbitrary
+    (vec_id, bucket) + (vec_id, source) frames: ONE corpus-sized
+    (bucket, source) aggregate, marginal-sized joins back — no pair
+    stage anywhere, so M disjoint shard copies must scale ~linearly."""
+    per = (
+        buckets.join(src, "vec_id")
+        .groupBy("bucket", "source")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=False)
+    )
+    bt = per.groupBy("bucket").agg(F.sum("n_docs").alias("bn"))
+    st = per.groupBy("source").agg(F.sum("n_docs").alias("sn"))
+    tt = per.agg(F.sum("n_docs").alias("tn"))
+    share = F.col("n_docs") / F.col("bn")
+    return (
+        per.join(bt, "bucket")
+        .join(F.broadcast(st), "source")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bucket",
+            "source",
+            "n_docs",
+            F.round(share, 4).alias("share"),
+            F.round(share / (F.col("sn") / F.col("tn")), 4).alias("lift"),
+        )
+    )
 
 
 def pairs_from_lineitem(li):
@@ -278,6 +322,39 @@ def main() -> None:
             "winnowing word pairs",
             lambda d=docs1: winnowing_word_pairs_df(d).count(),
             lambda d=docsM: winnowing_word_pairs_df(d).count(),
+        ),
+        (
+            # SRP-GEMM buckets + one (bucket, source) aggregate — the
+            # only probe with NO pair/join-explosion stage at all; the
+            # law here is plain linear scan+agg
+            "cluster source balance",
+            lambda: _balance_shape(
+                srp_buckets_df(
+                    table_parallel(spark, sf_dir, "embeddings").select(
+                        "vec_id",
+                        F.transform(
+                            "embedding", lambda x: x.cast("double")
+                        ).alias("v"),
+                    )
+                ),
+                docs1.select(F.col("doc_id").alias("vec_id"), "source"),
+            ).count(),
+            lambda: _balance_shape(
+                srp_buckets_df(
+                    blow_up_embeddings(
+                        table_parallel(
+                            spark, sf_dir, "embeddings"
+                        ).select(
+                            "vec_id",
+                            F.transform(
+                                "embedding", lambda x: x.cast("double")
+                            ).alias("v"),
+                        ),
+                        m,
+                    )
+                ),
+                docsM.select(F.col("doc_id").alias("vec_id"), "source"),
+            ).count(),
         ),
     ]
     only = sys.argv[3] if len(sys.argv) > 3 else None
