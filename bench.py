@@ -434,10 +434,14 @@ def main() -> None:
     # plan regression survives a third sample; loop churn doesn't. Cost
     # is one extra execution per flagged query, not a full third pass.
     for name, hit in flagged.items():
-        fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dt = round(time.perf_counter() - t0, 3)
+        try:
+            fn = registry.QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = round(time.perf_counter() - t0, 3)
+        except Exception:
+            regressions[name] = hit  # retime failed: keep the flag
+            continue
         gc.collect()
         spark.catalog.clearCache()
         sink = timings if name in timings else rotation_timings
