@@ -397,6 +397,17 @@ def main() -> None:
     # committed run's. A factor of 1.5 means the whole box is running
     # 1.5× slow — every query's ratio is divided by it before the gate,
     # so only PLAN movement (a query moving against its box) is named.
+    # ADVICE r12 hardenings:
+    # - the factor is CLAMPED to >= 1 for the flagging direction: a box
+    #   running FASTER than the previous commit must never inflate
+    #   adj_now and name queries whose absolute times are unchanged
+    #   (only global slowdowns are forgiven; global speedups are just
+    #   good news);
+    # - the five canary queries themselves are screened UNNORMALIZED
+    #   (a plan regression in a canary shifts box_factor and would
+    #   partially self-mask across the whole screen otherwise), and
+    #   per-canary ratios are emitted so a single-canary plan
+    #   regression is distinguishable from a box shift.
     all_timed = {**timings, **rotation_timings, **canary_extra}
     canary = {c: all_timed[c] for c in CANARY if c in all_timed}
     canary_sec = round(sum(canary.values()), 3)
@@ -405,11 +416,18 @@ def main() -> None:
         if prev_canary and canary_sec and len(canary) == len(CANARY)
         else 1.0
     )
+    flag_factor = max(1.0, box_factor)
+    canary_ratios = {
+        c: round(canary[c] / prev_c, 2)
+        for c in canary
+        if (prev_c := prev_map.get(c))
+    }
+
     def _gate(name: str, now: float) -> dict[str, float] | None:
         before = prev_map.get(name)
         if not before:
             return None
-        adj_now = now / box_factor
+        adj_now = now / (1.0 if name in CANARY else flag_factor)
         if (
             adj_now > before * REG_RATIO
             and adj_now - before > REG_MIN_DELTA
@@ -427,32 +445,56 @@ def main() -> None:
         for name, now in {**timings, **rotation_timings}.items()
         if (hit := _gate(name, now))
     }
-    # Churn filter: min-of-2 over a 200-query loop still lets per-run
-    # outliers through (round 12: 8 names fired the screen, every one
-    # probed at/below its committed value in isolation). Before naming
-    # a query, give ONLY the flagged names one more timed run — a real
-    # plan regression survives a third sample; loop churn doesn't. Cost
-    # is one extra execution per flagged query, not a full third pass.
+    # Churn filter (VERDICT r12 item 1): min-of-2 over a 200-query loop
+    # lets per-run outliers through — three rounds running, every
+    # screen flag cleared when probed in isolation. The screen now
+    # clears its own false flags mechanically: each flagged name gets
+    # one extra timed sample; any name STILL flagged is retimed
+    # isolated-style MIN-OF-5 (gc + clearCache around every sample,
+    # same session — the jitter_probe.py protocol, in-process). Only a
+    # regression that survives all of that is named. Retime samples are
+    # recorded in the emitted doc but NEVER folded into the committed
+    # per-query map (ADVICE r12: giving only flagged names extra
+    # samples would bias the committed baseline downward over rounds —
+    # the map stays the symmetric min-of-N of the main loop).
+    retimed_doc: dict[str, dict] = {}
+
+    def _isolated_sample(fn) -> float:
+        gc.collect()
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        return round(time.perf_counter() - t0, 3)
+
     for name, hit in flagged.items():
+        fn = registry.QUERIES[name]
         try:
-            fn = registry.QUERIES[name]
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            dt = round(time.perf_counter() - t0, 3)
+            samples = [_isolated_sample(fn)]
         except Exception:
             regressions[name] = hit  # retime failed: keep the flag
             continue
-        gc.collect()
-        spark.catalog.clearCache()
-        sink = timings if name in timings else rotation_timings
-        if dt < sink[name]:
-            sink[name] = dt  # the committed map keeps the true min
-        retimed = _gate(name, sink[name])
-        if retimed is not None:
-            retimed["retimed"] = dt
-            regressions[name] = retimed
-    # the churn filter may have lowered headline mins — recompute
-    total = round(sum(timings.values()), 3)
+        committed_min = min(
+            (timings if name in timings else rotation_timings)[name],
+            samples[0],
+        )
+        if _gate(name, committed_min) is not None:
+            # still flagged after one extra sample: min-of-5 retime
+            try:
+                samples += [_isolated_sample(fn) for _ in range(4)]
+            except Exception:
+                pass  # keep whatever samples we got
+            committed_min = min(committed_min, *samples)
+        verdict = _gate(name, committed_min)
+        retimed_doc[name] = {
+            "samples": samples,
+            "min": min(samples),
+            "cleared": verdict is None,
+        }
+        if verdict is not None:
+            verdict["retimed_min"] = min(samples)
+            regressions[name] = verdict
+    gc.collect()
+    spark.catalog.clearCache()
     # Full per-query map goes to a FILE, not stdout: at 135+ headline
     # queries the one-line JSON outgrew the driver's stdout tail capture
     # (BENCH_r06 recorded "parsed": null). The driver only needs the
@@ -478,14 +520,26 @@ def main() -> None:
                 "rotation_sec": round(sum(rotation_timings.values()), 3),
                 "rotation": rotation_timings,
                 # box-speed canary: per-query mins of the five anchors,
-                # their sum, and this run's speed relative to the
-                # previous committed run (1.0 = quiet box)
+                # their sum, this run's speed relative to the previous
+                # committed run (1.0 = quiet box), the clamped factor
+                # actually used for flagging (>= 1: only global
+                # slowdowns are forgiven), and per-canary ratios so a
+                # single-canary plan regression is tellable from a box
+                # shift
                 "canary": canary,
                 "canary_sec": canary_sec,
                 "box_factor": box_factor,
+                "flag_factor": flag_factor,
+                "canary_ratios": canary_ratios,
                 # screen vs the previous committed map, box-factor
                 # normalized: adj ratio > 1.3 AND adj delta > 0.3 s —
-                # empty means no PLAN movement a human should chase
+                # empty means no PLAN movement a human should chase.
+                # Every name the per-run loop flagged got an isolated
+                # retime (min-of-5 for persistent flags) — samples
+                # below; only retime SURVIVORS appear in regressions.
+                # Retime samples are never folded into the committed
+                # per-query map above.
+                "retimed": retimed_doc,
                 "regressions": regressions,
             },
             fh,
@@ -515,6 +569,7 @@ def main() -> None:
                 "rotation_sec": round(sum(rotation_timings.values()), 3),
                 "canary_sec": canary_sec,
                 "box_factor": box_factor,
+                "n_retimed": len(retimed_doc),
                 # stdout keeps only the count + worst 5 by delta — a
                 # global box-speed shift can name 30+ queries and blow
                 # the driver's tail capture (the BENCH_r06 failure

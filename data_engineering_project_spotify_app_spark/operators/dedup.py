@@ -2035,6 +2035,27 @@ def _winnow_word_fingerprints(
     )
 
 
+def _both_winnow_landings(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The (char, word) fingerprint landings, built CONCURRENTLY on a
+    cold first touch (VERDICT r12 item 6): the granularity-agreement
+    report needs both, and building them serially inside one query made
+    its cold first touch ~4× its warm cost (6.1 s vs ~1.5 at sf0.1).
+    The two builds are independent single-writer jobs on DIFFERENT
+    table names, and Spark's scheduler interleaves jobs submitted from
+    separate driver threads, so the two HOF fingerprint pipelines
+    overlap instead of queueing. Warm path (both landed): the memo fast
+    path returns instantly and the thread pool is just two no-op
+    submissions."""
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(max_workers=2) as ex:
+        ch = ex.submit(_winnow_fingerprints, spark, sf_dir)
+        wd = ex.submit(_winnow_word_fingerprints, spark, sf_dir)
+        return ch.result(), wd.result()
+
+
 def winnow_word_fingerprints_df(docs: DataFrame) -> DataFrame:
     """Per-doc WORD-gram winnowing fingerprints (doc_id, fp) over any
     (doc_id, text) frame — the word twin of winnow_fingerprints_df;
@@ -2143,11 +2164,12 @@ def q_winnow_granularity_agreement(
     arms read their fp-bucketed landings; both df-capped), then a
     pair-keyed full outer join and one global aggregate — the only
     single-partition stage is the final 4-column row."""
-    ch = winnowing_pairs_from_fps(
-        _winnow_fingerprints(spark, sf_dir), top=None
-    ).select("doc_a", "doc_b", F.lit(True).alias("in_char"))
+    ch_fps, wd_fps = _both_winnow_landings(spark, sf_dir)
+    ch = winnowing_pairs_from_fps(ch_fps, top=None).select(
+        "doc_a", "doc_b", F.lit(True).alias("in_char")
+    )
     wd = winnowing_pairs_from_fps(
-        _winnow_word_fingerprints(spark, sf_dir),
+        wd_fps,
         df_cap=WINNOW_WORD_DF_CAP,
         min_shared=WINNOW_WORD_MIN_SHARED,
         top=None,

@@ -772,6 +772,151 @@ def test_partial_winnow_store_refuses_publish(spark, tmp_path):
         bucketed.drop_landed(spark, name)
 
 
+def test_streamed_granularity_agreement_equals_batch(spark, tmp_path):
+    """Streamed twin of the cross-granularity agreement report (VERDICT
+    r12 item 8): BOTH winnow fingerprint landings are maintained by
+    streams — the char store and the word store, each a
+    StreamingWinnowSink over its own (different) micro-batch split with
+    duplicate re-delivery — and after both publish,
+    q_winnow_granularity_agreement reads the two published tables and
+    returns the batch-identical row (and still hash-matches its DuckDB
+    oracle, which computes over the raw documents table)."""
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        winnow_word_fingerprints_df,
+    )
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+    from data_engineering_project_spotify_app_spark.streaming.winnow_stream import (
+        StreamingWinnowSink,
+    )
+
+    bucketed.invalidate_landings(SF)
+    batch = [
+        tuple(r)
+        for r in registry.QUERIES["q_winnow_granularity_agreement"](
+            spark, SF
+        ).collect()
+    ]
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    half, third = len(docs) // 2, len(docs) // 3
+    char_sink = StreamingWinnowSink(spark, str(tmp_path / "agree_char"))
+    word_sink = StreamingWinnowSink(
+        spark,
+        str(tmp_path / "agree_word"),
+        fingerprints_fn=winnow_word_fingerprints_df,
+        landing_prefix="winnow_word_fingerprints",
+    )
+    # different splits per granularity, duplicates re-delivered in both
+    for e, b in enumerate([docs[:half], docs[half:] + docs[:5]]):
+        char_sink(spark.createDataFrame(b, DOC_SCHEMA), e)
+    for e, b in enumerate(
+        [docs[2 * third:], docs[:third] + docs[2 * third:2 * third + 5],
+         docs[third:2 * third]]
+    ):
+        word_sink(spark.createDataFrame(b, DOC_SCHEMA), e)
+    cname = char_sink.publish(SF, n_buckets=8)
+    wname = word_sink.publish(SF, n_buckets=8)
+    try:
+        q = registry.QUERIES["q_winnow_granularity_agreement"](spark, SF)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert cname in plan and wname in plan  # reads BOTH streams
+        assert [tuple(r) for r in q.collect()] == batch
+        compare(
+            spark, SF, "q_winnow_granularity_agreement",
+            registry.QUERIES["q_winnow_granularity_agreement"],
+            registry.ORACLES["q_winnow_granularity_agreement"],
+        )
+    finally:
+        bucketed.invalidate_landings(SF)
+        bucketed.drop_landed(spark, cname)
+        bucketed.drop_landed(spark, wname)
+
+
+def test_divergent_winnow_store_refuses_publish(spark, tmp_path):
+    """Membership guard (ADVICE r12, medium): a store whose doc_id SET
+    diverges from the corpus must refuse publish even when its COUNT
+    matches or exceeds the expected count — stale doc_ids from a
+    regenerated corpus, offset duplicates, or a wrong corpus entirely
+    used to slip past the old got < expected check and be stamped
+    fingerprint-fresh."""
+    import pytest
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+    from data_engineering_project_spotify_app_spark.streaming.winnow_stream import (
+        PartialStoreError,
+        StreamingWinnowSink,
+    )
+
+    docs = [
+        (r.doc_id, r.text)
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    bucketed.invalidate_landings(SF)
+    marker = bucketed._seed_marker_path(spark, "winnow_fingerprints", SF)
+    OFF = 10_000_000
+    # Case 1: SAME count, divergent membership — half the corpus plus
+    # the same half under shifted ids (texts unchanged, so every row
+    # still fingerprints). got == expected under the old count check.
+    shifted = [
+        (doc_id + OFF, text) if i % 2 else (doc_id, text)
+        for i, (doc_id, text) in enumerate(docs)
+    ]
+    sink1 = StreamingWinnowSink(spark, str(tmp_path / "w_shift"))
+    sink1(spark.createDataFrame(shifted, DOC_SCHEMA), 0)
+    with pytest.raises(PartialStoreError, match="not in the\\s+corpus"):
+        sink1.publish(SF, n_buckets=8)
+    assert not os.path.isfile(marker)
+    # Case 2: SUPERSET — the full corpus plus extra foreign docs, so
+    # got > expected (the old check's blind spot in the other
+    # direction): extra ids poison consumers joining back to documents.
+    extra = [(doc_id + OFF, text) for doc_id, text in docs[:10]]
+    sink2 = StreamingWinnowSink(spark, str(tmp_path / "w_super"))
+    sink2(spark.createDataFrame(docs + extra, DOC_SCHEMA), 0)
+    with pytest.raises(PartialStoreError, match="not in the\\s+corpus"):
+        sink2.publish(SF, n_buckets=8)
+    assert not os.path.isfile(marker)
+    # allow_partial remains the documented override for both shapes
+    name = sink2.publish(SF, n_buckets=8, allow_partial=True)
+    try:
+        assert spark.catalog.tableExists(name)
+    finally:
+        bucketed.invalidate_landings(SF)
+        bucketed.drop_landed(spark, name)
+
+
+def test_expected_ids_cached_across_publish_attempts(spark, tmp_path):
+    """The publish guard's expected-doc_id frame is cached per
+    (session, corpus, fingerprints_fn) (ADVICE r12): auto-publish at
+    compaction cadence must not re-fingerprint the whole corpus on
+    every attempt. Same sink → same object; a sink with a DIFFERENT
+    fingerprints_fn must not share the entry."""
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        winnow_word_fingerprints_df,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.winnow_stream import (
+        StreamingWinnowSink,
+    )
+
+    a = StreamingWinnowSink(spark, str(tmp_path / "c1"))
+    b = StreamingWinnowSink(spark, str(tmp_path / "c2"))  # same default fn
+    w = StreamingWinnowSink(
+        spark,
+        str(tmp_path / "c3"),
+        fingerprints_fn=winnow_word_fingerprints_df,
+        landing_prefix="winnow_word_fingerprints",
+    )
+    first = a._expected_doc_ids(SF)
+    assert a._expected_doc_ids(SF) is first  # repeat attempt: cache hit
+    assert b._expected_doc_ids(SF) is first  # same (corpus, fn): shared
+    assert w._expected_doc_ids(SF) is not first  # different fn: its own
+
+
 def test_published_word_winnow_landing_consumer_matches_oracle(
     spark, tmp_path
 ):

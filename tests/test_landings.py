@@ -384,30 +384,53 @@ def test_landed_signatures_equal_derived(spark, sf_dir):
     assert landed == derived and landed
 
 
-def test_reused_pid_claim_is_not_a_live_claimant(spark):
+def test_reused_pid_claim_is_not_a_live_claimant(tmp_path):
     """A sentinel whose pid is alive but whose recorded start time does
     not match that pid's CURRENT start time is a reused pid: the
     original claimant is gone, so the claim must neither block the
     orphan sweep nor survive the reap (ADVICE r11 item 1 — previously
-    a stale sentinel + pid reuse wedged the warehouse forever)."""
+    a stale sentinel + pid reuse wedged the warehouse forever).
+
+    Hardened per ADVICE r12: the mismatching token is DERIVED from pid
+    1's current token (+1 — can never coincide, even in a container
+    where the test runner's init is pid 1 with an early start time),
+    and the probe runs against a throwaway tmp_path warehouse via a
+    conf stub, never mutating the shared session warehouse's claims
+    dir under a concurrently-running process."""
     import os
 
     import pytest
 
     from data_engineering_project_spotify_app_spark.sources import bucketed
 
-    if bucketed._proc_start_token(1) is None:
+    tok = bucketed._proc_start_token(1)
+    if tok is None:
         pytest.skip("/proc/1/stat not readable — no start-time tokens")
-    claims = os.path.join(bucketed._warehouse_path(spark), "_graft_live")
+
+    class _StubConf:
+        def __init__(self, wh):
+            self._wh = wh
+
+        def get(self, key, default=""):
+            return self._wh if key == "spark.sql.warehouse.dir" else default
+
+    class _StubSpark:
+        def __init__(self, wh):
+            self.conf = _StubConf(wh)
+
+    stub = _StubSpark(str(tmp_path / "wh"))
+    claims = os.path.join(bucketed._warehouse_path(stub), "_graft_live")
     os.makedirs(claims, exist_ok=True)
     sentinel = os.path.join(claims, "1")  # pid 1: alive, never us
     with open(sentinel, "w") as f:
-        f.write("1")  # clock-tick 1 is no real process's start time
+        f.write(str(int(tok) + 1))  # guaranteed != pid 1's real token
+    mine = os.path.join(claims, str(os.getpid()))
     try:
-        assert bucketed._live_foreign_claimants(spark) == []
-        bucketed._claim_warehouse(spark)  # reaps reused-pid sentinels
+        assert bucketed._live_foreign_claimants(stub) == []
+        bucketed._claim_warehouse(stub)  # reaps reused-pid sentinels
         assert not os.path.exists(sentinel)
     finally:
+        bucketed._MY_CLAIM_FILES.discard(mine)
         if os.path.exists(sentinel):
             os.remove(sentinel)
 
