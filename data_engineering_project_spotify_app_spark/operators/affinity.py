@@ -650,6 +650,7 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over it); the class summary is 3 rows.
     """
     from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        ntile_from_rank,
         two_phase_global_rank,
     )
     from pyspark.sql import Window as W
@@ -670,12 +671,15 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = two_phase_global_rank(
         rev, [F.col("r").desc(), F.col("part_key")], 8
     )
-    # cumulative revenue by rank: per-range partial sums + broadcast
-    # offsets would be exact too, but the rank is already global and
-    # dense, so a range-partitioned running sum over rn stays parallel
-    # (pid-local window + broadcast offsets — the rankutil shape).
-    ranged = ranked.repartitionByRange(8, "rn").withColumn(
-        "pid", F.spark_partition_id()
+    # cumulative revenue by rank: the rank is already global and dense,
+    # so the running sum buckets by ntile_from_rank — CLOSED-FORM
+    # contiguous rank ranges (pid-local window + broadcast offsets),
+    # never a second SAMPLED range exchange: the r13 invariance sweep
+    # showed the sampled form's two consumers (offset aggregate, local
+    # window) can see different boundary samplings under AQE-off
+    # configs and misalign the cumulative sums (rankutil docstring).
+    ranged = ranked.withColumn(
+        "pid", ntile_from_rank(F.col("rn"), F.col("n"), 8)
     )
     psums = ranged.groupBy("pid").agg(F.sum("r").alias("pr"))
     off_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)

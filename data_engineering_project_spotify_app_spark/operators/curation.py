@@ -179,9 +179,15 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     # core (floor 8 keeps the two-phase shape exercised at toy scale).
     # Phase 1 stays tiny either way — one (pid, total) row per range.
     n_ranges = max(8, spark.sparkContext.defaultParallelism)
+    # lazy localCheckpoint: the per-range totals and the local windows
+    # must read ONE boundary sampling — the range exchange seeds its
+    # sampler per execution, and its two consumers are not guaranteed
+    # to reuse one exchange under every config (the r13 invariance
+    # sweep caught the un-pinned form misaligning cumulative sums in
+    # q_lorenz_curve; rankutil's module docstring has the mechanism)
     ranged = d.repartitionByRange(n_ranges, "doc_id").select(
         "doc_id", "n_chars", F.spark_partition_id().alias("pid")
-    )
+    ).localCheckpoint(eager=False)
     part_totals = ranged.groupBy("pid").agg(
         F.sum("n_chars").alias("part_chars"),
         F.min("doc_id").alias("lo"),

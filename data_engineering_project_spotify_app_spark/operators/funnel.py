@@ -1781,15 +1781,22 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     whale-driven revenue; a straight line is egalitarian).
 
     Scale: per-user totals are one hash agg; the global order is the
-    two-phase range-partitioned rank with pid-local cumulative sums +
-    broadcast offsets (the q_abc_classification shape at user grain,
-    decimal-free here because the emitted shares are round(6) ratios
-    of full-precision sums on BOTH sides, computed in the identical
-    ascending order).
+    two-phase range-partitioned rank, and the cumulative sum buckets by
+    ``ntile_from_rank(rn, n, P)`` — CLOSED-FORM contiguous rank ranges
+    (pid-local cumulative sums + broadcast offsets, the
+    q_abc_classification shape at user grain). The bucket is arithmetic
+    on the already-exact rank, not a second sampled range exchange: the
+    r13 invariance sweep caught the sampled form shifting cumulative
+    shares under AQE-off/odd-partition configs (the offset consumer and
+    the window consumer each triggered their own boundary sampling —
+    see rankutil's module docstring). Decimal-free here because the
+    emitted shares are round(6) ratios of full-precision sums on BOTH
+    sides, computed in the identical ascending order.
     """
     from pyspark.sql import Window as W
 
     from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        ntile_from_rank,
         two_phase_global_rank,
     )
 
@@ -1802,8 +1809,8 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = two_phase_global_rank(
         uv, [F.col("x"), F.col("user_id")], 8
     )
-    ranged = ranked.repartitionByRange(8, "rn").withColumn(
-        "pid", F.spark_partition_id()
+    ranged = ranked.withColumn(
+        "pid", ntile_from_rank(F.col("rn"), F.col("n"), 8)
     )
     psums = ranged.groupBy("pid").agg(F.sum("x").alias("px"))
     off_w = W.orderBy("pid").rowsBetween(W.unboundedPreceding, -1)

@@ -19,6 +19,21 @@ plan shape pinned in tests/test_plans.py.
 
 Requires the sort key to be a TOTAL order (add a unique tie-break
 column) so ranks are deterministic and rank == row_number.
+
+EXECUTION-CONSISTENCY REQUIREMENT (round-13 invariance sweep): the
+range-partitioned frame is consumed TWICE — once for the per-range
+counts, once for the local windows — and Spark's range exchange
+samples its boundaries with a per-execution random seed (the
+RangePartitioner seeds from the RDD id). The two consumers only see
+the SAME boundaries when the planner reuses the exchange; divergent
+column pruning can make the two exchange subtrees differ, and with
+AQE off the sweep caught exactly that (q_lorenz_curve's cumulative
+shares shifted with the shuffle-partition count — offsets computed
+against one sampling, local ranks against another). The ranged frame
+is therefore pinned behind a lazy localCheckpoint: ONE execution, one
+boundary sampling, shared by both consumers under every config. The
+pre-checkpoint plan shape is pinned by tests/test_plans.py through
+``ranged_by`` (the checkpoint hides it from consumer explains).
 """
 
 from __future__ import annotations
@@ -28,6 +43,18 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def ranged_by(
+    df: DataFrame, order_cols: list[Column], n_ranges: int
+) -> DataFrame:
+    """``df`` range-partitioned on ``order_cols`` with the partition id
+    materialized as ``pid`` — the shared phase-1 of both two-phase
+    operators, exposed un-checkpointed so tests can pin its plan shape
+    (rangepartitioning + nothing else touching data rows)."""
+    return df.repartitionByRange(n_ranges, *order_cols).withColumn(
+        "pid", F.spark_partition_id()
+    )
+
+
 def two_phase_global_rank(
     df: DataFrame, order_cols: list[Column], n_ranges: int
 ) -> DataFrame:
@@ -35,8 +62,12 @@ def two_phase_global_rank(
     and ``n`` (total row count) to ``df`` without a single-partition
     window. ``order_cols`` must be a total order over ``df``'s rows.
     """
-    ranged = df.repartitionByRange(n_ranges, *order_cols).withColumn(
-        "pid", F.spark_partition_id()
+    # lazy localCheckpoint: ONE execution of the randomly-sampled range
+    # exchange, so the count consumer and the window consumer can never
+    # see different boundaries (module docstring; the blocks are owned
+    # by the RDD and freed with it — the ADVICE-r9 cache discipline)
+    ranged = ranged_by(df, order_cols, n_ranges).localCheckpoint(
+        eager=False
     )
     part_counts = ranged.groupBy("pid").agg(F.count("*").alias("cnt"))
     # offsets accumulate in pid order: repartitionByRange assigns
@@ -78,8 +109,10 @@ def two_phase_prefix_max(
     ``greatest`` (null-skipping). ``order_cols`` must totally order the
     rows — with ties the exclusive prefix would be split-dependent.
     """
-    ranged = df.repartitionByRange(n_ranges, *order_cols).withColumn(
-        "pid", F.spark_partition_id()
+    # same execution-consistency pin as two_phase_global_rank: the
+    # per-range totals and the local windows must read ONE sampling
+    ranged = ranged_by(df, order_cols, n_ranges).localCheckpoint(
+        eager=False
     )
     part_tot = ranged.groupBy("pid").agg(F.max(value_col).alias("_ptot"))
     # carry-in per range: max over all STRICTLY EARLIER ranges (pid

@@ -368,25 +368,50 @@ def test_pagerank_scalar_broadcast_no_global_window(spark, sf_dir):
 def test_global_rank_analytics_two_phase(spark, sf_dir, name):
     """q_ntile / q_rank_functions must NOT run a single-partition
     global-order window over the customer table (the 100×-scale
-    serialization point). The two-phase form (rankutil.py): an
-    Exchange rangepartitioning on the sort key, local row_number
-    windows partitioned by pid, broadcast offsets. The only
-    unpartitioned windows run over the per-range count frame (one row
-    per range). Same pin as the ccnet test below."""
+    serialization point). The two-phase form (rankutil.py): a range
+    exchange pinned behind a lazy localCheckpoint (visible here as the
+    Scan ExistingRDD boundary — the r13 execution-consistency fix),
+    local row_number windows partitioned by pid, broadcast offsets.
+    The only unpartitioned windows run over the per-range count frame
+    (one row per range). The rangepartitioning itself is pinned on
+    rankutil.ranged_by directly (test below), since the checkpoint
+    hides it from consumer explains."""
     plan = plan_of(spark, sf_dir, name)
-    assert "rangepartitioning" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
     assert "windowspecdefinition(pid#" in plan, plan
 
 
 def test_ccnet_rank_is_two_phase_range_partitioned(spark, sf_dir):
     """q_ccnet_buckets' global ranking must be the two-phase form:
-    an Exchange rangepartitioning on the sort key, per-range local
-    row_number windows (partitionBy=[pid…]), broadcast offsets — the
-    only unpartitioned windows run over the per-partition count frame
-    (one row per range), never over document rows."""
+    the checkpointed range exchange (Scan ExistingRDD boundary),
+    per-range local row_number windows (partitionBy=[pid…]), broadcast
+    offsets — the only unpartitioned windows run over the per-partition
+    count frame (one row per range), never over document rows."""
     plan = plan_of(spark, sf_dir, "q_ccnet_buckets")
-    assert "rangepartitioning" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
     assert "windowspecdefinition(pid#" in plan, plan
+
+
+def test_ranged_by_is_single_range_exchange(spark, sf_dir):
+    """The phase-1 frame both two-phase operators checkpoint
+    (rankutil.ranged_by): exactly ONE Exchange, and it is
+    rangepartitioning on the sort key — the shape the consumer pins
+    above can no longer see through the checkpoint boundary."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_project_spotify_app_spark.operators.rankutil import (
+        ranged_by,
+    )
+    from data_engineering_project_spotify_app_spark.tables import table
+
+    c = table(spark, sf_dir, "customer")
+    df = ranged_by(c, [F.col("c_acctbal"), F.col("c_custkey")], 8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "rangepartitioning" in plan, plan
+    assert _n_ops(plan, "Exchange") == 1, plan
 
 
 @pytest.mark.parametrize("name", ["q_bm25_search", "q_weighted_sample"])
@@ -621,7 +646,10 @@ def test_skyline_frontier_has_no_single_partition_window(spark, sf_dir):
     import re
 
     plan = plan_of(spark, sf_dir, "q_skyline")
-    assert "rangepartitioning" in plan, plan
+    # the range exchange sits behind two_phase_prefix_max's checkpoint
+    # boundary (r13 execution-consistency fix; rangepartitioning itself
+    # is pinned on rankutil.ranged_by directly)
+    assert "Scan ExistingRDD" in plan, plan
     assert "windowspecdefinition(pid#" in plan, plan
     # the unpartitioned carry window exists but consumes the per-range
     # aggregate (pid, _ptot), never price-level rows: assert no window
