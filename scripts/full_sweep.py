@@ -46,6 +46,19 @@ def main() -> None:
             registry.QUERIES[n](spark, "/root/testdata/sf0.001").count()
         except Exception as e:
             print(f"WARM FAIL {n}: {type(e).__name__}")
+    # pre-register the shared landings, explicitly timed (the bench
+    # protocol, VERDICT r12 item 6): without this the build cost lands
+    # inside whichever consumer touches each landing first and reads as
+    # a false slow-query outlier in the sweep report
+    import bench
+
+    t0 = time.perf_counter()
+    for _lname, lfn in bench._landing_builders():
+        try:
+            lfn(spark, sf_dir)
+        except Exception as e:
+            print(f"LANDING FAIL {_lname}: {type(e).__name__}")
+    print(f"landings prebuilt in {time.perf_counter() - t0:.1f}s")
     out: dict[str, object] = {}
     for n in names:
         t0 = time.perf_counter()
