@@ -39,9 +39,13 @@ def test_affinity_family_no_sort_merge_join(spark, sf_dir, name):
 def test_quantile_normalize_rank_is_two_phase(spark, sf_dir):
     """Both global rankings inside q_quantile_normalize must be the
     two-phase range-partitioned form; the only unpartitioned windows
-    run over per-range count frames (rankutil.py contract)."""
+    run over per-range count frames (rankutil.py contract). The range
+    exchange sits behind rankutil's checkpoint boundary since the r13
+    execution-consistency fix (visible as Scan ExistingRDD;
+    rangepartitioning itself is pinned on ranged_by in
+    test_plans.py)."""
     plan = plan_of(spark, sf_dir, "q_quantile_normalize")
-    assert "rangepartitioning" in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
     assert "windowspecdefinition(pid#" in plan, plan
 
 
