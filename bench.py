@@ -228,30 +228,34 @@ CANARY = [
 ]
 
 
-# The six shared derive-once landings (sources/bucketed.py). Their build
+# The shared derive-once landings (sources/bucketed.py). Their build
 # cost is paid once per corpus and would otherwise land only in a first
-# (warm-up) run and be excluded from every per-query min — build them
-# HERE, explicitly timed, so the amortized cost is disclosed in
-# BENCH_QUERIES.json ("landings_sec") rather than silently dropped.
-# Order matters: oriented_adjacency derives from copurchase_edges which
-# derives from part_baskets, so building in chain order attributes each
-# landing its own cost.
+# (warm-up) run and be excluded from every per-query min — the bench
+# builds them explicitly timed, ONE AT A TIME in chain order, so the
+# amortized cost is disclosed per-landing in BENCH_QUERIES.json
+# ("landings_sec") rather than silently dropped. Serial is the timing
+# PROTOCOL here; cold correctness paths (full_sweep, driver-style
+# gates) use bucketed.build_all_landings, the concurrent form.
 def _landing_builders():
-    from data_engineering_project_spotify_app_spark.operators import (
-        dedup,
-        graphs,
+    from data_engineering_project_spotify_app_spark.sources.bucketed import (
+        landing_builders,
     )
 
-    return [
-        ("part_baskets", graphs.landed_part_baskets),
-        ("copurchase_edges", graphs.landed_copurchase_edges),
-        ("oriented_adjacency", graphs.landed_oriented_adjacency),
-        ("minhash_signatures", dedup._minhash_signatures),
-        ("word_bigrams", dedup._bigram_grams),
-        ("simhash_signatures", dedup._simhash_signatures),
-        ("winnow_fingerprints", dedup._winnow_fingerprints),
-        ("winnow_word_fingerprints", dedup._winnow_word_fingerprints),
-    ]
+    return landing_builders()
+
+
+def _map_write_path(here: str, sf_val, n_runs: int) -> str:
+    """Where this run's full per-query map goes. BENCH_QUERIES.json
+    (committed) is the sf0.1 min-of-N regression baseline; a smoke run
+    at any other SF — or a single-run pass — must NEVER replace it
+    (VERDICT r13 item 5: an sf0.001 smoke silently swapped the screen
+    baseline for garbage in-session). Non-protocol runs write to /tmp;
+    SPARK_GRAFT_BENCH_COMMIT=1 force-commits (a deliberate re-baseline)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1" or (
+        sf_val == 0.1 and n_runs >= 2
+    ):
+        return os.path.join(here, "BENCH_QUERIES.json")
+    return "/tmp/BENCH_QUERIES.smoke.json"
 
 
 def _rotation_window(all_names: list[str]) -> tuple[list[str], int]:
@@ -388,6 +392,12 @@ def main() -> None:
         if prev_doc.get("sf") == sf_val:
             prev_map = dict(prev_doc.get("queries") or {})
             prev_map.update(prev_doc.get("rotation") or {})
+            # canary mins too (same min-of-N protocol): a canary that is
+            # neither headline nor in the previous rotation window would
+            # otherwise have no prior and silently lose its per-canary
+            # ratio — the one signal that tells a single-canary plan
+            # regression from a box shift (ADVICE r13).
+            prev_map.update(prev_doc.get("canary") or {})
             prev_canary = prev_doc.get("canary_sec")
         else:
             prev_map, prev_canary = {}, None
@@ -478,11 +488,15 @@ def main() -> None:
             samples[0],
         )
         if _gate(name, committed_min) is not None:
-            # still flagged after one extra sample: min-of-5 retime
-            try:
-                samples += [_isolated_sample(fn) for _ in range(4)]
-            except Exception:
-                pass  # keep whatever samples we got
+            # still flagged after one extra sample: min-of-5 retime.
+            # Append per-iteration — a comprehension that raises midway
+            # discards its partial list, and the verdict would rest on
+            # a single sample (ADVICE r13).
+            for _ in range(4):
+                try:
+                    samples.append(_isolated_sample(fn))
+                except Exception:
+                    break  # keep whatever samples we got
             committed_min = min(committed_min, *samples)
         verdict = _gate(name, committed_min)
         retimed_doc[name] = {
@@ -498,8 +512,11 @@ def main() -> None:
     # Full per-query map goes to a FILE, not stdout: at 135+ headline
     # queries the one-line JSON outgrew the driver's stdout tail capture
     # (BENCH_r06 recorded "parsed": null). The driver only needs the
-    # headline total; humans and BASELINE.md read the file.
-    with open(os.path.join(here, "BENCH_QUERIES.json"), "w") as fh:
+    # headline total; humans and BASELINE.md read the file. Non-protocol
+    # runs (sf != 0.1 or runs < 2) are routed to /tmp so they can never
+    # clobber the committed screen baseline.
+    map_path = _map_write_path(here, sf_val, n_runs)
+    with open(map_path, "w") as fh:
         json.dump(
             {
                 "sf": sf_val,
@@ -561,7 +578,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": top10,
                 "n_queries": len(timings),
-                "queries_file": "BENCH_QUERIES.json",
+                "queries_file": map_path,
                 "runs": n_runs,
                 "aggregation": "per_query_min_of_runs",
                 "landings_sec": round(sum(landings.values()), 3),

@@ -38,9 +38,25 @@ pre-checkpoint plan shape is pinned by tests/test_plans.py through
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
+
+# Test observation hook (ADVICE r13): callables registered here receive
+# every phase-1 ranged frame BEFORE the localCheckpoint pin, so plan
+# tests can assert the ACTUAL consumer's pre-checkpoint shape (exactly
+# one range exchange — never a hash repartition smuggled behind the
+# checkpoint), which the consumer's own explain cannot see through the
+# Scan ExistingRDD boundary. Empty in production: zero overhead.
+PHASE1_OBSERVERS: list[Callable[[DataFrame], None]] = []
+
+
+def _observe_phase1(ranged: DataFrame) -> DataFrame:
+    for obs in PHASE1_OBSERVERS:
+        obs(ranged)
+    return ranged
 
 
 def ranged_by(
@@ -66,9 +82,9 @@ def two_phase_global_rank(
     # exchange, so the count consumer and the window consumer can never
     # see different boundaries (module docstring; the blocks are owned
     # by the RDD and freed with it — the ADVICE-r9 cache discipline)
-    ranged = ranged_by(df, order_cols, n_ranges).localCheckpoint(
-        eager=False
-    )
+    ranged = _observe_phase1(
+        ranged_by(df, order_cols, n_ranges)
+    ).localCheckpoint(eager=False)
     part_counts = ranged.groupBy("pid").agg(F.count("*").alias("cnt"))
     # offsets accumulate in pid order: repartitionByRange assigns
     # partition i the i-th range of the sort, so pid IS the global range
@@ -111,9 +127,9 @@ def two_phase_prefix_max(
     """
     # same execution-consistency pin as two_phase_global_rank: the
     # per-range totals and the local windows must read ONE sampling
-    ranged = ranged_by(df, order_cols, n_ranges).localCheckpoint(
-        eager=False
-    )
+    ranged = _observe_phase1(
+        ranged_by(df, order_cols, n_ranges)
+    ).localCheckpoint(eager=False)
     part_tot = ranged.groupBy("pid").agg(F.max(value_col).alias("_ptot"))
     # carry-in per range: max over all STRICTLY EARLIER ranges (pid
     # order IS the global range order, as in two_phase_global_rank)

@@ -330,10 +330,26 @@ def drop_landed(spark: SparkSession, *table_names: str) -> None:
 #   process; it is what makes the plan a bucketed table scan at all).
 # ---------------------------------------------------------------------------
 
+import threading  # noqa: E402
 from collections.abc import Callable  # noqa: E402
 
 # (prefix, sf_dir, warehouse) -> (table_name, source_fingerprint)
 _LANDED: dict[tuple[str, str, str], tuple[str, str]] = {}
+
+# Per-landing build locks: concurrent builders in ONE process (the
+# build_all_landings pool below, or two query threads whose frames
+# consume the same landing) must not race the overwrite-write of the
+# same table — the single-writer contract above is per (prefix, corpus,
+# warehouse), and within a process these locks enforce it: exactly one
+# thread lands, the rest block on the lock and then take the memo fast
+# path (pinned in tests/test_landings.py's concurrent-build race test).
+_LANDING_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
+_LOCKS_GUARD = threading.Lock()
+
+
+def _landing_lock(key: tuple[str, str, str]) -> threading.Lock:
+    with _LOCKS_GUARD:
+        return _LANDING_LOCKS.setdefault(key, threading.Lock())
 
 _FP_PROP = "graft.source_fingerprint"
 
@@ -401,27 +417,43 @@ def landed_frame(
         and spark.catalog.tableExists(memo[0])
     ):
         return spark.table(memo[0])
-    name = landing_table_name(prefix, sf_dir)
-    # Cross-process / post-drop path: trust an existing catalog table
-    # only if its stamped fingerprint matches the current source (with
-    # the default in-memory catalog a fresh process never sees old
-    # tables, so this triggers only under a durable metastore or after
-    # an in-process memo invalidation).
-    if not (
-        spark.catalog.tableExists(name)
-        and _table_fingerprint(spark, name) == fp
-    ):
-        # A previous process may have published a maintained table for
-        # this landing (seed_landing's durable marker) — adopt it
-        # instead of rebuilding from scratch.
-        adopted = _adopt_persisted_seed(spark, sf_dir, prefix, fp)
-        if adopted is not None:
-            _LANDED[key] = (adopted, fp)
-            return spark.table(adopted)
-        land_bucketed(build(), name, bucket_col, n_buckets, sort_cols)
-        _stamp_fingerprint(spark, name, fp)
-    _LANDED[key] = (name, fp)
-    return spark.table(name)
+    # Slow path under the per-landing lock: a concurrent builder of the
+    # SAME landing blocks here and re-checks the memo once the winner
+    # publishes it — exactly-once build, no overwrite race. Builds of
+    # DIFFERENT landings (distinct keys, distinct locks) proceed in
+    # parallel, which is what build_all_landings overlaps. The lock may
+    # be held across a nested landed_frame call (the graph chain's
+    # build() consumes an upstream landing) — safe: the dependency
+    # graph is acyclic, so lock order follows the chain and can't cycle.
+    with _landing_lock(key):
+        memo = _LANDED.get(key)
+        if (
+            memo is not None
+            and memo[1] == fp
+            and spark.catalog.tableExists(memo[0])
+        ):
+            return spark.table(memo[0])
+        name = landing_table_name(prefix, sf_dir)
+        # Cross-process / post-drop path: trust an existing catalog table
+        # only if its stamped fingerprint matches the current source (with
+        # the default in-memory catalog a fresh process never sees old
+        # tables, so this triggers only under a durable metastore or after
+        # an in-process memo invalidation).
+        if not (
+            spark.catalog.tableExists(name)
+            and _table_fingerprint(spark, name) == fp
+        ):
+            # A previous process may have published a maintained table for
+            # this landing (seed_landing's durable marker) — adopt it
+            # instead of rebuilding from scratch.
+            adopted = _adopt_persisted_seed(spark, sf_dir, prefix, fp)
+            if adopted is not None:
+                _LANDED[key] = (adopted, fp)
+                return spark.table(adopted)
+            land_bucketed(build(), name, bucket_col, n_buckets, sort_cols)
+            _stamp_fingerprint(spark, name, fp)
+        _LANDED[key] = (name, fp)
+        return spark.table(name)
 
 
 def landing_table_name(prefix: str, sf_dir: str) -> str:
@@ -590,3 +622,87 @@ def invalidate_landings(
                 os.remove(path)
             except OSError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# Cold-path landing prebuild
+# ---------------------------------------------------------------------------
+
+# The graph landings form a derivation chain (each build() consumes the
+# previous landing), so they must run in this order; everything else is
+# independent. Kept here, next to the locks that make concurrent builds
+# safe, as the single source of truth for "what are the shared landings"
+# (bench.py and scripts/full_sweep.py both consume this list).
+_CHAIN_LANDINGS = ("part_baskets", "copurchase_edges", "oriented_adjacency")
+
+
+def landing_builders() -> list[tuple[str, Callable]]:
+    """The canonical shared-landing registry, in chain order: (name,
+    fn(spark, sf_dir) -> DataFrame) per landing. Imports lazily — the
+    operators package imports this module, so a top-level import here
+    would cycle."""
+    from data_engineering_project_spotify_app_spark.operators import (
+        dedup,
+        graphs,
+    )
+
+    return [
+        ("part_baskets", graphs.landed_part_baskets),
+        ("copurchase_edges", graphs.landed_copurchase_edges),
+        ("oriented_adjacency", graphs.landed_oriented_adjacency),
+        ("minhash_signatures", dedup._minhash_signatures),
+        ("word_bigrams", dedup._bigram_grams),
+        ("simhash_signatures", dedup._simhash_signatures),
+        ("winnow_fingerprints", dedup._winnow_fingerprints),
+        ("winnow_word_fingerprints", dedup._winnow_word_fingerprints),
+    ]
+
+
+def build_all_landings(
+    spark: SparkSession, sf_dir: str, max_workers: int = 4
+) -> dict[str, float]:
+    """Build every shared landing for ``sf_dir`` CONCURRENTLY — the
+    cold-start path (VERDICT r13 item 1: 8 independent single-writer
+    builds ran serially and cost 51 s in a stone-cold process).
+
+    The graph chain runs as ONE sequential task (its builds derive from
+    each other); every other landing is its own task. Spark interleaves
+    jobs submitted from separate driver threads, so the expensive
+    HOF/groupBy pipelines overlap instead of queueing — the
+    generalization of dedup._both_winnow_landings' 2-thread pattern.
+    The per-landing locks in landed_frame make a same-prefix race build
+    exactly once, and a warm call is 8 memo hits.
+
+    Returns name → seconds. NOTE these are per-task wall times that
+    OVERLAP under concurrency — they attribute relative cost but do not
+    sum to the elapsed wall. bench.py deliberately does NOT use this:
+    its serial per-landing timing is the disclosure protocol for
+    BENCH_QUERIES.json's landings_sec; this is for cold CORRECTNESS
+    paths (full_sweep, driver-style gates) where only total wall
+    matters. A failed build propagates after all tasks settle (a
+    landing failure is never recoverable by its consumers)."""
+    import concurrent.futures as cf
+    import time as _time
+
+    builders = landing_builders()
+    chain = [(n, f) for n, f in builders if n in _CHAIN_LANDINGS]
+    rest = [(n, f) for n, f in builders if n not in _CHAIN_LANDINGS]
+    out: dict[str, float] = {}
+
+    def _one(name: str, fn: Callable) -> None:
+        t0 = _time.perf_counter()
+        fn(spark, sf_dir)
+        out[name] = round(_time.perf_counter() - t0, 3)
+
+    def _chain() -> None:
+        for name, fn in chain:
+            _one(name, fn)
+
+    with cf.ThreadPoolExecutor(max_workers=max(1, max_workers)) as ex:
+        futs = [ex.submit(_chain)]
+        futs += [ex.submit(_one, n, f) for n, f in rest]
+        errs = [f.exception() for f in cf.as_completed(futs)]
+    for e in errs:
+        if e is not None:
+            raise e
+    return out

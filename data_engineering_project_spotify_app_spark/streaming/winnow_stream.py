@@ -59,14 +59,17 @@ class PartialStoreError(ValueError):
 
 
 # publish()-guard expected-doc_id cache, keyed by (Spark application
-# id, corpus dir, fingerprints_fn): the guard's "which corpus docs
-# produce ≥1 fingerprint" frame is a pure function of the corpus and
-# the fingerprint map, so auto-publish at compaction cadence pays the
-# full-corpus fingerprint pass ONCE per (session, corpus, fn) instead
-# of on every compaction (ADVICE r12). Values are eager
-# localCheckpoints (session-scoped — a restarted session gets a new
-# application id and recomputes, so no cross-session staleness).
-_EXPECTED_IDS_CACHE: dict[tuple[str, str, object], DataFrame] = {}
+# id, corpus dir, fingerprints_fn, corpus CONTENT fingerprint): the
+# guard's "which corpus docs produce ≥1 fingerprint" frame is a pure
+# function of the corpus CONTENT and the fingerprint map, so
+# auto-publish at compaction cadence pays the full-corpus fingerprint
+# pass ONCE per (session, corpus generation, fn) instead of on every
+# compaction (ADVICE r12), and an in-place corpus regeneration rotates
+# the key instead of serving the old generation's ids (ADVICE r13).
+# Values are eager localCheckpoints (session-scoped — a restarted
+# session gets a new application id and recomputes, so no
+# cross-session staleness).
+_EXPECTED_IDS_CACHE: dict[tuple[str, str, object, str], DataFrame] = {}
 
 
 def delta_shared_pairs(
@@ -190,17 +193,33 @@ class StreamingWinnowSink(DeltaChainStore):
     def _expected_doc_ids(self, sf_dir: str) -> DataFrame:
         """Distinct doc_ids of the corpus docs that produce ≥1
         fingerprint under this sink's fingerprints_fn — the publish
-        guard's ground truth, cached per (session, corpus, fn) so
-        repeated publish attempts (auto-publish fires at every
-        compaction) pay the full-corpus fingerprint pass once."""
+        guard's ground truth, cached per (session, corpus CONTENT, fn)
+        so repeated publish attempts (auto-publish fires at every
+        compaction) pay the full-corpus fingerprint pass once. The key
+        carries the corpus content fingerprint (ADVICE r13, medium):
+        regenerating sf_dir in place is explicitly supported by the
+        landing layer (sources/bucketed.py's staleness contract), and a
+        key without it would validate a new corpus's store against the
+        OLD corpus's cached doc_ids — stamping a stale store fresh and
+        failing a correctly rebuilt one. Superseded entries for the
+        same (session, corpus, fn) are evicted so the cache never
+        grows past one generation per corpus."""
+        from data_engineering_project_spotify_app_spark.sources.bucketed import (
+            corpus_fingerprint,
+        )
+
+        fp = corpus_fingerprint(sf_dir)
         key = (
             self.spark.sparkContext.applicationId,
             sf_dir,
             self.fingerprints_fn,
+            fp,
         )
         hit = _EXPECTED_IDS_CACHE.get(key)
         if hit is not None:
             return hit
+        for stale in [k for k in _EXPECTED_IDS_CACHE if k[:3] == key[:3]]:
+            del _EXPECTED_IDS_CACHE[stale]
         corpus = self.spark.read.parquet(
             os.path.join(sf_dir, "documents.parquet")
         ).select("doc_id", "text")

@@ -46,6 +46,9 @@ from pyspark.sql import functions as F  # noqa: E402
 from data_engineering_project_spotify_app_spark.operators import (  # noqa: E402
     registry,
 )
+from data_engineering_project_spotify_app_spark.operators.similarity import (  # noqa: E402
+    DIM,
+)
 from data_engineering_project_spotify_app_spark.session import (  # noqa: E402
     get_spark,
 )
@@ -87,11 +90,24 @@ def _emb_shard(df, i: int):
         # shard 0 keeps the ORIGINAL vectors and vec_ids: the probe
         # queries (vec_id < N_QUERIES) must exist with 1x's content
         return df
-    dim = F.size("embedding")
-    rotated = F.concat(
-        F.slice("embedding", i % 64 + 1, 10_000),
-        F.slice("embedding", 1, i % 64),
+    # Rotate by i % DIM positions (DIM imported from the operators
+    # module, not hardcoded — ADVICE r13) and flip signs on odd shards:
+    # a shard index that is a multiple of DIM would make the rotation
+    # the identity and silently duplicate shard 0's vectors, breaking
+    # the disjoint-shard premise the probe ratios depend on. The sign
+    # flip keeps shards distinct even then; the assert documents the
+    # envelope the pure rotation already covers.
+    assert i % DIM != 0 or i % 2 == 1, (
+        f"shard {i}: identity rotation with no sign flip would "
+        f"duplicate shard 0 (DIM={DIM})"
     )
+    k = i % DIM
+    rotated = F.concat(
+        F.slice("embedding", k + 1, 10_000),
+        F.slice("embedding", 1, k),
+    )
+    if i % 2 == 1:
+        rotated = F.transform(rotated, lambda x: -x)
     return df.withColumn("vec_id", F.col("vec_id") + OFF * i).withColumn(
         "embedding", rotated.cast("array<float>")
     )

@@ -23,6 +23,14 @@ def spark():
     extra = {}
     if os.environ.get("SPARK_GRAFT_TEST_AQE", "").lower() in ("0", "false"):
         extra["spark.sql.adaptive.enabled"] = "false"
+    # whole-stage-codegen-off sweep axis (VERDICT r13 item 2): the
+    # interpreted expression path is a different numeric/null-handling
+    # code path — the same divergence class the AQE-off sweep caught
+    if os.environ.get("SPARK_GRAFT_TEST_CODEGEN", "").lower() in (
+        "0",
+        "false",
+    ):
+        extra["spark.sql.codegen.wholeStage"] = "false"
     s = get_spark(
         app_name="tests", shuffle_partitions=nparts, extra_conf=extra
     )

@@ -983,3 +983,159 @@ def test_published_word_winnow_landing_consumer_matches_oracle(
     finally:
         bucketed.invalidate_landings(SF)
         bucketed.drop_landed(spark, name)
+
+
+def test_publish_guard_tracks_inplace_corpus_regeneration(spark, tmp_path):
+    """The publish guard's expected-doc_id cache must rotate when the
+    corpus is regenerated IN PLACE within one session (ADVICE r13,
+    medium): with a content-blind cache key, a store built from the
+    OLD corpus would be validated against the old corpus's cached ids
+    and stamped fingerprint-fresh for the NEW corpus, while a correctly
+    rebuilt store would be refused. Both directions pinned here."""
+    import pytest
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+    from data_engineering_project_spotify_app_spark.streaming.winnow_stream import (
+        PartialStoreError,
+        StreamingWinnowSink,
+    )
+
+    corpus = str(tmp_path / "regen_corpus")
+    base = "the quick brown fox jumps over the lazy dog again and again "
+
+    def _write_docs(rows):
+        spark.createDataFrame(rows, DOC_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(corpus, "documents.parquet"))
+
+    gen1 = [(i, base * 3 + f"generation one doc {i}") for i in range(20)]
+    gen2 = [
+        (i + 100, base * 3 + f"generation two doc {i}") for i in range(25)
+    ]
+    _write_docs(gen1)
+    sink1 = StreamingWinnowSink(spark, str(tmp_path / "regen_s1"))
+    sink1(spark.createDataFrame(gen1, DOC_SCHEMA), 0)
+    name1 = sink1.publish(corpus, n_buckets=4)  # warms the guard cache
+    try:
+        assert spark.catalog.tableExists(name1)
+        # corpus regenerated in place: the gen-1 store is now stale and
+        # must be REFUSED (a stale cache would let it through) ...
+        _write_docs(gen2)
+        with pytest.raises(PartialStoreError):
+            sink1.publish(corpus, n_buckets=4)
+        # ... while a store rebuilt from the new corpus must be ACCEPTED
+        # (a stale cache would refuse it against gen-1 ids)
+        sink2 = StreamingWinnowSink(spark, str(tmp_path / "regen_s2"))
+        sink2(spark.createDataFrame(gen2, DOC_SCHEMA), 0)
+        name2 = sink2.publish(corpus, n_buckets=4)
+        assert spark.catalog.tableExists(name2)
+    finally:
+        bucketed.invalidate_landings(corpus)
+        bucketed.drop_landed(spark, name1)
+
+
+def test_winnow_sink_crash_between_commit_and_log_fold(spark, tmp_path):
+    """Fault injection for the delta-chain crash-safety claim (VERDICT
+    r13 item 6): previous pins only exercised checkpoint-less restarts
+    and duplicate re-delivery — here the sink is killed MID-WRITE, at
+    the three commit boundaries, and after each restart the streamed
+    state must still equal the batch recompute with no lost or
+    double-counted pairs:
+      1. epoch crash AFTER the data files land but BEFORE any
+         _COMMITTED marker (the commit step itself dies);
+      2. epoch crash BETWEEN the pairs-log commit and the delta commit
+         (the replay must regenerate the delta WITHOUT re-emitting the
+         already-committed pairs);
+      3. compaction crash BETWEEN the store-base commit and the
+         pairs-log fold (the folded store and the unfolded logs must
+         stay mutually consistent)."""
+    import pytest
+
+    from data_engineering_project_spotify_app_spark.streaming.winnow_stream import (
+        StreamingWinnowSink,
+    )
+    from tests.test_streaming_dedup import _batch_winnow_pairs
+
+    docs = _docs(spark, 60)
+    s0, s1, s2 = docs[:20], docs[20:40], docs[40:60]
+    out = str(tmp_path / "winnow_crash")
+
+    def df_of(rows):
+        return spark.createDataFrame(rows, DOC_SCHEMA)
+
+    def want(rows):
+        return _batch_winnow_pairs(spark, df_of(rows))
+
+    def crash_mark_on_call(sink, nth):
+        orig, seen = sink._mark, []
+
+        def dying(path):
+            seen.append(path)
+            if len(seen) == nth:
+                raise RuntimeError("injected crash at commit marker")
+            orig(path)
+
+        sink._mark = dying
+
+    # 1) crash at the FIRST commit marker: pairs + delta parquet landed,
+    # nothing committed
+    sink = StreamingWinnowSink(spark, out)
+    crash_mark_on_call(sink, 1)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink(df_of(s0), 0)
+    assert os.path.isdir(os.path.join(out, "pairs_e0"))  # files landed
+    assert not os.path.exists(
+        os.path.join(out, "pairs_e0", "_COMMITTED")
+    ) and not os.path.exists(os.path.join(out, "wfp_e0", "_COMMITTED"))
+    sink = StreamingWinnowSink(spark, out)  # restart, replay epoch 0
+    sink(df_of(s0), 0)
+    assert sorted(tuple(r) for r in sink.pairs().collect()) == want(s0)
+
+    # 2) crash BETWEEN the pairs commit and the delta commit: pairs_e1
+    # committed, wfp_e1 not — the replay regenerates the delta but must
+    # NOT re-emit (duplicate) epoch-1 pairs
+    crash_mark_on_call(sink, 2)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink(df_of(s1), 1)
+    assert os.path.exists(os.path.join(out, "pairs_e1", "_COMMITTED"))
+    assert not os.path.exists(os.path.join(out, "wfp_e1", "_COMMITTED"))
+    sink = StreamingWinnowSink(spark, out)  # restart, replay epoch 1
+    sink(df_of(s1), 1)
+    assert sorted(tuple(r) for r in sink.pairs().collect()) == want(
+        s0 + s1
+    )
+
+    # 3) crash between the store-base commit and the pairs-log fold
+    sink.fold_log = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash before log fold")
+    )
+    with pytest.raises(RuntimeError, match="injected"):
+        sink.compact()
+    # the store base IS committed, the pairs logs are NOT folded —
+    # a restarted reader still sees the full consistent state
+    sink = StreamingWinnowSink(spark, out)
+    assert os.path.exists(os.path.join(out, "base_v1", "_COMMITTED"))
+    assert os.path.exists(os.path.join(out, "pairs_e0", "_COMMITTED"))
+    assert sorted(tuple(r) for r in sink.pairs().collect()) == want(
+        s0 + s1
+    )
+    # ingestion continues; the next CLEAN compact folds everything and
+    # reclaims the crash debris
+    sink(df_of(s2), 2)
+    sink.compact()
+    names = os.listdir(out)
+    assert [d for d in names if d.startswith("pairs_e")] == []
+    assert len([d for d in names if d.startswith("pairs_base")]) == 1
+    assert sorted(tuple(r) for r in sink.pairs().collect()) == want(docs)
+    # the maintained store itself equals the batch fingerprint recompute
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        winnow_fingerprints_df,
+    )
+
+    got_fp = sorted(
+        tuple(r) for r in sink.current_fingerprints().collect()
+    )
+    want_fp = sorted(
+        tuple(r) for r in winnow_fingerprints_df(df_of(docs)).collect()
+    )
+    assert got_fp == want_fp and got_fp

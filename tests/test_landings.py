@@ -571,3 +571,67 @@ def test_landed_word_fingerprints_equal_derived(spark, sf_dir):
         ).collect()
     )
     assert landed == derived and landed
+
+
+def test_concurrent_same_landing_builds_exactly_once(spark, tmp_path):
+    """The concurrent-build race pin (VERDICT r13 item 1): N threads
+    touching the SAME cold landing must produce exactly ONE build (the
+    per-landing lock in landed_frame), and every thread must read the
+    correct rows — never a torn/overwritten table."""
+    import threading
+
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    corpus = str(tmp_path / "race_corpus")
+    _write_corpus(spark, corpus, [(1, "a"), (2, "b"), (3, "c")])
+
+    builds = []  # list.append is GIL-atomic — a safe cross-thread counter
+    barrier = threading.Barrier(8)
+
+    def build():
+        builds.append(1)
+        return spark.read.parquet(f"{corpus}/data.parquet")
+
+    results: list[object] = [None] * 8
+
+    def worker(i: int) -> None:
+        barrier.wait()  # maximize the race window: all enter together
+        try:
+            df = bucketed.landed_frame(
+                spark, corpus, "race_probe", "k", 2, build
+            )
+            results[i] = sorted(tuple(r) for r in df.collect())
+        except Exception as e:  # noqa: BLE001
+            results[i] = e
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    expected = [(1, "a"), (2, "b"), (3, "c")]
+    assert results == [expected] * 8
+    assert len(builds) == 1
+
+
+def test_build_all_landings_concurrent_and_warm(spark, sf_dir):
+    """build_all_landings builds every registered landing (cold) and is
+    a pure memo pass when warm; the landed tables match what each
+    builder serves individually."""
+    from data_engineering_project_spotify_app_spark.sources import bucketed
+
+    names = [n for n, _ in bucketed.landing_builders()]
+    cold = bucketed.build_all_landings(spark, sf_dir, max_workers=4)
+    assert sorted(cold) == sorted(names)
+    # every landing is now registered in the catalog under its
+    # corpus-digested name
+    for n in names:
+        assert spark.catalog.tableExists(
+            bucketed.landing_table_name(n, sf_dir)
+        )
+    # warm call: memo hits only — no landing table is rewritten (same
+    # table name resolves, rows stable for a spot-checked landing)
+    before = dedup._minhash_signatures(spark, sf_dir).count()
+    warm = bucketed.build_all_landings(spark, sf_dir, max_workers=4)
+    assert sorted(warm) == sorted(names)
+    assert dedup._minhash_signatures(spark, sf_dir).count() == before

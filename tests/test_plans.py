@@ -376,9 +376,69 @@ def test_global_rank_analytics_two_phase(spark, sf_dir, name):
     (one row per range). The rangepartitioning itself is pinned on
     rankutil.ranged_by directly (test below), since the checkpoint
     hides it from consumer explains."""
-    plan = plan_of(spark, sf_dir, name)
+    plan, phase1 = _plan_with_phase1(spark, sf_dir, name)
     assert "Scan ExistingRDD" in plan, plan
     assert "windowspecdefinition(pid#" in plan, plan
+    _assert_phase1_is_single_range_exchange(name, phase1)
+
+
+def _plan_with_phase1(spark, sf_dir, name):
+    """The consumer's plan PLUS the pre-checkpoint plans of every
+    phase-1 frame its construction checkpointed (rankutil's observation
+    hook, ADVICE r13): 'Scan ExistingRDD' alone is satisfied by ANY
+    RDD-backed frame, so without this nothing tied the scanned RDD to
+    ranged_by's single range exchange — a hash repartition smuggled
+    behind the checkpoint would have passed the consumer pins."""
+    from data_engineering_project_spotify_app_spark.operators import (
+        rankutil,
+    )
+
+    captured: list[str] = []
+
+    def _obs(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        captured.append(buf.getvalue())
+
+    rankutil.PHASE1_OBSERVERS.append(_obs)
+    try:
+        plan = plan_of(spark, sf_dir, name)
+    finally:
+        rankutil.PHASE1_OBSERVERS.remove(_obs)
+    return plan, captured
+
+
+def _assert_phase1_is_single_range_exchange(name, phase1):
+    """Every observed pre-checkpoint frame must be <projections> over
+    ONE rangepartitioning Exchange over the (arbitrary) input
+    derivation: the topmost Exchange in tree order is the one the
+    checkpoint pins, so a hash repartition swapped in there — or any
+    compute smuggled between the range exchange and the checkpoint —
+    fails here even though the consumer plan only shows Scan
+    ExistingRDD."""
+    import re
+
+    assert phase1, f"{name}: no two-phase checkpoint observed"
+    for p in phase1:
+        tree = p.split("\n\n")[0]
+        m = re.search(r"^(.*?)\bExchange \((\d+)\)", tree, re.S)
+        assert m, f"{name} phase-1: no Exchange\n{p}"
+        above, nid = m.group(1), m.group(2)
+        # nothing but plan scaffolding / projections above the exchange
+        for line in above.splitlines():
+            op = re.sub(r"[+\-:*= ]", "", line).split("(")[0]
+            assert op in ("", "PhysicalPlan", "AdaptiveSparkPlan",
+                          "Project"), f"{name} phase-1:\n{p}"
+        detail = re.search(
+            rf"\({nid}\) Exchange\n(.*?)(?:\n\n|\Z)", p, re.S
+        )
+        assert detail and "rangepartitioning" in detail.group(1), (
+            f"{name} phase-1 top exchange not range:\n{p}"
+        )
+        # exactly one range exchange in the whole frame (the upstream
+        # derivation may hash-shuffle freely, but never range-sample)
+        assert p.count("rangepartitioning") == 1, f"{name} phase-1:\n{p}"
 
 
 def test_ccnet_rank_is_two_phase_range_partitioned(spark, sf_dir):
@@ -387,9 +447,10 @@ def test_ccnet_rank_is_two_phase_range_partitioned(spark, sf_dir):
     per-range local row_number windows (partitionBy=[pid…]), broadcast
     offsets — the only unpartitioned windows run over the per-partition
     count frame (one row per range), never over document rows."""
-    plan = plan_of(spark, sf_dir, "q_ccnet_buckets")
+    plan, phase1 = _plan_with_phase1(spark, sf_dir, "q_ccnet_buckets")
     assert "Scan ExistingRDD" in plan, plan
     assert "windowspecdefinition(pid#" in plan, plan
+    _assert_phase1_is_single_range_exchange("q_ccnet_buckets", phase1)
 
 
 def test_ranged_by_is_single_range_exchange(spark, sf_dir):
