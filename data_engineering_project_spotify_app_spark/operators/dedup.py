@@ -1241,77 +1241,86 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the global rarity ranking is the two-phase range-partition
     rank (rankutil — the shingle vocabulary is corpus-scale, never a
-    single-partition window); candidate buckets key on the rank of a
-    rare shingle (bounded small by rarity). Candidate generation is
-    IDS-ONLY: buckets collect (doc_id, n) structs, pairs carry two ids
-    + two lengths through the PPJoin length filter
-    (min·den ≥ max·num — Jaccard ≥ t bounds the size ratio) and the
-    pair dedup, and only the SURVIVING pairs join the per-doc rank
-    arrays back for the exact intersect verify. The first form shipped
-    every doc's full rank array into every bucket and through the
-    dedup shuffle — measured 37.8 → ~13 s at sf0.1 (the synthetic
-    corpus is adversarial for prefix filtering: 931 distinct bigrams
+    single-partition window); candidates form only where two prefixes
+    share a shingle (bounded small by rarity). Candidate generation is
+    IDS-ONLY and fully codegen'd: a slim (srank, doc_id, n) PREFIX
+    self-join on the rare-shingle rank, with doc_a < doc_b and the
+    PPJoin length filter (min·den ≥ max·num — Jaccard ≥ t bounds the
+    size ratio) evaluated inside the join, then a two-column distinct;
+    only the SURVIVING pairs join the per-doc rank arrays back for the
+    exact intersect verify. Two earlier forms were measured and
+    replaced: shipping full rank arrays into collect_list buckets
+    (37.8 s at sf0.1) and an interpreted array-HOF pair explode over
+    ids-only buckets (~21 s — the O(bucket²) transform/slice ran in
+    expression-interpreted mode and the pair dedup shuffled 4-column
+    structs); the self-join emits the same pairs inside WholeStageCodegen
+    and halves it to ~10-12 s. Skipping the distinct entirely was also
+    measured and rejected (~100 s: the verify side grows past AQE's
+    broadcast threshold AND array_intersect runs per duplicate). The
+    corpus is adversarial for prefix filtering — 931 distinct bigrams
     over 5000 docs, so even "rare" shingles have df≈275 and the
     candidate set is ~1/3 of all pairs; DuckDB's naive oracle takes
-    59 s on the same input at 32 threads). The approximate rungs
+    59 s on the same input at 32 threads. The approximate rungs
     (q_minhash_lsh / capped) remain the production path for corpora
     this repetitive.
     """
-    # localCheckpoint, not persist(): per_doc feeds both the prefix
-    # explode and the two survivor join-backs, so the cut stops the
-    # rank-join lineage re-running — and unlike a persist, the blocks
-    # are owned by the RDD and freed with it instead of accumulating
-    # across registry/bench invocations in one session (ADVICE r9).
-    # The checkpoint boundary hides the upstream plan, so the two-phase
+    # localCheckpoint, not persist(): per_doc feeds the prefix explode
+    # and the two survivor join-backs, so the cut stops the rank-join
+    # lineage re-running — and unlike a persist, the blocks are owned
+    # by the RDD and freed with it instead of accumulating across
+    # registry/bench invocations in one session (ADVICE r9). The
+    # checkpoint boundary hides the upstream plan, so the two-phase
     # rank shape is pinned on _jp_per_doc directly (tests/test_plans.py).
     per_doc = _jp_per_doc(spark, sf_dir).localCheckpoint(eager=False)
+    # the prefix table feeds BOTH sides of the self-join: checkpoint so
+    # the explode runs once, not once per side
     pref = per_doc.select(
         "doc_id",
         "n",
         F.explode(F.slice("ranks", 1, F.col("p").cast("int"))).alias(
             "srank"
         ),
+    ).localCheckpoint(eager=False)
+    a = pref.select(
+        "srank", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+    )
+    b = pref.select(
+        "srank", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
     )
     cand_ids = (
-        pref.groupBy("srank")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("doc_id", "n"))).alias(
-                "ds"
-            )
+        a.join(
+            b,
+            (a.srank == b.srank)
+            & (F.col("doc_a") < F.col("doc_b"))
+            # PPJoin length filter, inside the join so pruned pairs are
+            # never emitted. (The PPJoin POSITIONAL filter was measured
+            # and rejected on this corpus: it pruned 1.8% of candidates
+            # while widening the join payload — prefix positions cannot
+            # discriminate when the shingle vocabulary is 3 orders of
+            # magnitude smaller than the corpus.)
+            & (
+                F.least("na", "nb") * JP_T_DEN
+                >= F.greatest("na", "nb") * JP_T_NUM
+            ),
         )
-        .filter(F.size("ds") > 1)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ds, (x, i) -> "
-                    "transform(slice(ds, i + 2, size(ds) - i - 1), "
-                    "y -> struct(x.doc_id AS doc_a, x.n AS n_a, "
-                    "y.doc_id AS doc_b, y.n AS n_b))))"
-                )
-            ).alias("pr")
-        )
-        .select("pr.doc_a", "pr.n_a", "pr.doc_b", "pr.n_b")
-        # PPJoin length filter: J >= t forces min/max >= t — prune
-        # before the pair-merge shuffle. (The PPJoin POSITIONAL filter
-        # was measured and rejected on this corpus: it pruned 1.8% of
-        # candidates while widening the explode and the merge key —
-        # prefix positions cannot discriminate when the shingle
-        # vocabulary is 3 orders of magnitude smaller than the corpus.)
-        .filter(
-            F.least("n_a", "n_b") * JP_T_DEN
-            >= F.greatest("n_a", "n_b") * JP_T_NUM
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        # ids-only distinct: 2 longs per row through the dedup shuffle
+        # (n_a/n_b ride back in on the verify joins below for free)
+        .select("doc_a", "doc_b")
+        .distinct()
     )
     # verify: the array fetches are un-hinted — per_doc is corpus-sized
     # (AQE broadcasts it at small SF; at 100 TB these are ordinary
     # doc_id-keyed equi-joins against a frame the candidate set usually
     # dwarfs)
     ra = per_doc.select(
-        F.col("doc_id").alias("doc_a"), F.col("ranks").alias("ranks_a")
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("n_a"),
+        F.col("ranks").alias("ranks_a"),
     )
     rb = per_doc.select(
-        F.col("doc_id").alias("doc_b"), F.col("ranks").alias("ranks_b")
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("n_b"),
+        F.col("ranks").alias("ranks_b"),
     )
     cand = cand_ids.join(ra, "doc_a").join(rb, "doc_b")
     ni = F.size(F.array_intersect("ranks_a", "ranks_b"))
