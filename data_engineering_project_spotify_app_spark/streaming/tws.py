@@ -89,3 +89,103 @@ def user_profiles_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+# ---------------------------------------------------------------------------
+# Timer surface: the closed-session emitter (the second maintainer port,
+# VERDICT r13 item 8). ProfileProcessor covers named value state; this
+# covers the API's other half — first-class EVENT-TIME TIMERS — as the
+# direct twin of stateful.closed_sessions (which uses the old API's
+# GroupStateTimeout.EventTimeTimeout + setTimeoutTimestamp).
+# ---------------------------------------------------------------------------
+
+SESSION_OUT_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+_SESSION_STATE_SCHEMA = "start_us bigint, end_us bigint, n_events bigint"
+
+
+class SessionProcessor(StatefulProcessor):
+    """Emit each user's session CLOSED when the watermark passes
+    ``last_event + gap`` — semantically identical to
+    stateful.closed_sessions, expressed with registerTimer instead of
+    setTimeoutTimestamp. The one real API difference is encoded here:
+    TWS timers ACCUMULATE per key (the old API's timeout timestamp
+    OVERWRITES), so extending a session must delete the stale alarm or
+    the session would close at the OLD end + gap. State is three
+    scalars per OPEN session and is cleared at close — the same
+    bounded-state contract as the twin."""
+
+    def __init__(self, gap_ms: int):
+        self._gap_ms = gap_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState("session", _SESSION_STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows, timerValues
+    ) -> Iterator[pd.DataFrame]:
+        start_us, end_us, n = (
+            self._sess.get() if self._sess.exists() else (None, None, 0)
+        )
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            us = pdf["ts"].astype("int64") // 1000
+            lo, hi = int(us.min()), int(us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n += len(pdf)
+        if start_us is None:
+            return iter(())
+        self._sess.update((start_us, end_us, n))
+        # re-arm the event-time alarm: delete stale timers FIRST (they
+        # accumulate), then register watermark-crossing at end + gap
+        alarm_ms = end_us // 1000 + self._gap_ms
+        for t in list(self._handle.listTimers()):
+            if t != alarm_ms:
+                self._handle.deleteTimer(t)
+        self._handle.registerTimer(alarm_ms)
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key, timerValues, expiredTimerInfo
+    ) -> Iterator[pd.DataFrame]:
+        # the watermark passed session_end + gap: no event can extend
+        # this session any more — emit it CLOSED and free the state
+        (user_id,) = key
+        if not self._sess.exists():
+            return
+        start_us, end_us, n = self._sess.get()
+        self._sess.clear()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.to_datetime(start_us, unit="us")],
+                "session_end": [pd.to_datetime(end_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def closed_sessions_tws(events: DataFrame, gap_ms: int | None = None) -> DataFrame:
+    """Closed-session stream on the transformWithState API. ``events``
+    must carry ``withWatermark("ts", ...)`` — EventTime time mode
+    requires it, exactly like the twin's EventTimeTimeout."""
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        SESSION_GAP_MS,
+    )
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(
+            SESSION_GAP_MS if gap_ms is None else gap_ms
+        ),
+        outputStructType=SESSION_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

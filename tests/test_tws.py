@@ -120,3 +120,78 @@ def test_tws_accumulates_and_matches_old_api(spark, tmp_path):
     assert new_api[7] == (3, 60.0, 30.0)
     assert new_api[8] == (2, 7.5, 5.0)
     assert new_api[9] == (1, 1.0, 1.0)
+
+
+def _ev_at(i, user, hour, minute):
+    return {
+        "event_id": i,
+        "ts": f"2024-01-01T{hour:02d}:{minute:02d}:00.000Z",
+        "user_id": user,
+        "event_type": "click",
+        "value": 1.0,
+        "props": "{}",
+    }
+
+
+def _closed_sessions_of(spark, d, op, sink_name):
+    stream = stream_events(spark, str(d), max_files_per_trigger=1).withWatermark(
+        "ts", "10 minutes"
+    )
+    q = (
+        op(stream, gap_ms=30 * 60 * 1000)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink_name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {sink_name}").collect()
+    )
+
+
+def test_tws_timer_sessions_match_old_api(spark, tmp_path):
+    """closed_sessions_tws (registerTimer, EventTime time mode) closes
+    the same sessions as the applyInPandasWithState twin
+    (EventTimeTimeout) on an identical file stream — the TIMER half of
+    the TWS surface, end to end. Import-gated like the profile test."""
+    from data_engineering_project_spotify_app_spark.streaming.stateful import (
+        closed_sessions,
+    )
+    from data_engineering_project_spotify_app_spark.streaming.tws import (
+        closed_sessions_tws,
+    )
+
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    # user 7: session [10:00, 10:05]; user 8's late event extends the
+    # re-arm path; final batch advances the watermark past every gap
+    _write_batch(
+        d, "b0.json", [_ev_at(1, 7, 10, 0), _ev_at(2, 7, 10, 5), _ev_at(3, 8, 10, 2)]
+    )
+    _write_batch(d, "b1.json", [_ev_at(4, 8, 10, 20)])
+    _write_batch(d, "b2.json", [_ev_at(5, 9, 14, 0)])
+    _write_batch(d, "b3.json", [_ev_at(6, 9, 14, 5)])
+    old_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    try:
+        new_api = _closed_sessions_of(
+            spark, d, closed_sessions_tws, "tws_sessions"
+        )
+    finally:
+        if old_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old_provider
+            )
+    old_api = _closed_sessions_of(spark, d, closed_sessions, "old_sessions")
+    assert new_api == old_api
+    closed_users = [u for u, *_ in new_api]
+    assert 7 in closed_users and 8 in closed_users
