@@ -1281,16 +1281,24 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "srank"
         ),
     ).localCheckpoint(eager=False)
+    # distinct column names per side: a bare self-join on `srank` would
+    # lean on the analyzer's self-join disambiguation (and warns
+    # "trivially true equals predicate"); renamed columns make the
+    # equi-key unambiguous by construction
     a = pref.select(
-        "srank", F.col("doc_id").alias("doc_a"), F.col("n").alias("na")
+        F.col("srank").alias("srank_a"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
     )
     b = pref.select(
-        "srank", F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")
+        F.col("srank").alias("srank_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
     )
     cand_ids = (
         a.join(
             b,
-            (a.srank == b.srank)
+            (F.col("srank_a") == F.col("srank_b"))
             & (F.col("doc_a") < F.col("doc_b"))
             # PPJoin length filter, inside the join so pruned pairs are
             # never emitted. (The PPJoin POSITIONAL filter was measured
