@@ -760,14 +760,17 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
         )
     )
+    # distinct column names per side: a bare self-join on part_key
+    # would lean on the analyzer's self-join disambiguation (and warn
+    # "trivially true equals predicate") — rename instead
     a = pm.select(
-        "part_key",
+        F.col("part_key").alias("part_a"),
         F.col("month").alias("base_month"),
         F.col("q").alias("q0"),
         F.col("p").alias("p0"),
     )
     b = pm.select(
-        "part_key",
+        F.col("part_key").alias("part_b"),
         F.col("month").alias("month"),
         F.col("q").alias("q1"),
         F.col("p").alias("p1"),
@@ -775,7 +778,7 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(
             b,
-            (a.part_key == b.part_key)
+            (F.col("part_a") == F.col("part_b"))
             & (
                 F.col("month")
                 == F.add_months(F.col("base_month"), 1)

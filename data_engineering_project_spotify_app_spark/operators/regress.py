@@ -389,18 +389,23 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lags = table(spark, sf_dir, "events").sparkSession.createDataFrame(
         [(1,), (7,)], "lag_d int"
     )
+    # distinct column names per side: a bare self-join on event_type
+    # would lean on the analyzer's self-join disambiguation (and warn
+    # "trivially true equals predicate") — rename instead
     a = d.select("event_type", "day", F.col("n").alias("na"))
     b = d.select(
-        "event_type", F.col("day").alias("bday"), F.col("n").alias("nb")
+        F.col("event_type").alias("btype"),
+        F.col("day").alias("bday"),
+        F.col("n").alias("nb"),
     )
     return (
         a.crossJoin(F.broadcast(lags))
         .join(
             b,
-            (a.event_type == b.event_type)
+            (F.col("event_type") == F.col("btype"))
             & (F.col("bday") == F.date_add("day", F.col("lag_d"))),
         )
-        .groupBy(a.event_type, F.col("lag_d").cast("int").alias("lag_days"))
+        .groupBy("event_type", F.col("lag_d").cast("int").alias("lag_days"))
         .agg(
             F.count("*").alias("n_pairs"),
             F.round(
