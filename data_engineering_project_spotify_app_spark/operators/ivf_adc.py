@@ -86,7 +86,8 @@ _IVF_ADC_ORACLE = f"""
     ),
     adc AS (
       SELECT cn.query_id, k.vec_id AS neighbor_id,
-             round(sum(l.d2), 3) AS adc_d2
+             CAST(round(sum(CAST(l.d2 AS DECIMAL(18,4))), 3) AS DOUBLE)
+               AS adc_d2
       FROM cands cn
       JOIN code k ON k.vec_id = cn.cand_id
       JOIN lut l ON l.query_id = cn.query_id
@@ -162,7 +163,14 @@ def q_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(lut), ["query_id", "m", "cid"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.round(F.sum("d2"), 3).alias("adc_d2"))
+        # DECIMAL accumulation — same order-sensitivity fix as
+        # q_pq_adc_topk (pq.py): exact sum of 4-decimal units, so the
+        # 3-decimal rounding is config-invariant
+        .agg(
+            F.round(F.sum(F.col("d2").cast("decimal(18,4)")), 3)
+            .cast("double")
+            .alias("adc_d2")
+        )
     )
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     return adc.withColumn("rnk", F.row_number().over(w).cast("bigint")).filter(

@@ -178,7 +178,8 @@ _ADC_ORACLE = f"""
     ),
     adc AS (
       SELECT l.query_id, k.vec_id AS neighbor_id,
-             round(sum(l.d2), 3) AS adc_d2
+             CAST(round(sum(CAST(l.d2 AS DECIMAL(18,4))), 3) AS DOUBLE)
+               AS adc_d2
       FROM code k
       JOIN lut l ON l.m = k.m AND l.cid = k.cid
       WHERE k.vec_id <> l.query_id
@@ -218,11 +219,23 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "m", "cid", _d2(F.col("sv"), F.col("cs")).alias("d2")
     )
     codes = _codes(spark, sf_dir)
+    # DECIMAL accumulation (the r13 lorenz discipline): each d2 is a
+    # 4-decimal value, but summing it as DOUBLE is order-sensitive —
+    # under AQE/partition-count changes a sum landing on a .0005
+    # boundary flips round(·, 3) (caught by the r14 codegen-off ×
+    # AQE-off × shuffle-13 sweep: 1.075 vs 1.074). Casting to
+    # DECIMAL(18,4) first makes the sum exact and order-free, so the
+    # rounded distance is config-invariant and matches the oracle's
+    # identical decimal form bit-for-bit.
     adc = (
         codes.join(F.broadcast(lut), ["m", "cid"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
-        .agg(F.round(F.sum("d2"), 3).alias("adc_d2"))
+        .agg(
+            F.round(F.sum(F.col("d2").cast("decimal(18,4)")), 3)
+            .cast("double")
+            .alias("adc_d2")
+        )
     )
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     return (
