@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from data_engineering_project_spotify_app_spark.operators.dedup import (
     MINHASH_CTES,
@@ -243,6 +242,28 @@ _KEEP_BEST_ORACLE = f"""
     """
 
 
+def keep_best_from_cc(cc: DataFrame, docs: DataFrame) -> DataFrame:
+    """(cluster_id, keep_id, n_members) from a (doc_id, cluster_id)
+    labeling and a (doc_id, len) projection — keep the longest text per
+    cluster, ties broken by min doc_id.
+
+    One hash aggregate (min_by over the (-len, doc_id) order struct +
+    count) instead of a rank window: same exchange on cluster_id, but
+    partial map-side aggregation replaces the window's per-partition
+    sort, and the funnels can pass an ALREADY-RUN cc frame so the CC
+    loop (a driver-side iteration — separate Spark jobs every call)
+    executes once per query instead of once per consumer (guide §2.4 /
+    §1.2: remove whole repeated passes before tuning inside them).
+    """
+    joined = cc.join(docs, "doc_id")
+    return joined.groupBy("cluster_id").agg(
+        F.min_by(
+            "doc_id", F.struct((-F.col("len")).alias("o1"), F.col("doc_id"))
+        ).alias("keep_id"),
+        F.count("*").alias("n_members"),
+    )
+
+
 @query("q_dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-best-per-cluster dedup policy: one surviving doc per
@@ -256,21 +277,7 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("len")
     )
-    joined = cc.join(d, "doc_id")
-    w = Window.partitionBy("cluster_id")
-    ranked = joined.select(
-        "cluster_id",
-        "doc_id",
-        F.row_number()
-        .over(w.orderBy(F.col("len").desc(), "doc_id"))
-        .alias("rn"),
-        F.count("*").over(w).alias("n_members"),
-    )
-    return ranked.filter(F.col("rn") == 1).select(
-        "cluster_id",
-        F.col("doc_id").alias("keep_id"),
-        "n_members",
-    )
+    return keep_best_from_cc(cc, d)
 
 
 _DEDUP_SPLIT_BAND = (

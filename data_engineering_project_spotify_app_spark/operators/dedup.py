@@ -1312,8 +1312,17 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         # ids-only distinct: 2 longs per row through the dedup shuffle
-        # (n_a/n_b ride back in on the verify joins below for free)
+        # (n_a/n_b ride back in on the verify joins below for free).
+        # The dedup is CPU-bound on hash-map inserts (8.5 M rows → 4.1 M
+        # groups at sf0.1), not byte-bound, so the exchange is widened
+        # to 2× core count explicitly — AQE's byte-targeted coalescing
+        # would size ~135 MB of two-long rows into too few reducers
+        # (guide §2.5: partition count from the work, not the bytes).
+        # Measured isolated: 6.2 → 5.2 s for the candidate stage.
         .select("doc_a", "doc_b")
+        .repartition(
+            2 * spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
         .distinct()
     )
     # verify: the array fetches are un-hinted — per_doc is corpus-sized

@@ -405,8 +405,8 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-joins at 100 TB (no broadcast hints), keyed on doc_id/hash.
     """
     from data_engineering_project_spotify_app_spark.operators.clusters import (
+        keep_best_from_cc,
         q_dedup_clusters,
-        q_dedup_keep_best,
     )
     from data_engineering_project_spotify_app_spark.operators.dedup import (
         q_dedup_exact,
@@ -418,8 +418,15 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ek = q_dedup_exact(spark, sf_dir).select(
         F.col("text_hash").alias("h"), F.col("keep_id").alias("ekeep")
     )
+    # ONE CC run shared by the membership join and the keep-best
+    # derivation — calling q_dedup_keep_best here would re-run the whole
+    # candidate-pair + connected-components pipeline (a driver-side
+    # loop of separate jobs Catalyst cannot deduplicate) a second time.
     cc = q_dedup_clusters(spark, sf_dir)
-    nk = q_dedup_keep_best(spark, sf_dir).select(
+    dl = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    nk = keep_best_from_cc(cc, dl).select(
         "cluster_id", F.col("keep_id").alias("nkeep")
     )
     stage = (
@@ -551,8 +558,8 @@ def q_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source rides the document projection for free); output is bounded
     by sources × 4 stages."""
     from data_engineering_project_spotify_app_spark.operators.clusters import (
+        keep_best_from_cc,
         q_dedup_clusters,
-        q_dedup_keep_best,
     )
     from data_engineering_project_spotify_app_spark.operators.dedup import (
         q_dedup_exact,
@@ -564,8 +571,12 @@ def q_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ek = q_dedup_exact(spark, sf_dir).select(
         F.col("text_hash").alias("h"), F.col("keep_id").alias("ekeep")
     )
+    # ONE CC run shared by membership + keep-best (see q_curation_funnel)
     cc = q_dedup_clusters(spark, sf_dir)
-    nk = q_dedup_keep_best(spark, sf_dir).select(
+    dl = table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("len")
+    )
+    nk = keep_best_from_cc(cc, dl).select(
         "cluster_id", F.col("keep_id").alias("nkeep")
     )
     stage = (

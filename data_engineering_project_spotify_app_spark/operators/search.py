@@ -268,9 +268,22 @@ def q_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("t")
     )
-    d = toks.select("doc_id", F.explode("t").alias("term")).distinct()
     nd = docs.agg(F.count("*").cast("double").alias("n"))
-    tdf = d.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    # df per term from the per-doc DISTINCT array directly: exploding
+    # array_distinct feeds a map-side-combined groupBy(term), replacing
+    # the (doc_id, term)-keyed distinct exchange of the exploded frame
+    # (one corpus-sized shuffle fewer — guide §2.3/§2.4). The O(vocab)
+    # result is lazily checkpointed because TWO join sides (df_a, df_b)
+    # consume it and column pruning specializes the aggregate per
+    # branch, defeating Exchange reuse — unchecked, each side re-ran
+    # the whole scan→tokenize→aggregate lineage (plan audit: the df
+    # subtree appeared 2× here, 3× in the capped twin).
+    tdf = (
+        toks.select(F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .localCheckpoint(eager=False)
+    )
     arr = toks.select(
         "doc_id", F.array_sort(F.array_distinct("t")).alias("ts")
     )
@@ -542,9 +555,17 @@ def q_cooccurrence_pmi_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.array(tokens(F.col("text")))).alias("t")
     )
-    d = toks.select("doc_id", F.explode("t").alias("term")).distinct()
     nd = docs.agg(F.count("*").cast("double").alias("n"))
-    tdf = d.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    # See q_cooccurrence_pmi: df from the per-doc distinct array (one
+    # corpus shuffle fewer than distinct-then-count), checkpointed
+    # because THREE consumers (stop list, df_a, df_b) otherwise re-run
+    # the scan→tokenize→aggregate lineage each.
+    tdf = (
+        toks.select(F.explode(F.array_distinct("t")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("double").alias("df"))
+        .localCheckpoint(eager=False)
+    )
     stop = (
         tdf.orderBy(F.col("df").desc(), "term")
         .limit(PMI_STOP_TOP_V)

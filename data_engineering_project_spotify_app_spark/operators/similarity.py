@@ -821,14 +821,25 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     join keys on (query_id, neighbor_id) over top-k-sized frames
     (queries x k rows), then a 2-row union of global aggregates.
     """
-    exact = q_cosine_topk(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    # The brute-force truth set is consumed THREE times (one left join
+    # per method report + the n_truth scalar); without materialization
+    # each consumer re-runs the full queries×corpus scan — the plan
+    # audit showed the Window+WindowGroupLimit brute-force subtree four
+    # times (plans/r14/). The frame is tiny (N_QUERIES × TOPK rows), so
+    # a lazy localCheckpoint computes it once and every consumer reads
+    # blocks (guide §2.4: remove repeated subtrees outright).
+    exact = (
+        q_cosine_topk(spark, sf_dir)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        .localCheckpoint(eager=False)
     )
     nt = exact.agg(F.count("*").cast("double").alias("n_truth"))
 
     mp = q_ann_lsh_multiprobe(spark, sf_dir).select("query_id", "neighbor_id")
 
-    lshp = q_ann_lsh(spark, sf_dir)
+    # Consumed twice (home_a / home_b orientations) — same reasoning;
+    # candidate-pair-bounded, far smaller than the corpus.
+    lshp = q_ann_lsh(spark, sf_dir).localCheckpoint(eager=False)
     home_a = lshp.filter(F.col("vec_a") < N_QUERIES).select(
         F.col("vec_a").alias("query_id"),
         F.col("vec_b").alias("neighbor_id"),
