@@ -96,30 +96,42 @@ def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_set("brand").alias("bs")
     ).localCheckpoint(eager=False)
 
-    # Directed pairs inside codegen: for each a in basket, every b != a.
+    # UNDIRECTED pairs inside codegen (a < b via the sorted-array slice
+    # idiom), mirrored to directed AFTER aggregation: co-occurrence
+    # counts are orientation-symmetric (pair_n(a→b) = pair_n(b→a) = the
+    # number of baskets holding both), so exploding k² directed pairs
+    # per basket shuffled twice the rows for information the ≤
+    # |brands|²/2-row aggregate already holds. Halves the explode
+    # fan-out and the pair shuffle (guide §2.3: shuffle fewer bytes);
+    # the mirror union runs on the aggregated frame (tiny).
     pair = F.explode(
-        F.flatten(
-            F.transform(
-                "bs",
-                lambda a: F.filter(
-                    F.transform(
-                        "bs",
-                        lambda b: F.struct(
-                            a.alias("ante_brand"), b.alias("cons_brand")
-                        ),
-                    ),
-                    lambda s: s["ante_brand"] != s["cons_brand"],
-                ),
-            )
+        F.expr(
+            "flatten(transform(bss, (x, i) -> "
+            "transform(slice(bss, i + 2, size(bss) - i - 1), "
+            "y -> struct(x AS a, y AS b))))"
         )
     )
-    pairs = (
-        baskets.select(pair.alias("pr"))
-        .select("pr.ante_brand", "pr.cons_brand")
-        .groupBy("ante_brand", "cons_brand")
+    upairs = (
+        baskets.select(F.array_sort("bs").alias("bss"))
+        .select(pair.alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
         .count()
         .withColumnRenamed("count", "pair_n")
         .filter(F.col("pair_n") >= MIN_PAIR_N)
+        # two union branches consume this ≤ |brands|²/2-row frame;
+        # checkpoint so the basket explode+aggregate runs once
+        .localCheckpoint(eager=False)
+    )
+    pairs = upairs.select(
+        F.col("a").alias("ante_brand"),
+        F.col("b").alias("cons_brand"),
+        "pair_n",
+    ).unionByName(
+        upairs.select(
+            F.col("b").alias("ante_brand"),
+            F.col("a").alias("cons_brand"),
+            "pair_n",
+        )
     )
 
     # Derive frequencies and the total from the SAME basket aggregate the
@@ -490,6 +502,10 @@ def q_market_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.col("p_brand").alias("brand")
         )
         .agg(F.sum("net").alias("r"))
+        # |nations|×|brands| rows consumed by the share denominator AND
+        # the final join — without the checkpoint the whole 5-table star
+        # join ran twice (r14 plan audit: 20 scans → 5; guide §2.4)
+        .localCheckpoint(eager=False)
     )
     tot = rev.groupBy("nation").agg(F.sum("r").alias("t"))
     share = F.col("r") / F.col("t")
@@ -694,7 +710,14 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("off"),
     )
     local_w = W.partitionBy("pid").orderBy("rn")
-    tot = rev.agg(F.sum("r").alias("tot"))
+    # total revenue from the per-range partial sums, NOT rev.agg(...):
+    # rev is the full lineitem scan+aggregate, and a second aggregate
+    # over it re-ran the whole fact scan (guide §2.4 — the plan audit
+    # showed two lineitem scans). psums is n_ranges rows off the
+    # checkpointed ranged frame, and DECIMAL addition is exact and
+    # associative, so sum-of-partial-sums is bit-identical to the
+    # direct total.
+    tot = psums.agg(F.sum("pr").alias("tot"))
     classed = (
         ranged.join(F.broadcast(offs), "pid")
         .withColumn("cum_r", F.col("off") + F.sum("r").over(local_w))

@@ -1733,11 +1733,18 @@ def weighted_jaccard_pairs(
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
         .crossJoin(F.broadcast(n_docs))
         .select("ds", F.log(F.col("n") / F.size("ds")).alias("w"))
+        # consumed by the per-doc weight fold AND pair generation —
+        # checkpoint so the bucket-collect shuffle (the one data-sized
+        # stage here) runs once (r14 plan audit: 18 Exchanges/12 scans
+        # without it; guide §2.4)
+        .localCheckpoint(eager=False)
     )
     docw = (
         buckets.select(F.explode("ds").alias("doc_id"), "w")
         .groupBy("doc_id")
         .agg(F.sum("w").alias("dw"))
+        # doc-sized; feeds BOTH join orientations (dwa, dwb)
+        .localCheckpoint(eager=False)
     )
     pair = F.explode(
         F.expr(

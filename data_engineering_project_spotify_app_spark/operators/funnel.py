@@ -597,6 +597,9 @@ def q_pareto_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(F.count("*").cast("double").alias("x"))
+        # consumed by BOTH two-phase rank passes (asc Gini rank, desc
+        # decile rank): checkpoint so the events scan+agg runs once
+        .localCheckpoint(eager=False)
     )
     ranked = two_phase_global_rank(
         per,
@@ -1801,10 +1804,15 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = table(spark, sf_dir, "events")
+    # user-sized aggregate, consumed by BOTH the rank pass and the tot
+    # scalar — lazily checkpointed so the events scan+agg runs once
+    # (guide §2.4); tot's plan over the checkpoint is unchanged, so its
+    # double-summation order (and hence its last-ulp value) is too.
     uv = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.sum("value").alias("x"))
+        .localCheckpoint(eager=False)
     )
     ranked = two_phase_global_rank(
         uv, [F.col("x"), F.col("user_id")], 8

@@ -271,6 +271,10 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("nc"),
             F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("nr"),
         )
+        # |types|×10 rows consumed by the bin grid AND the left join —
+        # checkpoint so the events scan + percentile-edge build runs
+        # once (r14 plan audit: 16 scans without it; guide §2.4)
+        .localCheckpoint(eager=False)
     )
     grid = (
         binned.select("event_type")
@@ -292,6 +296,9 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("nr", F.lit(0)).alias("nr"),
         )
     )
+    # counts feeds the per-type totals AND the final PSI aggregate;
+    # the lazy checkpoint keeps the grid join single-execution too
+    counts = counts.localCheckpoint(eager=False)
     tot = counts.groupBy("event_type").agg(
         F.sum("nc").alias("tc"), F.sum("nr").alias("tr")
     )

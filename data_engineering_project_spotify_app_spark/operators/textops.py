@@ -379,13 +379,19 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-located; no broadcast assumption on the (huge) vocab.
     """
     d = table_parallel(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = (
-        table(spark, sf_dir, "documents")
-        .select(F.size(tokens(F.col("text"))).cast("bigint").alias("k"))
-        .agg(F.sum("k").alias("n"))
-    )
+    # toks feeds the vocab build AND the score join; vocab feeds the
+    # corpus total AND the join. Lazy checkpoints make the tokenize run
+    # ONCE (it ran three times: vocab, join side, and a dedicated
+    # total-scan that existed only because vocab used to be re-executed
+    # per consumer — guide §2.4). total = Σc is an exact integer
+    # identity on the checkpointed vocab.
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=False)
+    total = vocab.agg(F.sum("c").alias("n"))
     return (
         toks.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
@@ -454,13 +460,19 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
+    # bg feeds the bigram counts AND the score join; uc feeds the
+    # context join AND the vocab-size scalar (an exact row count of the
+    # unigram table). Lazy checkpoints cut the corpus tokenize from
+    # four executions to two (guide §2.4).
     bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
-    )
+    ).localCheckpoint(eager=False)
     ex = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    uc = ex.groupBy("tok").agg(F.count("*").alias("cu"))
-    v = ex.agg(F.count_distinct("tok").alias("vsz"))
+    uc = ex.groupBy("tok").agg(
+        F.count("*").alias("cu")
+    ).localCheckpoint(eager=False)
+    v = uc.agg(F.count("*").alias("vsz"))
     return (
         bg.join(bc, ["w1", "w2"])
         .join(uc, F.col("tok") == F.col("w1"))
@@ -748,13 +760,15 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket cut is deterministic in both engines.
     """
     d = table_parallel(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    vocab = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = (
-        table(spark, sf_dir, "documents")
-        .select(F.size(tokens(F.col("text"))).cast("bigint").alias("k"))
-        .agg(F.sum("k").alias("n"))
-    )
+    # same shared-frame checkpoints as q_unigram_logprob (guide §2.4):
+    # one tokenize pass, total = Σc off the checkpointed vocab
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    ).localCheckpoint(eager=False)
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=False)
+    total = vocab.agg(F.sum("c").alias("n"))
     lp = (
         toks.join(vocab, "tok")
         .crossJoin(F.broadcast(total))
@@ -1363,14 +1377,24 @@ def q_lm_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
+    # bg feeds the count build AND the score join; uc feeds BOTH unigram
+    # join sides (w1 backoff denominator, w2 backoff numerator). Lazy
+    # checkpoints stop each consumer re-running the tokenize→explode→
+    # aggregate lineage (r14 plan audit: 22 Exchanges / 10 corpus scans
+    # without them — guide §2.4). tot derives from the checkpointed
+    # unigram counts instead of a THIRD corpus pass — n = Σcu and vsz =
+    # |uc| are exact integer identities.
     bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
-    )
+    ).localCheckpoint(eager=False)
     ex = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
     bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    uc = ex.groupBy("tok").agg(F.count("*").alias("cu"))
-    tot = ex.agg(
-        F.count("*").alias("n"), F.count_distinct("tok").alias("vsz")
+    uc = ex.groupBy("tok").agg(
+        F.count("*").alias("cu")
+    ).localCheckpoint(eager=False)
+    tot = uc.agg(
+        F.sum("cu").cast("bigint").alias("n"),
+        F.count("*").alias("vsz"),
     )
     uc1 = uc.select(F.col("tok").alias("w1"), F.col("cu").alias("cu1"))
     uc2 = uc.select(F.col("tok").alias("w2"), F.col("cu").alias("cu2"))
@@ -1554,10 +1578,18 @@ def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
         lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
     )
+    # bg feeds the count build AND the score join; bc feeds FOUR
+    # consumers (ctx, cont, tot, the score join). Lazy checkpoints stop
+    # each consumer re-running the tokenize→explode→aggregate lineage
+    # (r14 plan audit: 26 Exchanges / 10 corpus scans without them —
+    # guide §2.4). bc is bigram-type-sized (vocab², tiny); bg is the
+    # corpus bigram-instance frame.
     bg = toks.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", "p.w1", "p.w2"
-    )
-    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ).localCheckpoint(eager=False)
+    bc = bg.groupBy("w1", "w2").agg(
+        F.count("*").alias("cb")
+    ).localCheckpoint(eager=False)
     ctx = bc.groupBy("w1").agg(
         F.sum("cb").cast("bigint").alias("ctot"),
         F.count("*").alias("n1l"),
@@ -1651,9 +1683,14 @@ def q_trigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("t", 2, m2),
         lambda x, y: F.concat_ws(" ", x, y),
     )
+    # toks (the tokenized arrays) feeds THREE consumers (trigram
+    # explode, bigram-context counts, vocab size) and tg feeds two (the
+    # count build and the score join) — lazy checkpoints make the
+    # corpus tokenize run once instead of three times (guide §2.4).
+    toks = toks.localCheckpoint(eager=False)
     tg = toks.select("doc_id", F.explode(tri).alias("p")).select(
         "doc_id", "p.ctx", "p.g"
-    )
+    ).localCheckpoint(eager=False)
     tc = tg.groupBy("g").agg(F.count("*").alias("ct"))
     bc = (
         toks.select(F.explode(bg).alias("b"))
@@ -2145,15 +2182,26 @@ def q_lm_kneser_ney_3(spark: SparkSession, sf_dir: str) -> DataFrame:
             xy["w1"].alias("w1"), xy["w2"].alias("w2"), z.alias("w3")
         ),
     )
+    # tg feeds the count build AND the score join; tc feeds ctx2 / mid /
+    # wmid / the score join; mid feeds fol / cont / tot / the score
+    # join. Lazy checkpoints stop every consumer re-running the
+    # tokenize→explode→aggregate lineage (r14 plan audit: 44 Exchanges /
+    # 10 corpus scans without them — guide §2.4). tc and mid are
+    # n-gram-TYPE-sized (bounded by vocabulary powers, tiny next to the
+    # corpus); tg is the trigram-instance frame.
     tg = toks.select("doc_id", F.explode(tri).alias("p")).select(
         "doc_id", "p.w1", "p.w2", "p.w3"
-    )
-    tc = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("ct"))
+    ).localCheckpoint(eager=False)
+    tc = tg.groupBy("w1", "w2", "w3").agg(
+        F.count("*").alias("ct")
+    ).localCheckpoint(eager=False)
     ctx2 = tc.groupBy("w1", "w2").agg(
         F.sum("ct").cast("bigint").alias("ctot"),
         F.count("*").alias("n1mid"),
     )
-    mid = tc.groupBy("w2", "w3").agg(F.count("*").alias("n23"))
+    mid = tc.groupBy("w2", "w3").agg(
+        F.count("*").alias("n23")
+    ).localCheckpoint(eager=False)
     wmid = tc.groupBy("w2").agg(F.count("*").alias("ntypes_mid"))
     fol = mid.groupBy("w2").agg(F.count("*").alias("n1f"))
     cont = mid.groupBy("w3").agg(F.count("*").alias("n1r"))
