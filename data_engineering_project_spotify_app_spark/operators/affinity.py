@@ -413,6 +413,12 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (and the persist that guarded its two consumers — both now read
     # the at-rest table).
     baskets = landed_part_baskets(spark, sf_dir)
+    # Kept DIRECTED (r14 optimization round): the undirected-then-
+    # mirror rewrite that halved q_association_rules' explode regressed
+    # here (1.05 → 1.50 s at sf0.1) — at part grain the pair aggregate
+    # is millions of TYPES, so checkpointing it for the mirror union
+    # costs more than the halved explode saves (at brand grain it is
+    # ≤ |brands|² rows and the same rewrite wins).
     pair = F.explode(
         F.expr(
             "flatten(transform(ps, x -> transform("
@@ -429,6 +435,8 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         baskets.select(F.explode("ps").alias("p"))
         .groupBy("p")
         .agg(F.count("*").alias("n"))
+        # part-sized; consumed by BOTH join orientations (na, nb)
+        .localCheckpoint(eager=False)
     )
     na = n_i.select(F.col("p").alias("src"), F.col("n").alias("na"))
     nb = n_i.select(F.col("p").alias("dst"), F.col("n").alias("nb"))
@@ -782,6 +790,10 @@ def q_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_quantity").alias("q"),
             (F.sum("l_extendedprice") / F.sum("l_quantity")).alias("p"),
         )
+        # the |parts|×|months| panel feeds BOTH self-join sides — the
+        # lazy checkpoint stops the lineitem scan+aggregate running
+        # twice (guide §2.4)
+        .localCheckpoint(eager=False)
     )
     # distinct column names per side: a bare self-join on part_key
     # would lean on the analyzer's self-join disambiguation (and warn

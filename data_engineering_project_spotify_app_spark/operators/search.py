@@ -181,12 +181,15 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = df.orderBy(F.col("df").asc(), F.col("term").asc()).limit(
         BM25_QUERY_TERMS
     )
+    # doc-length frame checkpointed; the corpus stats derive from it
+    # instead of a separate tokenize pass over documents (guide §2.4) —
+    # count and avg over the identical per-doc token counts
     dl = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("double").alias("dl")
-    )
-    st = docs.agg(
+    ).localCheckpoint(eager=False)
+    st = dl.agg(
         F.count("*").cast("double").alias("n"),
-        F.avg(F.size(tokens(F.col("text"))).cast("double")).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     idf = F.log(
         (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
@@ -748,12 +751,15 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").asc(), F.col("term").asc())
         .limit(BM25_QUERY_TERMS)
     )
+    # doc-length frame checkpointed; the corpus stats derive from it
+    # instead of a separate tokenize pass over documents (guide §2.4) —
+    # count and avg over the identical per-doc token counts
     dl = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("double").alias("dl")
-    )
-    st = docs.agg(
+    ).localCheckpoint(eager=False)
+    st = dl.agg(
         F.count("*").cast("double").alias("n"),
-        F.avg(F.size(tokens(F.col("text"))).cast("double")).alias("avgdl"),
+        F.avg("dl").alias("avgdl"),
     )
     idf = F.log(
         (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
