@@ -132,6 +132,10 @@ def q_ann_ivf_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), "ccid")
             ),
         )
+        # N×N_CENTROIDS rows consumed by BOTH the assignment (rn = 1)
+        # and the probe list (rn <= NPROBE) — the lazy checkpoint stops
+        # the corpus×centroid scoring + window running twice (§2.4)
+        .localCheckpoint(eager=False)
     )
     assign = ranked.filter(F.col("rn") == 1).select("vec_id", "ccid")
     probes = ranked.filter(

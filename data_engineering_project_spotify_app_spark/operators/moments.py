@@ -687,7 +687,8 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dist = e.select("vec_id", "embedding").mapInPandas(
         gen, "vec_id long, d double"
-    )
+    ).localCheckpoint(eager=False)  # feeds the z-stats AND the ranked
+    # output — without the checkpoint the Arrow scoring pass ran twice
     st = dist.agg(
         F.avg("d").alias("md"), F.stddev_pop("d").alias("sd")
     )
