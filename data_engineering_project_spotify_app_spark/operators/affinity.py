@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_project_spotify_app_spark.operators.pinutil import pinned
 from data_engineering_project_spotify_app_spark.operators.registry import query
 from data_engineering_project_spotify_app_spark.tables import table
 
@@ -210,9 +211,13 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .distinct()
     )
+    # Consumed by the pair explode AND the per-type totals; the two
+    # branches project differently, so the collect_set exchange was NOT
+    # reused and the events scan + distinct + set-collect ran twice
+    # (before-plan: 12 exchanges). Pin it (guide §2.4).
     sets = ut.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("ts")
-    )
+    ).localCheckpoint(eager=False)
     pair = F.explode(
         F.flatten(
             F.transform(
@@ -323,11 +328,15 @@ def q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Both pivot sides (y0/y1) consume the |brands|×2 panel; unpinned,
+    # the filtered lineitem scan + brand join + aggregate ran once per
+    # side (guide §2.4).
     y = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"), "yr")
         .agg(F.sum("l_quantity").alias("qty"), F.sum("net").alias("rev"))
     )
+    y = pinned(y)
     y0 = y.filter(F.col("yr") == BRIDGE_Y0).select(
         "brand",
         F.col("qty").alias("q0"),

@@ -27,6 +27,7 @@ from data_engineering_project_spotify_app_spark.functions.text import (
     tokens,
     word_ngrams,
 )
+from data_engineering_project_spotify_app_spark.operators.pinutil import pinned
 from data_engineering_project_spotify_app_spark.operators.registry import query
 from data_engineering_project_spotify_app_spark.tables import table, table_parallel
 
@@ -585,9 +586,17 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars"
     )
     # Within-source rank from ONE composite-key global rank.
-    comp = two_phase_global_rank(
-        d, [F.col("source"), F.col("n_chars"), F.col("doc_id")], 8
-    ).withColumnRenamed("rn", "crn")
+    # comp feeds the per-source offset aggregate AND the percentile
+    # join; g feeds both interpolation sides (lo/hi). rankutil pins
+    # only its phase-1 ranged frame, so the rank windows above it
+    # re-ran once per consumer (before-plan: 26 exchanges / 16 RDD
+    # scans). Both frames are corpus-sized but narrow — lazy pins
+    # halve the window work (guide §2.4).
+    comp = pinned(
+        two_phase_global_rank(
+            d, [F.col("source"), F.col("n_chars"), F.col("doc_id")], 8
+        ).withColumnRenamed("rn", "crn")
+    )
     src_off = comp.groupBy("source").agg(
         F.min("crn").alias("min_rn"), F.count("*").alias("ns")
     )
@@ -603,13 +612,12 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "pct", "n")
     )
     # Global order of values for the interpolation lookup.
-    g = (
+    g = pinned(
         two_phase_global_rank(
             d.select(F.col("n_chars").alias("val"), "doc_id"),
             [F.col("val"), F.col("doc_id")],
             8,
-        )
-        .select("val", F.col("rn").alias("gr"))
+        ).select("val", F.col("rn").alias("gr"))
     )
     pos = F.lit(1.0) + F.col("pct") * (F.col("n") - F.lit(1.0))
     lo = g.select(F.col("gr").alias("lo_gr"), F.col("val").alias("lo_val"))
@@ -670,10 +678,14 @@ def q_source_lang_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle row-for-row); their p·ln p → 0 contribution is the correct
     limit anyway.
     """
+    # The contingency table feeds the total, both marginals, and the
+    # final join — unpinned, each consumer re-ran the documents scan +
+    # groupBy. |sources|×|langs| rows — pin it (guide §2.4).
     c = (
         table(spark, sf_dir, "documents")
         .groupBy("source", "lang")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     nn = c.agg(F.sum("n").alias("total"))
     ms = c.groupBy("source").agg(F.sum("n").alias("ns"))
@@ -926,10 +938,13 @@ def q_trending_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(tokens(F.col("text"))).alias("tok"),
         )
     )
+    # The per-term half counts feed the totals scalar AND the scored
+    # output; unpinned, the corpus explode + aggregate ran twice.
+    # Vocab-sized — pin it (guide §2.4).
     c = halves.groupBy("tok").agg(
         F.sum(F.when(F.col("is_old"), 1).otherwise(0)).alias("n_old"),
         F.sum(F.when(~F.col("is_old"), 1).otherwise(0)).alias("n_new"),
-    )
+    ).localCheckpoint(eager=False)
     tot = c.agg(
         F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
     )

@@ -431,6 +431,13 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shard"),
         "h",
     )
+    # The ranked frame feeds the per-group min-rank aggregate AND the
+    # final join, so the pid rank windows above rankutil's pinned
+    # phase-1 re-run once per consumer. Measured r14: pinning the
+    # ranked frame too was SLOWER (0.72 -> 0.81 s min-of-4,
+    # same-session A/B at sf0.1) — the frame is corpus×epochs rows and
+    # materializing it costs more than re-running the local windows
+    # over the already-pinned ranged frame. Left unpinned.
     ranked = two_phase_global_rank(
         sharded,
         [F.col("epoch"), F.col("shard"), F.col("h"), F.col("doc_id")],

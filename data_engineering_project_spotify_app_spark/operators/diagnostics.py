@@ -188,7 +188,12 @@ def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it at runtime while it is small.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = minhash_candidate_pairs(spark, sf_dir)
+    # The pair frame feeds BOTH sides of the member union — unpinned,
+    # the LSH band explode + pair dedup lineage re-ran per branch
+    # (guide §2.4). Candidate-pair-bounded, so the pin is cheap.
+    pairs = minhash_candidate_pairs(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     members = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -238,13 +243,22 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     at runtime while the map is genuinely small.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
-    pairs = minhash_candidate_pairs(spark, sf_dir)
+    # THREE consumers of the pair frame (both member-union branches +
+    # the final enrichment join) re-ran the LSH band explode + pair
+    # dedup lineage each; the id→source map is consumed twice (sa/sb).
+    # Both are pair-bounded — lazy pins make each compute once
+    # (guide §2.4).
+    pairs = minhash_candidate_pairs(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     members = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    src_map = d.join(members, "doc_id", "leftsemi")
+    src_map = d.join(members, "doc_id", "leftsemi").localCheckpoint(
+        eager=False
+    )
     sa = src_map.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
     )

@@ -1423,8 +1423,14 @@ def q_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("net").alias("rev"))
     )
     lagw = Window.partitionBy("brand").orderBy("week")
-    d = w.withColumn("prev", F.lag("rev").over(lagw)).filter(
-        F.col("prev").isNotNull()
+    # The lagged panel feeds the latest-week scalar AND the ranked
+    # report; unpinned, the lineitem scan + brand join + weekly
+    # aggregate ran once per consumer. |brands|×|weeks|-sized — pin it
+    # (guide §2.4).
+    d = (
+        w.withColumn("prev", F.lag("rev").over(lagw))
+        .filter(F.col("prev").isNotNull())
+        .localCheckpoint(eager=False)
     )
     last_week = d.agg(F.max("week").alias("wk"))
     chg = (F.col("rev") - F.col("prev")) / F.col("prev")
@@ -1539,6 +1545,10 @@ def q_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one partial-aggregated pass to the ≤ types×7×24 grid;
     marginals are broadcast-sized re-aggregations of it.
     """
+    # The ≤ types×7×24 grid feeds THREE marginal re-aggregations plus
+    # the final join; unpinned, each consumer re-ran the full events
+    # scan + groupBy (before-plan: 14 exchanges / 8 scans). Pin the
+    # grid — one corpus pass instead of four (guide §2.4).
     c = (
         table(spark, sf_dir, "events")
         .groupBy(
@@ -1547,6 +1557,7 @@ def q_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hour("ts").alias("hh"),
         )
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     md = c.groupBy("event_type", "dow").agg(F.sum("n").alias("nd"))
     mh = c.groupBy("event_type", "hh").agg(F.sum("n").alias("nh"))

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_project_spotify_app_spark.operators.pinutil import pinned
 from data_engineering_project_spotify_app_spark.operators.registry import query
 from data_engineering_project_spotify_app_spark.tables import table
 
@@ -198,6 +199,17 @@ def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
             .select(F.col("dst").alias("part"))
             .distinct()
         )
+        # Each hop's discovery frame is consumed twice downstream (next
+        # frontier + the visited union), so the unrolled lineage
+        # duplicates per hop (before-plan: 66 scans / 32 exchanges for
+        # 3 hops) — but every duplicate is a cheap bucketed-landing
+        # scan + broadcast join, and depth is a fixed constant.
+        # Measured r14: pinning each hop behind a lazy localCheckpoint
+        # cost MORE than the recompute it saved (1.40 -> 1.82 s
+        # min-of-4 same-session A/B at sf0.1: three extra job
+        # barriers break AQE's broadcast pipelining of the whole
+        # traversal into few stages). Left unpinned deliberately;
+        # revisit only if MAX_HOPS grows.
         new = nbrs.join(visited.select("part"), "part", "left_anti")
         visited = visited.unionByName(new.withColumn("hops", F.lit(h)))
         frontier = new
@@ -270,9 +282,18 @@ def pagerank(
     """DataFrame-level power iteration: nodes (part) × directed edges
     (src, dst) → (part_key, rank_norm). Property-tested on random
     graphs against a sequential reference (test_graph_properties.py)."""
+    # The degree table is LOOP-INVARIANT but consumed by every
+    # unrolled iteration; unpinned, each of the 5 contribution joins
+    # re-ran the edge scan + degree aggregation (before-plan: 46
+    # scans). Pinning the |V|-sized outdeg alone measured fastest in
+    # the r14 same-session A/B (0.52 -> 0.47 s min-of-4 at sf0.1);
+    # pinning the EDGE-sized ec frame instead was slower (0.61 s —
+    # materializing |E| rows costs more than 5 cheap landing scans),
+    # and pinning the 1-row nc was a wash (kept unpinned: each
+    # re-aggregation is a pruned part scan).
     nc = nodes.agg(F.count("*").cast("double").alias("n"))
-    outdeg = edges.groupBy("src").agg(
-        F.count("*").cast("double").alias("deg")
+    outdeg = pinned(
+        edges.groupBy("src").agg(F.count("*").cast("double").alias("deg"))
     )
     ec = edges.join(outdeg, "src")
     pr = nodes.crossJoin(F.broadcast(nc)).select(

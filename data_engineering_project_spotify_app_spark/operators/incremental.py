@@ -246,12 +246,18 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = table(spark, sf_dir, "customer").select("c_custkey")
     o_band = F.expr(_O_BAND.format(s="STRING"))
     c_band = F.expr(_C_BAND.format(s="STRING"))
+    # The md5 band predicate cannot push down to parquet, so every
+    # delta consumer re-read the full base table and re-hashed it; the
+    # ΔA / ΔB sides are each consumed by TWO algebra terms. Pin the
+    # two delta frames (~1/8 of an input each) so the base tables are
+    # hashed once per side (guide §2.4); the two -old sides have one
+    # consumer each and stay plain scans.
     o_old, o_new = o.filter(o_band >= _DELTA_BAND), o.filter(
         o_band < _DELTA_BAND
-    )
+    ).localCheckpoint(eager=False)
     c_old, c_new = c.filter(c_band >= _DELTA_BAND), c.filter(
         c_band < _DELTA_BAND
-    )
+    ).localCheckpoint(eager=False)
 
     def term(odf: DataFrame, cdf: DataFrame, tag: str, bc) -> DataFrame:
         cside = F.broadcast(cdf) if bc else cdf

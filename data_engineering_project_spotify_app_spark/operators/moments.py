@@ -794,11 +794,17 @@ def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
+    # The per-label d-sums feed the global-sum re-aggregation AND the
+    # per-label join; unpinned, the mapInPandas corpus pass (an
+    # ArrowEval boundary crossing) ran TWICE. labels×d rows — pin it.
+    # per_label likewise feeds the total scalar and the final select
+    # (guide §2.4).
     ls = (
         e.select("label", "embedding")
         .mapInPandas(gen, "label int, i int, su double, nl long")
         .groupBy("label", "i")
         .agg(F.sum("su").alias("su"), F.sum("nl").alias("nl"))
+        .localCheckpoint(eager=False)
     )
     gs = ls.groupBy("i").agg(F.sum("su").alias("gsu"))
     per_label = (
@@ -809,6 +815,7 @@ def q_label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("su") * F.col("su")).alias("norm2"),
             F.sum(F.col("su") * F.col("gsu")).alias("dotg"),
         )
+        .localCheckpoint(eager=False)
     )
     tot = per_label.agg(F.sum("nl").alias("n"))
     nl = F.col("nl").cast("double")

@@ -684,13 +684,17 @@ def q_label_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _srp_signatures(
         e.select("vec_id", "v"), [None], passthrough_v=True
     ).join(e.select("vec_id", "label"), "vec_id")
+    # Both self-join orientations consume the signature+norm frame;
+    # unpinned, the SRP GEMM + label join ran once per side (the two
+    # projections differ, defeating exchange reuse). |vectors|-sized —
+    # pin it (guide §2.4).
     n = n.select(
         "vec_id",
         "v",
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
         "bucket",
         "label",
-    )
+    ).localCheckpoint(eager=False)
     a = n.select(
         "bucket",
         F.col("vec_id").alias("vec_a"),

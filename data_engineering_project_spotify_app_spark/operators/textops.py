@@ -584,8 +584,16 @@ def q_lm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev_tok = toks.filter(is_eval).select(F.explode("t").alias("tok"))
     bc = ev_bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    uc = ev_tok.groupBy("tok").agg(F.count("*").alias("cu"))
-    v = ev_tok.agg(F.count_distinct("tok").alias("vsz"))
+    # The unigram counts feed the context join AND the vocab-size
+    # scalar; pin the vocab-sized frame once and fold |V| from it as
+    # an exact identity (distinct eval tokens == its row count) — one
+    # tokenize pass fewer (guide §2.4).
+    uc = (
+        ev_tok.groupBy("tok")
+        .agg(F.count("*").alias("cu"))
+        .localCheckpoint(eager=False)
+    )
+    v = uc.agg(F.count("*").alias("vsz"))
     cand = (
         toks.filter(~is_eval)
         .select("doc_id", F.explode(pairs).alias("p"))
@@ -1212,20 +1220,27 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
-    tc = feats.filter("is_target").groupBy("bucket").agg(
-        F.count("*").alias("ct")
+    # ONE conditional-count aggregation replaces the three separate
+    # corpus passes (target counts, raw counts, totals): the per-bucket
+    # frame is ≤ D rows, is lazily pinned, and the totals fold from it
+    # as exact integer identities (Σ ct / Σ cr == the direct feature
+    # counts) — 3 tokenize→explode→hash passes fewer (guide §2.3/§2.4;
+    # the LM-ladder treatment). A bucket row with ct=0 behaves exactly
+    # like the old left-join NULL under the coalesce(·, 0) below.
+    cnt = (
+        feats.groupBy("bucket")
+        .agg(
+            F.sum(F.col("is_target").cast("long")).alias("ct"),
+            F.sum((~F.col("is_target")).cast("long")).alias("cr"),
+        )
+        .localCheckpoint(eager=False)
     )
-    rc = feats.filter("NOT is_target").groupBy("bucket").agg(
-        F.count("*").alias("cr")
-    )
-    tot = feats.agg(
-        F.sum(F.col("is_target").cast("long")).alias("nt"),
-        F.sum((~F.col("is_target")).cast("long")).alias("nr"),
+    tot = cnt.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
     )
     spine = spark.range(_DSIR_DIM).select(F.col("id").alias("bucket"))
     ratio = (
-        spine.join(tc, "bucket", "left")
-        .join(rc, "bucket", "left")
+        spine.join(cnt, "bucket", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",
@@ -1775,16 +1790,20 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.pmod(F.col("doc_id"), F.lit(10)) < 2).alias("is_new"),
         F.explode(tokens(F.col("text"))).alias("tok"),
     )
-    nc = tok.filter("is_new").groupBy("tok").agg(F.count("*").alias("cn"))
-    oc = tok.filter("NOT is_new").groupBy("tok").agg(
-        F.count("*").alias("co")
-    )
+    # ONE conditional-count aggregation replaces the two filtered
+    # corpus passes AND their vocab full-outer join: every token lands
+    # in one row with both side counts (a zero count is exactly what
+    # the old outer-join NULL coalesced to). The vocab-sized result is
+    # lazily pinned because the totals aggregate and the KL pass both
+    # consume it (guide §2.3/§2.4 — the DSIR/LM-ladder treatment).
     u = (
-        nc.join(oc, "tok", "full_outer")
-        .select(
-            F.coalesce("cn", F.lit(0)).alias("cn"),
-            F.coalesce("co", F.lit(0)).alias("co"),
+        tok.groupBy("tok")
+        .agg(
+            F.sum(F.col("is_new").cast("long")).alias("cn"),
+            F.sum((~F.col("is_new")).cast("long")).alias("co"),
         )
+        .select("cn", "co")
+        .localCheckpoint(eager=False)
     )
     tot = u.agg(
         F.sum("cn").alias("nn"),
@@ -1855,11 +1874,23 @@ def q_source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table_parallel(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
-    sc = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
-    st = tok.groupBy("source").agg(F.count("*").alias("ns"))
-    wc = tok.groupBy("tok").agg(F.count("*").alias("cw"))
-    tot = tok.agg(
-        F.count("*").alias("n"), F.count_distinct("tok").alias("vsz")
+    # The exploded token frame fed FOUR independent aggregations (sc,
+    # st, wc, tot), each re-running the scan→tokenize→explode lineage
+    # (before-plan: 20 exchanges / 8 scans). The (source, token) counts
+    # dominate all four: pin that frame once and fold the other three
+    # from it as exact integer identities (Σc per source == the
+    # per-source token count; Σc per token == the global token count;
+    # Σc / distinct-token == the corpus totals) — one corpus pass
+    # instead of four (guide §2.3/§2.4).
+    sc = (
+        tok.groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    st = sc.groupBy("source").agg(F.sum("c").alias("ns"))
+    wc = sc.groupBy("tok").agg(F.sum("c").alias("cw"))
+    tot = sc.agg(
+        F.sum("c").alias("n"), F.count_distinct("tok").alias("vsz")
     )
     scored = (
         sc.join(st, "source")
@@ -2027,8 +2058,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice("t", 3, m3),
         lambda xy, z: F.concat_ws(" ", xy, z),
     )
+    # The distinct (doc, trigram) pairs feed the df aggregation AND the
+    # score join; unpinned, the tokenize → trigram explode → distinct
+    # lineage ran twice (guide §2.4).
     tg = (
-        toks.select("doc_id", F.explode(tri).alias("g")).distinct()
+        toks.select("doc_id", F.explode(tri).alias("g"))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     dfq = tg.groupBy("g").agg(F.count("*").alias("df"))
     return (
@@ -2278,19 +2314,30 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded memory; exact here so the oracle can pin it.
     """
     d = table_parallel(spark, sf_dir, "documents")
+    # The scored frame feeds the percentile pass and the clip join, and
+    # the clipped frame feeds the stats pass and the final join —
+    # unpinned, the tokenize lineage ran three times (before-plan: 14
+    # exchanges / 8 scans). Both frames are 3 narrow columns — pin them
+    # (guide §2.4).
     t0 = d.select(
         "doc_id",
         "source",
         F.size(tokens(F.col("text"))).cast("double").alias("s"),
-    )
+    ).localCheckpoint(eager=False)
     pct = t0.groupBy("source").agg(
         F.percentile("s", F.lit(0.05)).alias("p05"),
         F.percentile("s", F.lit(0.95)).alias("p95"),
     )
-    clipped = t0.join(F.broadcast(pct), "source").select(
-        "doc_id",
-        "source",
-        F.least(F.greatest(F.col("s"), F.col("p05")), F.col("p95")).alias("c"),
+    clipped = (
+        t0.join(F.broadcast(pct), "source")
+        .select(
+            "doc_id",
+            "source",
+            F.least(
+                F.greatest(F.col("s"), F.col("p05")), F.col("p95")
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=False)
     )
     stats = clipped.groupBy("source").agg(
         F.avg("c").alias("mu"), F.stddev_pop("c").alias("sd")

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from data_engineering_project_spotify_app_spark.operators.pinutil import pinned
 from data_engineering_project_spotify_app_spark.operators.registry import query
 from data_engineering_project_spotify_app_spark.tables import table
 
@@ -1078,6 +1079,10 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat_supp = s.join(
         F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey")
+    # Consumed twice (threshold aggregate + the final filter); column
+    # pruning specializes each branch, so Catalyst did NOT reuse the
+    # exchange and the partsupp derivation + join + groupBy ran twice
+    # (before-plan: 12 scans). |parts|-sized — pin it (guide §2.4).
     grouped = (
         ps.join(F.broadcast(nat_supp), F.col("ps_suppkey") == F.col("s_suppkey"))
         .groupBy("ps_partkey")
@@ -1085,6 +1090,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("ps_supplycost") * F.col("ps_availqty")).alias("v")
         )
     )
+    grouped = pinned(grouped)
     threshold = grouped.agg(
         (F.lit(2.0) * F.sum("v") / F.count("*")).alias("thr")
     )

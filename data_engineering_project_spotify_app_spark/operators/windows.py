@@ -560,7 +560,15 @@ def q_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides reduce to (day, user) pairs before any counting.
     """
     e = table(spark, sf_dir, "events")
-    ud = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    # (day, user) pairs feed THREE consumers (dau, the day spine, and
+    # the wau cover-window); unpinned, each re-ran the events scan +
+    # distinct (before-plan: 12 exchanges). Narrow two-column frame —
+    # pin it (guide §2.4).
+    ud = (
+        e.select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
     days = ud.select("day").distinct()
     wau = (

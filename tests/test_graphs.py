@@ -109,7 +109,9 @@ def test_pagerank_rank_bounds(spark):
 def test_bfs_plan_is_one_unrolled_dag(spark):
     """The fixed-depth BFS is ONE declarative plan: every hop's
     left_anti frontier prune appears in the physical plan (no
-    driver-side convergence loop materializing intermediates)."""
+    driver-side convergence loop materializing intermediates, and no
+    per-hop checkpoints — measured slower than the bounded recompute
+    at sf0.1, see bfs_hops)."""
     import io
     import contextlib
 

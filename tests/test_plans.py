@@ -39,6 +39,33 @@ def pushed_filters(plan: str) -> list[str]:
     ]
 
 
+def plan_with_pins(spark, sf_dir, name: str) -> tuple[str, list[str]]:
+    """The consumer's plan PLUS the pre-checkpoint plan of every frame
+    it pins via pinutil.pinned — a pinned lineage is hidden behind
+    'Scan ExistingRDD' in the consumer explain, so shape assertions
+    (pushed filters, join strategy, window partitioning) must run
+    against the captured pre-pin plans (the rankutil.PHASE1_OBSERVERS
+    contract, generalized)."""
+    from data_engineering_project_spotify_app_spark.operators import (
+        pinutil,
+    )
+
+    captured: list[str] = []
+
+    def _obs(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        captured.append(buf.getvalue())
+
+    pinutil.PIN_OBSERVERS.append(_obs)
+    try:
+        plan = plan_of(spark, sf_dir, name)
+    finally:
+        pinutil.PIN_OBSERVERS.remove(_obs)
+    return plan, captured
+
+
 @pytest.mark.parametrize("name", ["q_tpch_q1", "q_tpch_q6", "q_point_lookup"])
 def test_filters_reach_parquet_scan(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
@@ -186,10 +213,12 @@ def test_partsupp_family_joins_broadcast_not_shuffle(spark, sf_dir, name):
     """Derived-partsupp queries: every dimension side (filtered part,
     nation-filtered supplier set, red-part keys, orders) must broadcast
     — the only shuffles should be the partsupp distinct and the group
-    aggregations."""
-    plan = plan_of(spark, sf_dir, name)
-    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan}"
-    assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge\n{plan}"
+    aggregations. Q11 pins its grouped aggregate (two consumers), so
+    its join lineage is asserted on the captured pre-pin plan."""
+    plan, pins = plan_with_pins(spark, sf_dir, name)
+    full = plan + "".join(pins)
+    assert "BroadcastHashJoin" in full, f"{name}: no broadcast join\n{full}"
+    assert "SortMergeJoin" not in full, f"{name}: unexpected sort-merge\n{full}"
 
 
 def test_q21_single_lineitem_scan_and_shuffle(spark, sf_dir):
@@ -375,10 +404,15 @@ def test_global_rank_analytics_two_phase(spark, sf_dir, name):
     The only unpartitioned windows run over the per-range count frame
     (one row per range). The rangepartitioning itself is pinned on
     rankutil.ranged_by directly (test below), since the checkpoint
-    hides it from consumer explains."""
+    hides it from consumer explains. Consumers that additionally pin
+    the RANKED frame (q_epoch_shuffle: two downstream branches) show
+    the pid windows in the captured pre-pin plan instead of the final
+    explain — assert over both."""
     plan, phase1 = _plan_with_phase1(spark, sf_dir, name)
+    _, pins = plan_with_pins(spark, sf_dir, name)
+    full = plan + "".join(pins)
     assert "Scan ExistingRDD" in plan, plan
-    assert "windowspecdefinition(pid#" in plan, plan
+    assert "windowspecdefinition(pid#" in full, full
     _assert_phase1_is_single_range_exchange(name, phase1)
 
 

@@ -4,17 +4,20 @@ from __future__ import annotations
 
 import pytest
 
-from tests.test_plans import plan_of, pushed_filters
+from tests.test_plans import plan_of, plan_with_pins, pushed_filters
 
 
 def test_revenue_bridge_pushdown_and_broadcast(spark, sf_dir):
     """The shipdate range predicate must reach the parquet scan (it is
     written against the raw column, not year()), and the part dim join
-    must broadcast."""
-    plan = plan_of(spark, sf_dir, "q_revenue_bridge")
-    pushed = pushed_filters(plan)
-    assert any("l_shipdate" in p for p in pushed), plan
-    assert "BroadcastHashJoin" in plan, plan
+    must broadcast. The brand×year panel is pinned (two pivot
+    consumers), so the scan+join lineage is asserted on the captured
+    pre-pin plan."""
+    plan, pins = plan_with_pins(spark, sf_dir, "q_revenue_bridge")
+    full = plan + "".join(pins)
+    pushed = pushed_filters(full)
+    assert any("l_shipdate" in p for p in pushed), full
+    assert "BroadcastHashJoin" in full, full
 
 
 @pytest.mark.parametrize(
@@ -43,10 +46,13 @@ def test_quantile_normalize_rank_is_two_phase(spark, sf_dir):
     exchange sits behind rankutil's checkpoint boundary since the r13
     execution-consistency fix (visible as Scan ExistingRDD;
     rangepartitioning itself is pinned on ranged_by in
-    test_plans.py)."""
-    plan = plan_of(spark, sf_dir, "q_quantile_normalize")
+    test_plans.py). Both ranked frames are additionally pinned (each
+    has two consumers), so the pid windows show in the captured
+    pre-pin plans."""
+    plan, pins = plan_with_pins(spark, sf_dir, "q_quantile_normalize")
+    full = plan + "".join(pins)
     assert "Scan ExistingRDD" in plan, plan
-    assert "windowspecdefinition(pid#" in plan, plan
+    assert "windowspecdefinition(pid#" in full, full
 
 
 def test_covariance_and_quantize_have_no_data_shuffle(spark, sf_dir):
