@@ -188,12 +188,13 @@ def q_near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts it at runtime while it is small.
     """
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
-    # The pair frame feeds BOTH sides of the member union — unpinned,
-    # the LSH band explode + pair dedup lineage re-ran per branch
-    # (guide §2.4). Candidate-pair-bounded, so the pin is cheap.
-    pairs = minhash_candidate_pairs(spark, sf_dir).localCheckpoint(
-        eager=False
-    )
+    # Measured-and-rejected (r14): pinning the pair frame (consumed by
+    # both member-union branches) ran SLOWER (0.69 → 1.53 s min-of-4,
+    # same-session A/B at sf0.1) — the two branches execute as
+    # concurrent stages of one job off the signature landing, while a
+    # checkpoint serializes the pair derivation ahead of them. The
+    # landing read IS the materialized form; kept unpinned.
+    pairs = minhash_candidate_pairs(spark, sf_dir)
     members = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -245,9 +246,12 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     # THREE consumers of the pair frame (both member-union branches +
     # the final enrichment join) re-ran the LSH band explode + pair
-    # dedup lineage each; the id→source map is consumed twice (sa/sb).
-    # Both are pair-bounded — lazy pins make each compute once
-    # (guide §2.4).
+    # dedup lineage each; pair-bounded, so the lazy pin computes it
+    # once (guide §2.4). Measured r14 pin matrix (min-of-4 at sf0.1):
+    # none 1.29, pairs-only 0.98, map-only 1.51, both 0.98 — the pairs
+    # pin is the win; ALSO pinning the src_map (two consumers, but
+    # derived cheaply from the pinned pairs) only adds a job barrier,
+    # so it stays lineage.
     pairs = minhash_candidate_pairs(spark, sf_dir).localCheckpoint(
         eager=False
     )
@@ -256,9 +260,7 @@ def q_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    src_map = d.join(members, "doc_id", "leftsemi").localCheckpoint(
-        eager=False
-    )
+    src_map = d.join(members, "doc_id", "leftsemi")
     sa = src_map.select(
         F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a")
     )

@@ -584,16 +584,14 @@ def q_lm_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev_tok = toks.filter(is_eval).select(F.explode("t").alias("tok"))
     bc = ev_bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    # The unigram counts feed the context join AND the vocab-size
-    # scalar; pin the vocab-sized frame once and fold |V| from it as
-    # an exact identity (distinct eval tokens == its row count) — one
-    # tokenize pass fewer (guide §2.4).
-    uc = (
-        ev_tok.groupBy("tok")
-        .agg(F.count("*").alias("cu"))
-        .localCheckpoint(eager=False)
-    )
-    v = uc.agg(F.count("*").alias("vsz"))
+    # Measured-and-rejected (r14): pinning uc and folding |V| from its
+    # row count saved one eval-slice tokenize pass on paper but ran
+    # SLOWER (0.68 → 0.93 s min-of-4, same-session A/B at sf0.1) —
+    # uc/v both build inside broadcast jobs whose stages run
+    # concurrently; a checkpoint serializes them. The eval slice is
+    # small by definition, so the redundant pass is cheap at any scale.
+    uc = ev_tok.groupBy("tok").agg(F.count("*").alias("cu"))
+    v = ev_tok.agg(F.count_distinct("tok").alias("vsz"))
     cand = (
         toks.filter(~is_eval)
         .select("doc_id", F.explode(pairs).alias("p"))
@@ -1220,27 +1218,28 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
-    # ONE conditional-count aggregation replaces the three separate
-    # corpus passes (target counts, raw counts, totals): the per-bucket
-    # frame is ≤ D rows, is lazily pinned, and the totals fold from it
-    # as exact integer identities (Σ ct / Σ cr == the direct feature
-    # counts) — 3 tokenize→explode→hash passes fewer (guide §2.3/§2.4;
-    # the LM-ladder treatment). A bucket row with ct=0 behaves exactly
-    # like the old left-join NULL under the coalesce(·, 0) below.
-    cnt = (
-        feats.groupBy("bucket")
-        .agg(
-            F.sum(F.col("is_target").cast("long")).alias("ct"),
-            F.sum((~F.col("is_target")).cast("long")).alias("cr"),
-        )
-        .localCheckpoint(eager=False)
+    # Measured-and-rejected (r14): fusing tc/rc/tot into one pinned
+    # conditional-count aggregation looked like "3 corpus passes → 1"
+    # but ran SLOWER (1.37 → 1.93 s min-of-4, same-session A/B at
+    # sf0.1) — the three subtrees below all build inside the ratio
+    # BROADCAST job, whose independent stages Spark schedules
+    # CONCURRENTLY across the cores, while a lazy checkpoint serializes
+    # its materialization ahead of the broadcast. Parallel redundant
+    # stages beat a serialized shared stage here; kept as-is.
+    tc = feats.filter("is_target").groupBy("bucket").agg(
+        F.count("*").alias("ct")
     )
-    tot = cnt.agg(
-        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    rc = feats.filter("NOT is_target").groupBy("bucket").agg(
+        F.count("*").alias("cr")
+    )
+    tot = feats.agg(
+        F.sum(F.col("is_target").cast("long")).alias("nt"),
+        F.sum((~F.col("is_target")).cast("long")).alias("nr"),
     )
     spine = spark.range(_DSIR_DIM).select(F.col("id").alias("bucket"))
     ratio = (
-        spine.join(cnt, "bucket", "left")
+        spine.join(tc, "bucket", "left")
+        .join(rc, "bucket", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",
