@@ -244,18 +244,44 @@ def _landing_builders():
     return landing_builders()
 
 
-def _map_write_path(here: str, sf_val, n_runs: int) -> str:
+def _bench_cpus() -> int:
+    """The core count this run executes at (the driver contract's
+    SPARK_GRAFT_CPUS, falling back to the box)."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_CPUS", ""))
+    except ValueError:
+        return os.cpu_count() or 8
+
+
+def _map_write_path(here: str, sf_val, n_runs: int, cpus: int | None = None) -> str:
     """Where this run's full per-query map goes. BENCH_QUERIES.json
     (committed) is the sf0.1 min-of-N regression baseline; a smoke run
     at any other SF — or a single-run pass — must NEVER replace it
     (VERDICT r13 item 5: an sf0.001 smoke silently swapped the screen
     baseline for garbage in-session). Non-protocol runs write to /tmp;
-    SPARK_GRAFT_BENCH_COMMIT=1 force-commits (a deliberate re-baseline)."""
-    if os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1" or (
-        sf_val == 0.1 and n_runs >= 2
-    ):
+    SPARK_GRAFT_BENCH_COMMIT=1 force-commits (a deliberate re-baseline).
+
+    The committed map additionally records the CORE COUNT it was taken
+    at, and a protocol-shaped run at a DIFFERENT core count is routed to
+    /tmp too (VERDICT r14 item 2: the driver's 8-core scaling pass —
+    sf0.1, runs=2, just fewer cores — silently re-baselined the screen
+    with numbers the 32-core protocol can't be compared against)."""
+    if os.environ.get("SPARK_GRAFT_BENCH_COMMIT") == "1":
         return os.path.join(here, "BENCH_QUERIES.json")
-    return "/tmp/BENCH_QUERIES.smoke.json"
+    if not (sf_val == 0.1 and n_runs >= 2):
+        return "/tmp/BENCH_QUERIES.smoke.json"
+    committed = os.path.join(here, "BENCH_QUERIES.json")
+    if cpus is not None:
+        try:
+            with open(committed) as fh:
+                committed_cpus = json.load(fh).get("cpus")
+        except (OSError, ValueError):
+            committed_cpus = None
+        # None = a pre-r15 map that never recorded cpus: the first
+        # protocol run after this change stamps it.
+        if committed_cpus is not None and cpus != committed_cpus:
+            return f"/tmp/BENCH_QUERIES.c{cpus}.json"
+    return committed
 
 
 def _rotation_window(all_names: list[str]) -> tuple[list[str], int]:
@@ -388,8 +414,14 @@ def main() -> None:
             prev_doc = json.load(fh)
         # Only screen against a map recorded at the SAME scale factor —
         # comparing an sf0.001 smoke run to the committed sf0.1 map
-        # would name every query.
-        if prev_doc.get("sf") == sf_val:
+        # would name every query — and at the same CORE COUNT when the
+        # map records one (an 8-core map's ratios are not plan signal
+        # for a 32-core run; the canary normalizer absorbs box speed,
+        # not parallelism).
+        if prev_doc.get("sf") == sf_val and prev_doc.get("cpus") in (
+            None,
+            _bench_cpus(),
+        ):
             prev_map = dict(prev_doc.get("queries") or {})
             prev_map.update(prev_doc.get("rotation") or {})
             # canary mins too (same min-of-N protocol): a canary that is
@@ -515,11 +547,12 @@ def main() -> None:
     # headline total; humans and BASELINE.md read the file. Non-protocol
     # runs (sf != 0.1 or runs < 2) are routed to /tmp so they can never
     # clobber the committed screen baseline.
-    map_path = _map_write_path(here, sf_val, n_runs)
+    map_path = _map_write_path(here, sf_val, n_runs, _bench_cpus())
     with open(map_path, "w") as fh:
         json.dump(
             {
                 "sf": sf_val,
+                "cpus": _bench_cpus(),
                 "runs": n_runs,
                 "aggregation": "per_query_min_of_runs",
                 "total_sec": total,

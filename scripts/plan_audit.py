@@ -27,9 +27,19 @@ from data_engineering_project_spotify_app_spark.session import get_spark
 
 
 def plan_text(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:  # noqa: BLE001 — private JVM API; fall back to
+        # the public explain capture if it ever changes (ADVICE r14)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
 
 
 def audit(text: str) -> dict:
@@ -62,8 +72,11 @@ def main() -> None:
     todo = names or list(registry.QUERIES)
     summary: dict[str, dict] = {}
     for name in todo:
-        fn = registry.QUERIES[name]
         try:
+            # lookup inside the try: a mistyped CLI name is recorded in
+            # the summary like any per-query error instead of aborting
+            # the whole audit with a KeyError (ADVICE r14)
+            fn = registry.QUERIES[name]
             df = fn(spark, sf_dir)
             text = plan_text(df)
         except Exception as exc:  # noqa: BLE001 — record and move on

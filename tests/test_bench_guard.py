@@ -34,6 +34,39 @@ def test_map_write_path_protocol_vs_smoke(monkeypatch):
     assert bench._map_write_path(HERE, 0.001, 1) == COMMITTED
 
 
+def test_map_write_path_cpus_gate(monkeypatch, tmp_path):
+    """VERDICT r14 item 2: a protocol-shaped run at a different core
+    count (the driver's 8-core scaling pass) must NOT replace the
+    committed map recorded at the protocol core count."""
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_COMMIT", raising=False)
+    here = str(tmp_path)
+    committed = os.path.join(here, "BENCH_QUERIES.json")
+    # no committed map yet: any protocol run may bootstrap it
+    assert bench._map_write_path(here, 0.1, 2, 8) == committed
+    # committed map recorded at 32 cores: 8-core run routes to /tmp,
+    # 32-core run commits
+    with open(committed, "w") as fh:
+        json.dump({"sf": 0.1, "cpus": 32, "queries": {}}, fh)
+    assert bench._map_write_path(here, 0.1, 2, 8) == "/tmp/BENCH_QUERIES.c8.json"
+    assert bench._map_write_path(here, 0.1, 2, 32) == committed
+    # pre-r15 map without a cpus stamp: first protocol run stamps it
+    with open(committed, "w") as fh:
+        json.dump({"sf": 0.1, "queries": {}}, fh)
+    assert bench._map_write_path(here, 0.1, 2, 8) == committed
+    # force-commit overrides the cpus gate too (deliberate re-baseline)
+    with open(committed, "w") as fh:
+        json.dump({"sf": 0.1, "cpus": 32, "queries": {}}, fh)
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_COMMIT", "1")
+    assert bench._map_write_path(here, 0.1, 2, 8) == committed
+
+
+def test_bench_cpus_reads_driver_contract(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "8")
+    assert bench._bench_cpus() == 8
+    monkeypatch.delenv("SPARK_GRAFT_CPUS", raising=False)
+    assert bench._bench_cpus() == (os.cpu_count() or 8)
+
+
 def test_smoke_bench_leaves_committed_map_byte_identical(
     spark, monkeypatch, tmp_path
 ):
