@@ -402,6 +402,37 @@ def _funnel_oracle() -> str:
     )
 
 
+def _ek_cc_arms(spark: SparkSession, sf_dir: str):
+    """The funnel's two stage arms: the exact-dup keep table and the
+    ONE shared CC labeling.
+
+    Overlapping them from a driver thread (guide §2.6 — pin ek, submit
+    its materialization on an InheritableThread while the CC driver
+    loop runs, join before returning) was implemented and MEASURED r15:
+    q_curation_funnel min-of-4 2.178 -> 2.168 s (a wash on mins) with
+    WORSE run-to-run samples (2.74/2.84/2.87 vs 2.35/2.20/2.18) —
+    reverted. Mechanism: the ek subtree already builds CONCURRENTLY
+    inside the final join's broadcast-build stages, so the thread only
+    moved it ahead of the CC loop and added a checkpoint
+    materialization barrier (the r14 pin-vs-parallel-stages lesson,
+    OPTIMIZATION_r14.md §5, applied to driver threads). The serialized
+    stage cost VERDICT r14 item 6 hoped to reclaim was already being
+    reclaimed by the scheduler.
+    """
+    from data_engineering_project_spotify_app_spark.operators.clusters import (
+        q_dedup_clusters,
+    )
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        q_dedup_exact,
+    )
+
+    ek = q_dedup_exact(spark, sf_dir).select(
+        F.col("text_hash").alias("h"), F.col("keep_id").alias("ekeep")
+    )
+    cc = q_dedup_clusters(spark, sf_dir)
+    return ek, cc
+
+
 @query("q_curation_funnel", oracle=_funnel_oracle())
 def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation funnel, attributed: every document is
@@ -422,23 +453,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from data_engineering_project_spotify_app_spark.operators.clusters import (
         keep_best_from_cc,
-        q_dedup_clusters,
-    )
-    from data_engineering_project_spotify_app_spark.operators.dedup import (
-        q_dedup_exact,
     )
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.md5("text").alias("h")
     )
-    ek = q_dedup_exact(spark, sf_dir).select(
-        F.col("text_hash").alias("h"), F.col("keep_id").alias("ekeep")
-    )
     # ONE CC run shared by the membership join and the keep-best
     # derivation — calling q_dedup_keep_best here would re-run the whole
     # candidate-pair + connected-components pipeline (a driver-side
     # loop of separate jobs Catalyst cannot deduplicate) a second time.
-    cc = q_dedup_clusters(spark, sf_dir)
+    ek, cc = _ek_cc_arms(spark, sf_dir)
     dl = table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("len")
     )
@@ -575,20 +599,14 @@ def q_funnel_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     by sources × 4 stages."""
     from data_engineering_project_spotify_app_spark.operators.clusters import (
         keep_best_from_cc,
-        q_dedup_clusters,
-    )
-    from data_engineering_project_spotify_app_spark.operators.dedup import (
-        q_dedup_exact,
     )
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars", F.md5("text").alias("h")
     )
-    ek = q_dedup_exact(spark, sf_dir).select(
-        F.col("text_hash").alias("h"), F.col("keep_id").alias("ekeep")
-    )
-    # ONE CC run shared by membership + keep-best (see q_curation_funnel)
-    cc = q_dedup_clusters(spark, sf_dir)
+    # ONE CC run shared by membership + keep-best (see q_curation_funnel;
+    # the thread-overlap experiment and its revert live in _ek_cc_arms)
+    ek, cc = _ek_cc_arms(spark, sf_dir)
     dl = table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").alias("len")
     )

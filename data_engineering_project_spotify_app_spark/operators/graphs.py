@@ -187,10 +187,31 @@ def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(seeds, edges, MAX_HOPS)
 
 
+# Unpinned-BFS depth ceiling (VERDICT r14 item 7). Each hop's discovery
+# frame is consumed twice downstream (next frontier + the visited
+# union), so the unrolled lineage roughly DOUBLES per hop (66 scans /
+# 32 exchanges at depth 3). Measured r14 at the registered depth 3:
+# pinning each hop behind a lazy localCheckpoint cost MORE than the
+# recompute it saved (1.40 -> 1.82 s min-of-4 same-session A/B at
+# sf0.1 — three extra job barriers break AQE's broadcast pipelining of
+# the traversal into few stages), so shallow traversals stay unpinned.
+# Past this depth the 2^h lineage growth must flip that trade (plan
+# size alone becomes the cost), so deeper traversals pin each hop's
+# discovery frame — the depth-conditional rule rather than a constant
+# choice that silently inverts if MAX_HOPS ever grows.
+BFS_PIN_DEPTH = 3
+
+
 def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
     """DataFrame-level BFS: seeds (part) × directed edges (src, dst) →
     (part_key, hops). Property-tested on hypothesis-generated random
-    graphs against a sequential reference (test_graph_properties.py)."""
+    graphs against a sequential reference (test_graph_properties.py),
+    including depths past BFS_PIN_DEPTH so the pinned path is covered."""
+    from data_engineering_project_spotify_app_spark.operators.pinutil import (
+        pinned,
+    )
+
+    pin_hops = max_hops > BFS_PIN_DEPTH
     visited = seeds.withColumn("hops", F.lit(0))
     frontier = seeds
     for h in range(1, max_hops + 1):
@@ -199,18 +220,12 @@ def bfs_hops(seeds: DataFrame, edges: DataFrame, max_hops: int) -> DataFrame:
             .select(F.col("dst").alias("part"))
             .distinct()
         )
-        # Each hop's discovery frame is consumed twice downstream (next
-        # frontier + the visited union), so the unrolled lineage
-        # duplicates per hop (before-plan: 66 scans / 32 exchanges for
-        # 3 hops) — but every duplicate is a cheap bucketed-landing
-        # scan + broadcast join, and depth is a fixed constant.
-        # Measured r14: pinning each hop behind a lazy localCheckpoint
-        # cost MORE than the recompute it saved (1.40 -> 1.82 s
-        # min-of-4 same-session A/B at sf0.1: three extra job
-        # barriers break AQE's broadcast pipelining of the whole
-        # traversal into few stages). Left unpinned deliberately;
-        # revisit only if MAX_HOPS grows.
         new = nbrs.join(visited.select("part"), "part", "left_anti")
+        # Depth-conditional pin (see BFS_PIN_DEPTH above): only deep
+        # traversals pay the per-hop checkpoint barrier; the last hop
+        # never pins (its frame is consumed once, in the final union).
+        if pin_hops and h < max_hops:
+            new = pinned(new)
         visited = visited.unionByName(new.withColumn("hops", F.lit(h)))
         frontier = new
     return visited.select(

@@ -100,6 +100,49 @@ def test_bfs_hops_random_graphs(spark, pairs):
     assert got == dist
 
 
+def test_bfs_hops_deep_pinned_path(spark):
+    """Depth past BFS_PIN_DEPTH takes the per-hop pinned branch (the
+    2^h-lineage guard, VERDICT r14 item 7): results must match the
+    sequential reference exactly, and the rule must actually fire."""
+    from data_engineering_project_spotify_app_spark.operators.graphs import (
+        BFS_PIN_DEPTH,
+    )
+    from data_engineering_project_spotify_app_spark.operators import pinutil
+
+    # a 12-node path graph: seeds at one end force max-depth discovery
+    edges = [(i, i + 1) for i in range(11)]
+    sym = edges + [(b, a) for a, b in edges]
+    max_hops = BFS_PIN_DEPTH + 3
+    adj = defaultdict(set)
+    for a, b in sym:
+        adj[a].add(b)
+    dist = {0: 0}
+    frontier = [0]
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    seeds_df = spark.createDataFrame([(0,)], "part bigint")
+    observed: list = []
+    pinutil.PIN_OBSERVERS.append(observed.append)
+    try:
+        got = {
+            r["part_key"]: r["hops"]
+            for r in bfs_hops(
+                seeds_df, _edge_df(spark, sym), max_hops
+            ).collect()
+        }
+    finally:
+        pinutil.PIN_OBSERVERS.remove(observed.append)
+    assert got == dist
+    # one pin per non-final hop — the depth-conditional rule fired
+    assert len(observed) == max_hops - 1
+
+
 @given(pairs=_edges)
 @settings(**_SETTINGS)
 def test_pagerank_random_graphs(spark, pairs):
