@@ -1165,13 +1165,30 @@ def q_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 JP_T_NUM, JP_T_DEN = 3, 5
 
 
+# Width of the per-doc set signature, in 64-bit words (r15). Each
+# shingle rank hashes to one of JP_SIG_WORDS*64 bit positions; a doc's
+# signature ORs its ranks' bits. popcount(sig_a XOR sig_b) then LOWER-
+# bounds |A△B| (a bit set on exactly one side witnesses >= 1 element of
+# the symmetric difference, distinct bits witness distinct elements),
+# which makes the emission-time prune in q_jaccard_prefix_join exact.
+# Sizing: discrimination degrades as sets saturate the bitmap (n >>
+# bits leaves XOR near 0 — harmless, the filter just stops pruning);
+# 128 bits covers the 8..98-shingle docs here with ~4 sigma of
+# separation for dissimilar pairs. At 100 TB size it to ~2x the typical
+# distinct-shingle count per doc.
+JP_SIG_WORDS = 2
+
+
 def _jp_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_jaccard_prefix_join's per-doc frame: sorted global-rarity rank
-    array (rarest first) + integer prefix length. Factored out (and
-    plan-pinned in tests/test_plans.py) because the query consumes it
-    through a localCheckpoint boundary that hides this subplan: the
-    global ranking must stay the TWO-PHASE range rank (rankutil), never
-    a single-partition window over the corpus-scale shingle vocabulary.
+    array (rarest first), integer prefix length, and the fixed-width
+    set-signature words b0..b{JP_SIG_WORDS-1} (see JP_SIG_WORDS — the
+    signature rides the slim prefix join as 2 extra longs so pairs can
+    be pruned at emission). Factored out (and plan-pinned in
+    tests/test_plans.py) because the query consumes it through a
+    localCheckpoint boundary that hides this subplan: the global
+    ranking must stay the TWO-PHASE range rank (rankutil), never a
+    single-partition window over the corpus-scale shingle vocabulary.
     """
     from data_engineering_project_spotify_app_spark.operators.rankutil import (
         two_phase_global_rank,
@@ -1187,10 +1204,22 @@ def _jp_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = two_phase_global_rank(
         dfreq, [F.col("df").asc(), F.col("sh").asc()], 32
     ).select("sh", F.col("rn").cast("bigint").alias("srank"))
+    nbits = 64 * JP_SIG_WORDS
+    with_bit = sh.join(ranked, "sh").withColumn(
+        "_h", F.pmod(F.xxhash64("srank"), F.lit(nbits)).cast("int")
+    )
+    sig_words = [
+        F.bit_or(
+            F.when(
+                (F.col("_h") >= 64 * w) & (F.col("_h") < 64 * (w + 1)),
+                F.expr(f"shiftleft(cast(1 as bigint), _h - {64 * w})"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        ).alias(f"b{w}")
+        for w in range(JP_SIG_WORDS)
+    ]
     return (
-        sh.join(ranked, "sh")
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list("srank")).alias("ranks"))
+        with_bit.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("srank")).alias("ranks"), *sig_words)
         .withColumn("n", F.size("ranks"))
         .withColumn(
             "p",
@@ -1243,12 +1272,14 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank (rankutil — the shingle vocabulary is corpus-scale, never a
     single-partition window); candidates form only where two prefixes
     share a shingle (bounded small by rarity). Candidate generation is
-    IDS-ONLY and fully codegen'd: a slim (srank, doc_id, n) PREFIX
-    self-join on the rare-shingle rank, with doc_a < doc_b and the
-    PPJoin length filter (min·den ≥ max·num — Jaccard ≥ t bounds the
-    size ratio) evaluated inside the join, then a two-column distinct;
-    only the SURVIVING pairs join the per-doc rank arrays back for the
-    exact intersect verify. Two earlier forms were measured and
+    IDS-ONLY and fully codegen'd: a slim (srank, doc_id, n, sig) PREFIX
+    self-join on the rare-shingle rank, with doc_a < doc_b, the PPJoin
+    length filter (min·den ≥ max·num — Jaccard ≥ t bounds the size
+    ratio) and the exact SET-SIGNATURE prune (popcount of the XOR of
+    the per-doc bitmap signatures lower-bounds |A△B|; see JP_SIG_WORDS)
+    evaluated inside the join, then a two-column distinct; only the
+    SURVIVING pairs join the per-doc rank arrays back for the exact
+    intersect verify. Two earlier forms were measured and
     replaced: shipping full rank arrays into collect_list buckets
     (37.8 s at sf0.1) and an interpreted array-HOF pair explode over
     ids-only buckets (~21 s — the O(bucket²) transform/slice ran in
@@ -1277,6 +1308,7 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = per_doc.select(
         "doc_id",
         "n",
+        *[f"b{w}" for w in range(JP_SIG_WORDS)],
         F.explode(F.slice("ranks", 1, F.col("p").cast("int"))).alias(
             "srank"
         ),
@@ -1289,11 +1321,24 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("srank").alias("srank_a"),
         F.col("doc_id").alias("doc_a"),
         F.col("n").alias("na"),
+        *[F.col(f"b{w}").alias(f"b{w}_a") for w in range(JP_SIG_WORDS)],
     )
     b = pref.select(
         F.col("srank").alias("srank_b"),
         F.col("doc_id").alias("doc_b"),
         F.col("n").alias("nb"),
+        *[F.col(f"b{w}").alias(f"b{w}_b") for w in range(JP_SIG_WORDS)],
+    )
+    # Signature prune (r15): popcount(sig_a XOR sig_b) lower-bounds
+    # |A△B| exactly (see JP_SIG_WORDS), and J ≥ num/den ⟺
+    # den·ni ≥ num·(ni + |A△B|) ⟹ (den−num)·min(na,nb) ≥ num·|A△B|
+    # (ni ≤ min). Evaluating it INSIDE the join keeps pruned pairs from
+    # ever being emitted — codegen'd long XOR + popcount per probe.
+    # Measured at sf0.1: emitted rows 8.46 M → 444 K, surviving
+    # candidates 4.1 M → 132 K, output pairs identical (256).
+    sym_lb = sum(
+        F.bit_count(F.col(f"b{w}_a").bitwiseXOR(F.col(f"b{w}_b")))
+        for w in range(JP_SIG_WORDS)
     )
     cand_ids = (
         a.join(
@@ -1309,20 +1354,19 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (
                 F.least("na", "nb") * JP_T_DEN
                 >= F.greatest("na", "nb") * JP_T_NUM
+            )
+            & (
+                F.least("na", "nb") * (JP_T_DEN - JP_T_NUM)
+                >= sym_lb * JP_T_NUM
             ),
         )
         # ids-only distinct: 2 longs per row through the dedup shuffle
         # (n_a/n_b ride back in on the verify joins below for free).
-        # The dedup is CPU-bound on hash-map inserts (8.5 M rows → 4.1 M
-        # groups at sf0.1), not byte-bound, so the exchange is widened
-        # to 2× core count explicitly — AQE's byte-targeted coalescing
-        # would size ~135 MB of two-long rows into too few reducers
-        # (guide §2.5: partition count from the work, not the bytes).
-        # Measured isolated: 6.2 → 5.2 s for the candidate stage.
+        # With the signature prune the dedup input is ~444 K rows →
+        # ~132 K groups at sf0.1 — no longer hash-insert-bound, so the
+        # r14 explicit repartition(2×cores) was removed (measured; AQE
+        # sizes the now-small exchange fine).
         .select("doc_a", "doc_b")
-        .repartition(
-            2 * spark.sparkContext.defaultParallelism, "doc_a", "doc_b"
-        )
         .distinct()
     )
     # verify: the array fetches are un-hinted — per_doc is corpus-sized

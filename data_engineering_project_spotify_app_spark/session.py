@@ -87,11 +87,23 @@ def get_spark(
         # convert remaining SMJs at runtime when every post-shuffle
         # partition measures under the threshold (r14 A/B on the
         # SMJ-heavy set at sf0.1: 17.4 -> 15.2 s; q_bfs_hops -37%,
-        # q_pagerank -31%). Both knobs are per-PARTITION-size-based,
-        # not corpus-size-based, so they scale: at 100 TB the AQE form
-        # only fires on measured <64 MB partitions, and SMJ remains the
-        # fallback wherever a hash build will not fit. Env overrides
-        # keep the driver's bench comparable and let a cluster opt out.
+        # q_pagerank -31%). The two knobs gate differently (ADVICE r14):
+        # - the AQE threshold converts on MEASURED post-shuffle partition
+        #   sizes — safe at any scale;
+        # - preferSortMergeJoin=false converts in the STATIC planner on
+        #   ESTIMATED plan sizes (sizeInBytes < threshold ×
+        #   numShufflePartitions). An under-estimated build side (e.g.
+        #   behind a selective-looking filter or a UDF) can OOM an
+        #   executor at scale where SMJ would have spilled — SHJ's build
+        #   hash map does not spill. The r15 audit of every static
+        #   conversion in the registry (OPTIMIZATION_r15.md §SHJ) found
+        #   each build side is either a bare scan projection (estimate
+        #   tracks actual, so the conversion self-disables as the table
+        #   grows) or a stats-less localCheckpoint RDD on the STREAM
+        #   side only; no unbounded-cardinality frame is ever the build
+        #   side. If a deployment hits the estimate-miss mode anyway,
+        #   SPARK_GRAFT_PREFER_SMJ=true restores sort-merge without a
+        #   code change (AQE skew-join stays on either way).
         .config(
             "spark.sql.join.preferSortMergeJoin",
             os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),

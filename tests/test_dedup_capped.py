@@ -242,3 +242,32 @@ def test_granularity_agreement_empty_corpus_matches_oracle(spark, tmp_path):
             bucketed.landing_table_name("winnow_fingerprints", corpus),
             bucketed.landing_table_name("winnow_word_fingerprints", corpus),
         )
+
+
+def test_jp_signature_lower_bounds_symmetric_difference(spark, sf_dir):
+    """The r15 set-signature prune in q_jaccard_prefix_join is only
+    exact if popcount(sig_a XOR sig_b) <= |A(sym-diff)B| for EVERY doc
+    pair — a bit set on exactly one side must witness >= 1 element of
+    the symmetric difference. Checked exhaustively on the sf0.001
+    per-doc frame (all pairs), driving the same _jp_per_doc builder the
+    query consumes."""
+    from data_engineering_project_spotify_app_spark.operators.dedup import (
+        JP_SIG_WORDS,
+        _jp_per_doc,
+    )
+
+    rows = _jp_per_doc(spark, sf_dir).collect()
+    docs = [
+        (set(r["ranks"]), [r[f"b{w}"] for w in range(JP_SIG_WORDS)])
+        for r in rows
+    ]
+    assert docs
+    for i in range(len(docs)):
+        sa, wa = docs[i]
+        for j in range(i + 1, len(docs)):
+            sb, wb = docs[j]
+            pop = sum(
+                bin((x ^ y) & ((1 << 64) - 1)).count("1")
+                for x, y in zip(wa, wb)
+            )
+            assert pop <= len(sa ^ sb), (i, j, pop, len(sa ^ sb))
